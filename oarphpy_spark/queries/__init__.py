@@ -1,0 +1,7 @@
+"""Query definitions, grouped by SURVEY.md §2 category.
+
+Importing this package registers every declared query into
+``oarphpy_spark.registry``.
+"""
+
+import oarphpy_spark.queries.relational  # noqa: F401

@@ -1,0 +1,127 @@
+"""Local emulation of the driver's DuckDB-oracle correctness check.
+
+For each declared query: run the Spark plan and the oracle SQL on the
+same parquet tables, sort columns by name and rows by value, and
+compare cell-by-cell (exact for ints/strings/bools, tiny-rtol for
+floats). This is the dev-loop feedback before the driver's own
+CORRECTNESS_r{N}.json run.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from oarphpy_spark.tables import TABLE_NAMES
+
+FLOAT_RTOL = 1e-9
+FLOAT_ATOL = 1e-9
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    conn = duckdb.connect()
+    for name in TABLE_NAMES:
+        conn.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return conn
+
+
+def _norm_cell(v: Any) -> Any:
+    """Normalize a cell for cross-engine compare."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):  # datetime / date
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    # numpy scalars
+    item = getattr(v, "item", None)
+    if item is not None and not isinstance(v, (str, int, bool)):
+        try:
+            return _norm_cell(v.item())
+        except (ValueError, AttributeError):
+            pass
+    return v
+
+
+def _norm_df(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    rows.sort(key=lambda r: tuple(_sort_key(v) for v in r))
+    return rows
+
+
+def _sort_key(v: Any) -> tuple:
+    if v is None:
+        return (0, "")
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return (1, float(v))
+    if isinstance(v, bytes):
+        return (2, v.hex())
+    return (3, str(v))
+
+
+def _cells_match(a: Any, b: Any) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        return math.isclose(af, bf, rel_tol=FLOAT_RTOL, abs_tol=FLOAT_ATOL)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_match(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    problems: list[str] = []
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        problems.append(f"column mismatch: spark={s_cols} oracle={o_cols}")
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(
+            f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+        )
+        return problems
+    s_rows, o_rows = _norm_df(spark_pdf), _norm_df(oracle_pdf)
+    n_bad = 0
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        if not all(_cells_match(a, b) for a, b in zip(sr, orow)):
+            n_bad += 1
+            if n_bad <= 5:
+                problems.append(f"row {i}: spark={sr!r} oracle={orow!r}")
+    if n_bad > 5:
+        problems.append(f"... {n_bad} mismatched rows total")
+    return problems
+
+
+def run_parity(spark, name: str, sf_dir: str) -> list[str]:
+    """Run one declared query against its oracle; [] == match."""
+    from oarphpy_spark import registry
+
+    qfn = registry.queries()[name]
+    sql = registry.oracle_sql().get(name)
+    spark_pdf = qfn(spark, sf_dir).toPandas()
+    if sql is None:
+        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+    with duckdb_connection(sf_dir) as conn:
+        oracle_pdf = conn.execute(sql).df()
+    return compare(spark_pdf, oracle_pdf)
