@@ -4,4 +4,7 @@ Importing this package registers every declared query into
 ``oarphpy_spark.registry``.
 """
 
+import oarphpy_spark.queries.joins  # noqa: F401
 import oarphpy_spark.queries.relational  # noqa: F401
+import oarphpy_spark.queries.scalar_fns  # noqa: F401
+import oarphpy_spark.queries.windows_events  # noqa: F401

@@ -1,0 +1,245 @@
+"""Join coverage (SURVEY.md §2.B(c)).
+
+The reference implements zero joins (verified: no DataFrame/RDD .join
+anywhere in oarphpy/); this module declares the join surface over the
+driver's star schema, Spark-first:
+
+* small dims are broadcast explicitly (`F.broadcast`) so the 100 TB
+  fact side never shuffles for dim joins;
+* the as-of join is implemented as a single-shuffle union+window rather
+  than an inequality join (which would explode or BNLJ at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import table
+
+
+@query(
+    "q_join_inner_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi join on the shared key. At scale both sides
+    shuffle on orderkey (SMJ/shuffled-hash — AQE picks); co-locating via
+    bucketing on orderkey removes the shuffle entirely for repeated runs."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim joins with explicit broadcast: the orders fact never moves —
+    each executor hash-joins against a replicated customer/nation map."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q_join_left_right_full",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join family representative: left join preserving order-less
+    customers (COUNT of the null-extended side = 0)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "q_join_semi_anti",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, 'with_orders' AS kind
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, COUNT(*) AS n, 'no_orders' AS kind
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence joins: left_semi + left_anti (no row multiplication —
+    the planner needs only a distinct-key hash set of the right side)."""
+    customer = table(spark, sf_dir, "customer")
+    okeys = table(spark, sf_dir, "orders").select("o_custkey")
+    cond = customer.c_custkey == okeys.o_custkey
+
+    def agg(df: DataFrame, kind: str) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(F.count("*").alias("n")).withColumn(
+            "kind", F.lit(kind)
+        )
+
+    semi = agg(customer.join(okeys, cond, "left_semi"), "with_orders")
+    anti = agg(customer.join(okeys, cond, "left_anti"), "no_orders")
+    return semi.unionByName(anti)
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT s_nationkey AS nationkey,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(s_acctbal - c_acctbal), 4) AS avg_gap
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    GROUP BY s_nationkey
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + theta (range) residual: planner runs the equi part as a
+    hash/SMJ join and applies the inequality as a join filter — never a
+    cartesian product."""
+    supplier = table(spark, sf_dir, "supplier")
+    customer = table(spark, sf_dir, "customer")
+    cond = (supplier.s_nationkey == customer.c_nationkey) & (
+        supplier.s_acctbal > customer.c_acctbal
+    )
+    return (
+        supplier.join(customer, cond)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.col("s_acctbal") - F.col("c_acctbal")), 4).alias("avg_gap"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           epoch_us(c.ts) AS last_click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the nearest-earlier click by the
+    same user.
+
+    Spark has no ASOF JOIN builtin; the scalable formulation is a
+    union + window (single shuffle on user_id, no row explosion):
+    tag clicks and purchases, sort within user by ts, and carry the
+    last-seen click timestamp forward with last(ignorenulls=True).
+    An inequality join would be O(clicks x purchases) per user.
+    """
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+
+    tagged = purchases.select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_click")
+    ).unionByName(
+        clicks.select("event_id", "user_id", "ts", F.lit(1).alias("is_click"))
+    )
+    # Clicks sort before purchases at equal ts => "p.ts >= c.ts" semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    return (
+        tagged.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros("last_click_ts").alias("last_click_ts_us"),
+        )
+    )
+
+
+@query(
+    "q_multiway_star",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 5-table star join (TPC-H Q5 shape). All dims broadcast:
+    the only shuffle in the whole plan is lineitem x orders on orderkey,
+    then the partial-aggregated 5-row result."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

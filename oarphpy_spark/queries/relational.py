@@ -9,7 +9,10 @@ order-insensitive value hash is stable across summation orders.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from oarphpy_spark.registry import query
@@ -62,3 +65,366 @@ def q_agg_sum_avg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# (a) Scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@query("q_scan_parquet", oracle="SELECT r_regionkey, r_name FROM region")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare parquet scan: FileScan with ReadSchema pruned to 2 columns."""
+    return table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@query(
+    "q_source_local_rows",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL)
+    ) AS t(id, name, score)
+    """,
+)
+def q_source_local_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory rows source (reference: createDataFrame throughout its
+    tests, e.g. oarphpy_test/test_spark.py:31-32)."""
+    rows = [
+        Row(id=1, name="a", score=1.5),
+        Row(id=2, name="b", score=2.5),
+        Row(id=3, name="c", score=None),
+    ]
+    return spark.createDataFrame(rows, schema="id int, name string, score double")
+
+
+_SINK_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*)                  AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_discount > 0.05
+GROUP BY l_returnflag
+"""
+
+
+def _sink_roundtrip(spark: SparkSession, sf_dir: str, codec: str) -> DataFrame:
+    """Write filtered lineitem partitioned by l_returnflag with the given
+    parquet codec, read it back, and aggregate — proves the sink produces
+    partition-pruned, re-scannable data (reference codec checks:
+    oarphpy_test/test_spark.py:54-86)."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"oarphpy_spark_sink_{codec}_{os.path.basename(sf_dir)}"
+    )
+    (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out, compression=codec)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query("q_sink_parquet_zstd", oracle=_SINK_ORACLE)
+def q_sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sink_roundtrip(spark, sf_dir, "zstd")
+
+
+@query("q_sink_parquet_lz4", oracle=_SINK_ORACLE)
+def q_sink_parquet_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sink_roundtrip(spark, sf_dir, "lz4")
+
+
+# ---------------------------------------------------------------------------
+# (b) Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query("q_project", oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_filter_eq",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "q_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20
+    """,
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 20)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "q_filter_sql_string",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+    """,
+)
+def q_filter_sql_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string predicate (reference: df.filter('x == False'),
+    oarphpy_test/test_spark.py:377)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderstatus = 'F' AND o_totalprice > 100000.0")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_nested_path_predicate",
+    oracle="""
+    SELECT vec_id, label, ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e0
+    FROM embeddings WHERE CAST(embedding[1] AS DOUBLE) > 0.1
+    """,
+)
+def q_nested_path_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate on a nested (array-element) path (reference analog:
+    df.where('x.a[0].b[0].foo = 5'), oarphpy_test/test_spark.py:994-995)."""
+    emb = table(spark, sf_dir, "embeddings")
+    e0 = F.element_at("embedding", 1).cast("double")
+    return emb.filter(e0 > 0.1).select(
+        "vec_id", "label", F.round(e0, 6).alias("e0")
+    )
+
+
+@query(
+    "q_select_nested_field",
+    oracle="""
+    SELECT o_orderkey AS okey, o_orderpriority AS priority,
+           ROUND(o_totalprice, 2) AS price
+    FROM orders WHERE o_totalprice > 200000.0
+    """,
+)
+def q_select_nested_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project fields back out of a built struct column (reference:
+    df.select('x.__pyclass__'), oarphpy_test/test_spark.py:510-511)."""
+    orders = table(spark, sf_dir, "orders")
+    nested = orders.select(
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round("o_totalprice", 2).alias("price"),
+        ).alias("s")
+    )
+    return nested.filter(F.col("s.price") > 200000.0).select("s.okey", "s.priority", "s.price")
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CASE WHEN — the reference's bucket-assignment idiom
+    (oarphpy/plotting.py:223-238), codegen'd by Catalyst."""
+    orders = table(spark, sf_dir, "orders")
+    size_class = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("size_class", size_class)
+        .groupBy("size_class")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# (d) More aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_groupby_count",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-category count (oarphpy/spark.py:201)."""
+    return table(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query("q_approx_count_distinct")  # rows-only: approximate result by design
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scale path for COUNT(DISTINCT)
+    over 100 TB (single pass, mergeable sketches, no shuffle of raw keys)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "q_collect_list_examples",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           (list_sort(list(event_id)))[1:10] AS example_ids
+    FROM events GROUP BY event_type
+    """,
+)
+def q_collect_list_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group members as a (bounded, sorted) array — the DataFrame-native
+    rewrite of the reference's rdd.groupBy example collection
+    (oarphpy/plotting.py:257-261)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.slice(F.sort_array(F.collect_list("event_id")), 1, 10).alias("example_ids"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# (f) Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orderby",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def q_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("total").desc(), "o_orderkey")
+    )
+
+
+@query(
+    "q_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: planner turns sort+limit into TakeOrderedAndProject (per-
+    partition heaps + driver merge — no full sort even at 100 TB).
+    Fully deterministic tiebreak so the oracle hash matches."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# (g) Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT c_name AS name, ROUND(c_acctbal, 2) AS acctbal, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_name AS name, ROUND(s_acctbal, 2) AS acctbal, 'supplier' AS kind FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp)
+
+
+@query(
+    "q_intersect_except",
+    oracle="""
+    SELECT custkey, 'with_orders' AS kind FROM (
+      SELECT c_custkey AS custkey FROM customer
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders
+    )
+    UNION ALL
+    SELECT custkey, 'no_orders' AS kind FROM (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders
+    )
+    """,
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    okeys = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    both = cust.intersect(okeys).withColumn("kind", F.lit("with_orders"))
+    none = cust.exceptAll(okeys.distinct()).distinct().withColumn("kind", F.lit("no_orders"))
+    return both.unionByName(none)

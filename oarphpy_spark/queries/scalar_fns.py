@@ -1,0 +1,203 @@
+"""Scalar function families (SURVEY.md §2.B(h),(j)).
+
+All JVM-side `pyspark.sql.functions` except the declared pandas-UDF
+query, which demonstrates the Arrow-vectorized Python escape hatch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import table
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT doc_id,
+           upper(substring(text, 1, 12)) AS head,
+           length(text) AS n_chars_computed,
+           len(string_split(text, ' ')) AS n_words,
+           regexp_extract(text, '(spark|data)', 1) AS first_kw,
+           concat(lang, '/', source) AS lang_source
+    FROM documents
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head"),
+        F.length("text").alias("n_chars_computed"),
+        F.size(F.split("text", " ", -1)).alias("n_words"),
+        F.regexp_extract("text", "(spark|data)", 1).alias("first_kw"),
+        F.concat_ws("/", "lang", "source").alias("lang_source"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)  AS o_year,
+           month(o_orderdate) AS o_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           ROUND(sqrt(l_extendedprice), 4)   AS sqrt_price,
+           ROUND(ln(l_extendedprice + 1), 4) AS ln_price,
+           ROUND(pow(l_quantity, 2), 4)      AS qty_sq,
+           ROUND(abs(l_discount - 0.05), 4)  AS disc_dev,
+           CAST(ceil(l_tax * 100) AS BIGINT)  AS tax_pct_ceil,
+           CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("ln_price"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+           ROUND(list_sum(list_transform(embedding[1:8],
+                                         x -> CAST(x AS DOUBLE))), 6) AS sum8,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_e
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    sum8 = F.aggregate(
+        F.slice("embedding", 1, 8),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+        F.round(sum8, 6).alias("sum8"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_e"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props into a map column, then element_at — map
+    family exercised end-to-end with a scalar (hashable) output."""
+    events = table(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,bigint>")
+    return events.select(
+        "event_id", F.element_at(props_map, "k").alias("k_val")
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END AS has_k
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return events.select(
+        "event_id",
+        k.alias("k_str"),
+        F.when(k.isNotNull(), 1).otherwise(0).alias("has_k"),
+    )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine analog of the reference's stable_hash (pickle+md5,
+    oarphpy/util/misc.py:89-122) — here content hashing stays JVM-side."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+    )
+
+
+@query(
+    "q_pandas_udf_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF — the sanctioned Python escape hatch
+    (never row-at-a-time `F.udf`). Batches arrive as pandas Series of
+    numpy arrays; numpy does the math per batch."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def l2_norm(v: pd.Series) -> pd.Series:
+        return v.map(
+            lambda arr: float(np.sqrt(np.sum(np.asarray(arr, dtype=np.float64) ** 2)))
+        )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))

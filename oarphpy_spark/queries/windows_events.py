@@ -1,0 +1,196 @@
+"""Window functions + batch event-time windows (SURVEY.md §2.B(e),(i)).
+
+The reference never imports pyspark.sql.Window; these are new surface
+required by the driver's `events` table. Streaming forms of the event
+windows live in oarphpy_spark/streaming/ — `F.window` / session windows
+behave identically in batch, which is what the oracle checks here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import table
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey,
+             c_custkey,
+             ROUND(c_acctbal, 2) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer
+    ) WHERE rk <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: richest 3 customers per nation (deterministic
+    tiebreak on custkey so the oracle hash is stable)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority,
+             o_orderkey,
+             ROUND(o_totalprice, 2) AS total,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 5
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank-filter. At scale Spark pushes a per-
+    partition 'window group limit' (Spark >=3.5) so only k rows per key
+    survive each partition before the shuffle."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "q_window_running_agg",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           epoch_us(ts) AS ts_us,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS run_sum,
+           ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value
+    FROM events
+    """,
+)
+def q_window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec analytics: running sum + lag per user ordered by time."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events = table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.sum("value").over(wrun), 4).alias("run_sum"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+    )
+
+
+@query(
+    "q_events_tumbling",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    groupBy(window(...)); epoch-aligned so DuckDB date_trunc matches)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_events_sliding",
+    oracle="""
+    SELECT (epoch_us(ts) // 900000000 - k.k) * 900000000 AS window_start_us,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour long, every 15 minutes — each event lands
+    in exactly 4 windows. Oracle enumerates the 4 shifted buckets."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_events_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user. Spark's session_window
+    end = last event + gap; the oracle reproduces that with classic
+    gaps-and-islands SQL."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -30,8 +30,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` so Catalyst gets a
     pushdown-capable FileScan (predicates + column pruning reach the
-    parquet reader)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    parquet reader).
+
+    ``events.ts`` is nanosecond parquet, which Spark cannot scan as a
+    timestamp (PARQUET_TYPE_ILLEGAL). We read it as raw int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert JVM-side with
+    ``timestamp_micros(ts div 1000)`` — the same ns→µs truncation DuckDB
+    applies, so cross-engine timestamp comparisons are exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

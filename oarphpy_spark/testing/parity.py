@@ -42,7 +42,7 @@ def _norm_cell(v: Any) -> Any:
         return v.isoformat()
     if hasattr(v, "isoformat"):  # datetime / date
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, bytes):
         return v

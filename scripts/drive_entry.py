@@ -1,31 +1,71 @@
-# Emulates the driver's smoke + correctness harness against /root/repo/__spark_entry__.py
-import sys, importlib.util
-import duckdb
-from pyspark.sql import SparkSession
+"""Emulates the driver's smoke + correctness harness against
+/root/repo/__spark_entry__.py at sf0.01 (the driver's t2 scale).
 
-spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
-mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+Usage: python scripts/drive_entry.py [sf_dir]
+"""
 
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.ui.enabled", "false")
-         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+from __future__ import annotations
 
-rows = mod.entry(spark).collect()
-print("T1 SMOKE: entry() rows =", len(rows)); print(rows[0])
+import importlib.util
+import sys
 
-qs, oracles = mod.queries(), mod.oracle_sql()
-print("declared queries:", sorted(qs))
-conn = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    conn.execute(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'")
-for name, fn in qs.items():
-    spdf = fn(spark, "/root/testdata/sf0.01").toPandas()
-    if name in oracles:
-        odf = conn.execute(oracles[name]).df()
-        spdf = spdf.reindex(sorted(spdf.columns), axis=1).sort_values(list(spdf.columns)).reset_index(drop=True)
-        odf = odf.reindex(sorted(odf.columns), axis=1).sort_values(list(odf.columns)).reset_index(drop=True)
-        exact = spdf.equals(odf) or (spdf.shape == odf.shape and (spdf.values == odf.values).all())
-        print(f"T2 {name}: rows spark={len(spdf)} oracle={len(odf)} exact_value_match={exact}")
-    else:
-        print(f"T2 {name}: rows-only, rows={len(spdf)}")
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from oarphpy_spark.testing.parity import compare, duckdb_connection  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", f"{REPO}/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    rows = mod.entry(spark).collect()
+    print(f"T1 SMOKE: entry() rows = {len(rows)}")
+    assert len(rows) > 0
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    print(f"declared: {len(qs)} queries, {len(oracles)} with oracles")
+    conn = duckdb_connection(sf_dir)
+    n_fail = 0
+    for name in sorted(qs):
+        try:
+            spdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"PASS {name}: rows-only, rows={len(spdf)}")
+            continue
+        try:
+            odf = conn.execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {ex}")
+            n_fail += 1
+            continue
+        problems = compare(spdf, odf)
+        if problems:
+            print(f"FAIL {name}: " + " | ".join(problems[:3]))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(spdf)}")
+    print(f"RESULT: {len(qs) - n_fail}/{len(qs)} pass")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
