@@ -4,6 +4,8 @@ Importing this package registers every declared query into
 ``oarphpy_spark.registry``.
 """
 
+import oarphpy_spark.queries.codec_queries  # noqa: F401
+import oarphpy_spark.queries.fidelity  # noqa: F401
 import oarphpy_spark.queries.joins  # noqa: F401
 import oarphpy_spark.queries.relational  # noqa: F401
 import oarphpy_spark.queries.scalar_fns  # noqa: F401

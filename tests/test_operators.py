@@ -1,0 +1,122 @@
+"""Operator-level tests (beyond the oracle parity suite): statistical
+sampling expectations, counters/observe, cluster utils, histogram
+golden values — mirroring the reference's test strategy (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from oarphpy_spark.operators.cluster import (
+    cluster_cpu_count,
+    for_each_executor,
+    monte_carlo_pi,
+    run_callables,
+)
+from oarphpy_spark.operators.counters import CounterCollection, observed
+from oarphpy_spark.operators.histogram import df_histogram, histogram_to_numpy
+from oarphpy_spark.operators.sampling import get_balanced_sample
+from oarphpy_spark.operators.union import SchemaConflict, union_dfs
+
+
+def test_union_dfs_merges_and_nullfills(spark):
+    df1 = spark.createDataFrame([Row(a=1, b=2.0)])
+    df2 = spark.createDataFrame([Row(a=3, c="foo")])
+    out = union_dfs(df1, df2).orderBy("a").collect()
+    assert [r.asDict() for r in out] == [
+        {"a": 1, "b": 2.0, "c": None},
+        {"a": 3, "b": None, "c": "foo"},
+    ]
+
+
+def test_union_dfs_type_conflict_raises(spark):
+    df1 = spark.createDataFrame([Row(a=1)])
+    df2 = spark.createDataFrame([Row(a="s")])
+    with pytest.raises(SchemaConflict):
+        union_dfs(df1, df2)
+
+
+def test_balanced_sample_expectation(spark):
+    # Reference-style statistical check (oarphpy_test/test_spark.py:265-346):
+    # classes 10/100/1000 -> each class sampled to ~10, rtol 0.5 over trials.
+    rows = (
+        [Row(id=i, val="a") for i in range(10)]
+        + [Row(id=100 + i, val="b") for i in range(100)]
+        + [Row(id=1000 + i, val="c") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows)
+    totals: Counter = Counter()
+    n_trials = 5
+    for seed in range(n_trials):
+        got = get_balanced_sample(df, "val", seed=1337 + seed).groupBy("val").count()
+        for r in got.collect():
+            totals[r["val"]] += r["count"]
+    for cls in ("a", "b", "c"):
+        mean = totals[cls] / n_trials
+        assert 10 * 0.5 <= mean <= 10 * 1.8, (cls, mean)
+
+
+def test_histogram_golden(spark):
+    # Reference golden (oarphpy_test/test_plotting.py:38-60): a in 0..100,
+    # b = a*a -> histogram(a,2) == ([50,51],[0,50,100]);
+    # histogram(b,4) == ([50,21,16,14],[0,2500,5000,7500,10000]).
+    df = spark.createDataFrame([Row(a=i, b=i * i) for i in range(101)])
+    counts, edges = histogram_to_numpy(df_histogram(df, "a", 2))
+    assert counts == [50, 51]
+    assert edges == [0.0, 50.0, 100.0]
+    counts, edges = histogram_to_numpy(df_histogram(df, "b", 4))
+    assert counts == [50, 21, 16, 14]
+    assert edges == [0.0, 2500.0, 5000.0, 7500.0, 10000.0]
+
+
+def test_histogram_degenerate_single_value(spark):
+    df = spark.createDataFrame([Row(x=7.0)] * 5)
+    counts, _ = histogram_to_numpy(df_histogram(df, "x", 3))
+    assert counts == [5, 0, 0]
+
+
+def test_counter_accumulator(spark):
+    # Reference fixture (oarphpy_test/test_spark.py:176-192).
+    counters = CounterCollection(spark, "test")
+
+    def work(x):
+        counters.tally("itally")
+        counters.tally("my_tally", 2)
+        counters.kv_tally("my_hist", str(x))
+        return x
+
+    total = spark.sparkContext.parallelize(range(10), 4).map(work).sum()
+    assert total == 45
+    v = counters.value
+    assert v["itally"] == 10
+    assert v["my_tally"] == 20
+    assert all(v[f"my_hist.{k}"] == 1 for k in map(str, range(10)))
+
+
+def test_observe_metrics(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    df2, obs = observed(
+        df, "m", F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
+    )
+    df2.write.format("noop").mode("overwrite").save()
+    assert obs.get["n"] == 100
+    assert obs.get["sum_v"] == 9900
+
+
+def test_cluster_utils(spark):
+    assert cluster_cpu_count(spark) >= 1
+    results = for_each_executor(spark, lambda: 1)
+    assert len(results) == cluster_cpu_count(spark)
+    outs = run_callables(spark, [lambda: 1, lambda: "two", lambda: [3]])
+    assert outs == [1, "two", [3]]
+
+
+def test_monte_carlo_pi(spark):
+    # Reference tolerance (oarphpy/spark.py:246-260): |pi - 3.14| < 0.1.
+    row = monte_carlo_pi(spark, 1_000_000).collect()[0]
+    assert abs(row["pi_est"] - 3.14) < 0.1
