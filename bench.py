@@ -21,7 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline queries: one per major operator family, weighted toward the
 # shuffle/join/Python-interop paths that dominate at scale.
 HEADLINE = [
-    "q_agg_sum_avg_minmax",
+    "q_agg_sum_avg_minmax",   # scan -> filter -> hash agg -> sort
+    "q_multiway_star",        # 5-table star join (broadcast dims)
+    "q_join_asof",            # union+window as-of join
+    "q_window_topk_per_group",  # window group-limit
+    "q_events_session",       # session windows
+    "q_histogram",            # 2-pass SQL histogram
+    "q_dedup_exact",          # content-hash dedup
+    "q_dedup_minhash",        # MinHash LSH banding + pair join
+    "q_dedup_simhash",        # 16 aggregate votes per doc
+    "q_sim_topk",             # brute-force cosine top-k
+    "q_sim_lsh_topk",         # hyperplane LSH top-k
+    "q_text_quality",         # text scoring scan
+    "q_pandas_udf_norm",      # Arrow pandas-UDF path
+    "q_multimodal_blob",      # mapInPandas binary plumbing
 ]
 
 

@@ -1,0 +1,109 @@
+"""Multimodal (image/audio/video) columns.
+
+Design: media are opaque ``binary`` columns + a typed metadata struct
+(width/height/format/...); all per-item compute happens in Arrow-
+batched ``mapInPandas`` so bytes stream executor-side in columnar
+batches — the Spark plumbing (schema, batch shape, partitioning) is
+real and tested even where the codec itself is stubbed (image/audio
+libraries are not available in this environment).
+
+Reference analogs: binary image helpers (``oarphpy/util/misc.py:
+281-329``) and data-URI plumbing (``oarphpy/plotting.py:38-94``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_SCHEMA = (
+    "doc_id bigint, data binary, "
+    "meta struct<width:int, height:int, format:string>"
+)
+
+
+def synth_blob_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media blobs derived from the id — a stand-in
+    for a decode-less ingest (bytes = repeated ASCII letter, dims from
+    id arithmetic) that exercises the real mapInPandas path end-to-end.
+    """
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                width = 16 + (doc_id % 5) * 8
+                height = 16 + (doc_id % 3) * 8
+                fmt = "png" if doc_id % 2 == 0 else "jpeg"
+                data = bytes([97 + doc_id % 26]) * (width * height)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "data": data,
+                        "meta": {"width": width, "height": height, "format": fmt},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=BLOB_SCHEMA)
+
+
+def decode_image(data: bytes):
+    """Decode an image blob to an ndarray. STUB: pillow/cv2 are not in
+    this environment; the call raises until a codec is installed."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "image decode requires pillow; install it on executors and "
+            "wire Image.open(io.BytesIO(data)) here"
+        ) from ex
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)))
+
+
+def jpeg_header_dimensions(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from JPEG SOF headers WITHOUT decoding — the
+    header-only sizing idea from the reference
+    (``oarphpy/util/misc.py:305-329``), implemented against the JFIF
+    marker layout: scan segments for SOF0-SOF15 (excl. DHT/DAC/markers
+    without dimensions) and read the 5-byte dims block."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    sof_markers = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+    while i + 9 < len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in sof_markers:
+            height = int.from_bytes(data[i + 5 : i + 7], "big")
+            width = int.from_bytes(data[i + 7 : i + 9], "big")
+            return (width, height)
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        i += 2 + seg_len
+    return None
+
+
+def blob_feature_stats(blobs: DataFrame) -> DataFrame:
+    """Per-format rollup over a blob table — metadata-only (never
+    deserializes data), so it is scan-bound at any scale."""
+    return blobs.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("data")).alias("total_bytes"),
+        F.avg(F.col("meta.width") * F.col("meta.height")).alias("avg_pixels"),
+    )

@@ -221,7 +221,7 @@ _ARCHIVE_MEMBERS = ["bar", "baz", "foo"]
 @query(
     "q_archive_source",
     oracle="""
-    SELECT name, length(name) AS n_bytes, md5(name) AS digest
+    SELECT name, CAST(length(name) AS BIGINT) AS n_bytes, md5(name) AS digest
     FROM (VALUES ('bar'), ('baz'), ('foo')) AS t(name)
     """,
 )
@@ -237,7 +237,7 @@ def q_archive_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = archive_df(spark, zpath)
     return df.select(
         "name",
-        F.length("data").alias("n_bytes"),
+        F.length("data").cast("long").alias("n_bytes"),
         F.md5("data").alias("digest"),
     )
 

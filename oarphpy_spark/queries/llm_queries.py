@@ -1,0 +1,524 @@
+"""North-star LLM-data-pipeline queries (SURVEY.md §2.C).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + hyperplane-LSH), text
+analysis (stats / lang-ID / quality / tokens / fingerprints), and
+multimodal blob plumbing — every one oracle-checked, because every
+hash used for bucketing is md5-hex (portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oarphpy_spark.llm.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from oarphpy_spark.llm.multimodal import blob_feature_stats, synth_blob_table
+from oarphpy_spark.llm.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    hyperplane_lsh_topk,
+)
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: one shuffle on a 32-byte
+    key regardless of document size."""
+    return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4, n: int = 3) -> str:
+    mh_cols = ",\n      ".join(
+        f"list_min(list_transform(s, x -> md5('{j}|' || x))) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * r + i}' for i in range(r))}) AS h FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) - {n - 1} >= 1
+                  THEN list_transform(generate_series(1, len(t) - {n - 1}),
+                                      i -> array_to_string(t[i:i+{n - 1}], ' '))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    ), sig AS (
+      SELECT doc_id,
+      {mh_cols}
+      FROM sh
+    ), bands AS (
+      {band_selects}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 8 min-wise hashes →
+    4 bands → equi-join on (band, hash). Never compares texts pairwise;
+    the join key is a 32-char hash — the 100 TB-safe shape."""
+    return minhash_candidate_pairs(
+        table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        shingle_n=3,
+    )
+
+
+def _simhash_oracle() -> str:
+    vote = (
+        "list_sum(list_transform(h, x -> CASE WHEN substring(x, {p}, 1) >= '8' "
+        "THEN 1 ELSE -1 END))"
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN {vote.format(p=p)} > 0 THEN {1 << (p - 1)} ELSE 0 END)"
+        for p in range(1, 17)
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id, list_transform(string_split(lower(text), ' '), t -> md5(t)) AS h
+      FROM documents
+    ), fp AS (
+      SELECT doc_id, {fp_terms} AS simhash FROM th
+    )
+    SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_same
+    FROM fp
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints + cluster sizes (docs sharing a
+    fingerprint are near-dup candidates)."""
+    sim = simhash16(table(spark, sf_dir, "documents"), "text", "doc_id")
+    w = Window.partitionBy("simhash")
+    return sim.select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash"),
+        F.count("*").over(w).alias("n_same"),
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_distinct(
+               CASE WHEN len(string_split(lower(text), ' ')) - 1 >= 1
+                    THEN list_transform(
+                           generate_series(1, len(string_split(lower(text), ' ')) - 1),
+                           i -> array_to_string((string_split(lower(text), ' '))[i:i+1], ' '))
+                    ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END
+             ) AS sh
+      FROM documents
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                   6) AS jaccard
+      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.6
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard verification within blocks (source column
+    here; LSH buckets at scale — the quadratic term must always be
+    block-bounded)."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        block_col="source",
+        threshold=0.6,
+        shingle_n=2,
+    )
+
+
+_COS_DUCK = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_a, vec_b, cos FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_COS_DUCK.format(a='a.v', b='b.v')}, 6) AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates within label blocks."""
+    return cosine_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a='q.v', b='e.v')}, 6) AS cos
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 5 query vectors: broadcast queries against
+    the corpus scan (corpus never shuffles), JVM-side dot products,
+    window top-k. The verification baseline for the LSH path."""
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _lsh_sig_duck(v: str, num_planes: int = 4, seed: str = "lsh") -> str:
+    bits = []
+    for p in range(num_planes):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({v})), "
+            f"i -> {v}[i] * (CASE WHEN substring(md5('{seed}|{p}|' || CAST(i AS VARCHAR)), 1, 1) >= '8' "
+            f"THEN 1.0 ELSE -1.0 END)))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@query(
+    "q_sim_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, v, {_lsh_sig_duck('v')} AS bucket FROM e
+    ), q AS (SELECT * FROM sig WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a='q.v', b='s.v')}, 6) AS cos
+      FROM sig s JOIN q ON s.bucket = q.bucket
+      WHERE s.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: deterministic random-hyperplane buckets (md5-
+    derived signs) shrink the candidate set ~2^planes-fold; the bucket
+    join replaces the cross join — the shape that survives 100 TB."""
+    emb = table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_words,
+           CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+    FROM documents GROUP BY source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " ", -1))), 4).alias("avg_words"),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).alias("n_short"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "y"],
+    "de": ["der", "und", "die", "das", "ist"],
+}
+
+
+def _langid_oracle() -> str:
+    votes = ",\n           ".join(
+        "len(list_filter(string_split(lower(text), ' '), t -> t IN ({}))) AS {}_votes".format(
+            ", ".join(f"'{m}'" for m in ms), lang
+        )
+        for lang, ms in _LANG_MARKERS.items()
+    )
+    return f"""
+    WITH v AS (
+      SELECT doc_id, lang,
+           {votes}
+      FROM documents
+    )
+    SELECT doc_id,
+           en_votes, fr_votes, es_votes, de_votes,
+           CASE WHEN en_votes >= fr_votes AND en_votes >= es_votes
+                     AND en_votes >= de_votes AND en_votes > 0 THEN 'en'
+                WHEN fr_votes >= es_votes AND fr_votes >= de_votes
+                     AND fr_votes > 0 THEN 'fr'
+                WHEN es_votes >= de_votes AND es_votes > 0 THEN 'es'
+                WHEN de_votes > 0 THEN 'de'
+                ELSE 'unknown' END AS predicted_lang
+    FROM v
+    """
+
+
+@query("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram-heuristic family): per-language
+    stopword votes, argmax with fixed priority. One scan, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ", -1)
+
+    def in_markers(ms: list[str]):
+        return lambda t: t.isin(*ms)
+
+    vote_cols = {
+        lang: F.size(F.filter(toks, in_markers(ms))).cast("long").alias(f"{lang}_votes")
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    v = docs.select("doc_id", *vote_cols.values())
+    en, fr, es, de = [F.col(f"{l}_votes") for l in ("en", "fr", "es", "de")]
+    predicted = (
+        F.when((en >= fr) & (en >= es) & (en >= de) & (en > 0), "en")
+        .when((fr >= es) & (fr >= de) & (fr > 0), "fr")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return v.select(
+        "doc_id", "en_votes", "fr_votes", "es_votes", "de_votes",
+        predicted.alias("predicted_lang"),
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "to", "and"]
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_words,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> x IN ({", ".join(f"'{s}'" for s in _STOPWORDS)}))) AS DOUBLE)
+               AS n_stop,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(n_stop / n_words, 6) AS stop_ratio,
+           ROUND(n_alpha / n_words, 6) AS avg_word_len,
+           ROUND(0.4 * LEAST(n_words / 50.0, 1.0)
+                 + 0.4 * (n_stop / n_words)
+                 + 0.2 * LEAST(5.0 / (n_alpha / n_words), 1.0), 6) AS quality
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length, stopword ratio, mean word
+    length — the standard cheap pre-filter before model-based scoring."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ", -1)
+    n_words = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("double")
+    quality = (
+        0.4 * F.least(n_words / 50.0, F.lit(1.0))
+        + 0.4 * (n_stop / n_words)
+        + 0.2 * F.least(5.0 / (n_alpha / n_words), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(n_stop / n_words, 6).alias("stop_ratio"),
+        F.round(n_alpha / n_words, 6).alias("avg_word_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> regexp_matches(t, '^[a-z]+$'))) AS n_alpha_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens,
+           length(text) AS n_chars_exact
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, alpha-only, and a BPE-ish
+    regex segmentation (letters / digits / single punctuation)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    ltoks = F.split(F.lower("text"), " ", -1)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(F.filter(ltoks, lambda t: t.rlike("^[a-z]+$"))).cast("long").alias("n_alpha_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).cast("long").alias(
+            "n_subtokens"
+        ),
+        F.length("text").cast("long").alias("n_chars_exact"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+             string_split(lower(text), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS content_fp,
+           md5(array_to_string(toks[1:8], ' ')) AS prefix_fp
+    FROM t
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full normalized-content hash + first-8-
+    token prefix hash (cheap clustering key for boilerplate detection)."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    toks = F.split(F.lower("text"), " ", -1)
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8)).cast("binary")).alias("prefix_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_blob",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (doc_id % 5) * 8 AS INT) AS width,
+           CAST(16 + (doc_id % 3) * 8 AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           (16 + (doc_id % 5) * 8) * (16 + (doc_id % 3) * 8) AS n_bytes,
+           md5(repeat(chr(97 + CAST(doc_id % 26 AS INT)),
+                      CAST((16 + (doc_id % 5) * 8) * (16 + (doc_id % 3) * 8) AS INT)))
+             AS digest
+    FROM documents
+    """,
+)
+def q_multimodal_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary media column + typed
+    metadata struct built in Arrow-batched mapInPandas; the oracle
+    re-derives every byte, so the whole Python batch path is checked."""
+    blobs = synth_blob_table(table(spark, sf_dir, "documents"))
+    return blobs.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+        F.length("data").cast("long").alias("n_bytes"),
+        F.md5("data").alias("digest"),
+    )
+
+
+@query(
+    "q_multimodal_stats",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             16 + (doc_id % 5) * 8 AS w,
+             16 + (doc_id % 3) * 8 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      FROM documents
+    )
+    SELECT format,
+           COUNT(*) AS n,
+           CAST(SUM(w * h) AS BIGINT) AS total_bytes,
+           ROUND(AVG(CAST(w AS DOUBLE) * h), 4) AS avg_pixels
+    FROM b GROUP BY format
+    """,
+)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup over the blob table (never deserializes the
+    binary column — column pruning keeps it scan-bound at any scale)."""
+    blobs = synth_blob_table(table(spark, sf_dir, "documents"))
+    stats = blob_feature_stats(blobs)
+    return stats.select(
+        "format", "n", "total_bytes", F.round("avg_pixels", 4).alias("avg_pixels")
+    )

@@ -33,8 +33,8 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.upper(F.substring("text", 1, 12)).alias("head"),
-        F.length("text").alias("n_chars_computed"),
-        F.size(F.split("text", " ", -1)).alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_words"),
         F.regexp_extract("text", "(spark|data)", 1).alias("first_kw"),
         F.concat_ws("/", "lang", "source").alias("lang_source"),
     )
@@ -55,10 +55,10 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias(
             "days_since_epoch0"
         ),
     )
@@ -113,7 +113,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("n_dims"),
+        F.size("embedding").cast("long").alias("n_dims"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
         F.round(sum8, 6).alias("sum8"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_e"),

@@ -38,7 +38,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_custkey",
             F.round("c_acctbal", 2).alias("acctbal"),
-            F.row_number().over(w).alias("rk"),
+            F.row_number().over(w).cast("long").alias("rk"),
         )
         .filter(F.col("rk") <= 3)
     )
@@ -68,7 +68,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("total"),
-            F.row_number().over(w).alias("rk"),
+            F.row_number().over(w).cast("long").alias("rk"),
         )
         .filter(F.col("rk") <= 5)
     )
