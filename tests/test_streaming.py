@@ -1,0 +1,71 @@
+"""Structured Streaming correctness: streaming results must equal the
+batch forms of the same window expressions on the same input (the
+availableNow + memory-sink harness)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oarphpy_spark import registry
+from oarphpy_spark.streaming.stateful import running_user_totals
+from oarphpy_spark.streaming.windows import (
+    run_to_memory_sink,
+    sessionized_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
+
+from .conftest import SF_SMALL
+
+
+def _rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    events = stream_events(spark, f"{SF_SMALL}/events.parquet")
+    assert events.isStreaming
+    got = run_to_memory_sink(
+        tumbling_counts_stream(events), "t_tumbling_test"
+    )
+    want = registry.queries()["q_events_tumbling"](spark, SF_SMALL)
+    cols = ["window_start_us", "event_type", "n", "sum_value"]
+    assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_streaming_session_equals_batch(spark):
+    events = stream_events(spark, f"{SF_SMALL}/events.parquet")
+    got = run_to_memory_sink(
+        sessionized_stream(events), "t_session_test"
+    )
+    want = registry.queries()["q_events_session"](spark, SF_SMALL)
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events", "sum_value"]
+    assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_stateful_running_totals(spark):
+    events = stream_events(spark, f"{SF_SMALL}/events.parquet")
+    totals = running_user_totals(events)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("t_user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in spark.table("t_user_totals").collect()
+    }
+    from oarphpy_spark.tables import table
+    from pyspark.sql import functions as F
+
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
