@@ -6,6 +6,7 @@ Importing this package registers every declared query into
 
 import oarphpy_spark.queries.codec_queries  # noqa: F401
 import oarphpy_spark.queries.fidelity  # noqa: F401
+import oarphpy_spark.queries.inventory_extras  # noqa: F401
 import oarphpy_spark.queries.joins  # noqa: F401
 import oarphpy_spark.queries.llm_queries  # noqa: F401
 import oarphpy_spark.queries.relational  # noqa: F401
