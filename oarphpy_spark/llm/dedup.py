@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oarphpy_spark.functions.text import md5_str, norm_tokens, shingles, token_md5s
+from oarphpy_spark.util.partitioning import spread
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -46,20 +47,26 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: minhash_j = min over shingles of
-    md5(j || '|' || shingle). Lexicographic min over hex strings is a
-    valid min-wise hash family and is engine-portable.
+    """Per-doc MinHash signature: minhash_j = min over shingles of the
+    j-th 4-hex-char slice of md5(shingle). md5 bits are independent, so
+    disjoint slices of one digest act as ``num_hashes`` independent
+    min-wise hash functions — ONE md5 per shingle total (the
+    hash-per-permutation formulation costs k×; and an array-expression
+    formulation re-computes the shingle array per hash after Catalyst's
+    CollapseProject — measured ~20x slower at sf0.1).
 
-    Plan shape: explode shingles, then ``num_hashes`` parallel ``min``
-    aggregates in ONE pass (each md5 evaluated exactly once; partial
-    aggregation shrinks map output to one row per doc). The array-
-    expression formulation (array_min over k transforms) re-computes
-    the shingle array per hash after Catalyst's CollapseProject —
-    measured ~20x slower at sf0.1."""
+    Plan shape: explode shingles → one md5 → ``num_hashes`` parallel
+    ``min`` aggregates in one pass; partial aggregation shrinks map
+    output to one row per doc. Requires num_hashes*4 <= 32 hex chars.
+    """
+    if num_hashes * 4 > 32:
+        raise ValueError("md5 supplies at most 8 4-hex-char minhash slices")
     sh = shingles(norm_tokens(F.col(text_col)), shingle_n)
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("__s"))
+    exploded = spread(df).select(F.col(id_col), F.explode(sh).alias("__s")).select(
+        F.col(id_col), md5_str(F.col("__s")).alias("__h")
+    )
     aggs = [
-        F.min(md5_str(F.concat(F.lit(f"{j}|"), F.col("__s")))).alias(f"mh{j}")
+        F.min(F.substring("__h", j * 4 + 1, 4)).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)

@@ -50,7 +50,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4, n: int = 3) -> str:
     mh_cols = ",\n      ".join(
-        f"list_min(list_transform(s, x -> md5('{j}|' || x))) AS mh{j}"
+        f"list_min(list_transform(s, x -> substring(md5(x), {j * 4 + 1}, 4))) AS mh{j}"
         for j in range(num_hashes)
     )
     r = num_hashes // bands
