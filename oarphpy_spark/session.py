@@ -89,3 +89,36 @@ class SessionFactory:
         for path in cls.PY_FILES:
             spark.sparkContext.addPyFile(path)
         return spark
+
+
+class K8SSessionFactory(SessionFactory):
+    """Preset for Kubernetes-backed clusters (reference LocalK8SSpark,
+    ``oarphpy/spark.py:793-811``): pin the driver host/bind address so
+    executors can call back to a driver running outside the pod network.
+    Set ``MASTER = 'k8s://https://<apiserver>:<port>'`` in a subclass.
+    """
+
+    CONF_KV = dict(
+        SessionFactory.CONF_KV,
+        **{
+            "spark.driver.host": os.environ.get("SPARK_DRIVER_HOST", "127.0.0.1"),
+            "spark.driver.bindAddress": "0.0.0.0",
+        },
+    )
+
+
+class NotebookSessionFactory(SessionFactory):
+    """Preset for notebook development (reference NBSpark,
+    ``oarphpy/spark.py:839-923``): ship updated code to executors
+    without restarting the session. The reference rebuilt an egg on
+    every cell; the engine-native equivalent is overwritable SparkFiles
+    + non-reused Python workers so re-shipped modules actually reload.
+    """
+
+    CONF_KV = dict(
+        SessionFactory.CONF_KV,
+        **{
+            "spark.files.overwrite": "true",
+            "spark.python.worker.reuse": "false",
+        },
+    )

@@ -37,7 +37,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``spark.sql.legacy.parquet.nanosAsLong``) and convert JVM-side with
     ``timestamp_micros(ts div 1000)`` — the same ns→µs truncation DuckDB
     applies, so cross-engine timestamp comparisons are exact.
+
+    The session timezone is pinned to UTC here (runtime-settable conf):
+    ``year``/``date_trunc``/date casts are tz-dependent, and queries
+    must produce identical results under ANY caller-built session.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
