@@ -11,4 +11,5 @@ import oarphpy_spark.queries.joins  # noqa: F401
 import oarphpy_spark.queries.llm_queries  # noqa: F401
 import oarphpy_spark.queries.relational  # noqa: F401
 import oarphpy_spark.queries.scalar_fns  # noqa: F401
+import oarphpy_spark.queries.sql_api  # noqa: F401
 import oarphpy_spark.queries.windows_events  # noqa: F401

@@ -1,0 +1,112 @@
+"""SQL-string entry path: the engine is equally drivable via
+``spark.sql`` over registered views — same Catalyst plans as the
+DataFrame API. These queries register the star schema as temp views
+and run ANSI SQL verbatim (which doubles as near-oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import register_temp_views, table
+
+
+_Q3_SQL = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, date_format(o.o_orderdate, 'yyyy-MM-dd'), o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
+@query(
+    "q_sql_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) submitted as a SQL string — the
+    spark.sql front door over registered views. Catalyst still pushes
+    both date predicates into the scans and broadcasts customer."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join: nations having only customers or only suppliers
+    survive with zero-filled counts."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations in one pass."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
