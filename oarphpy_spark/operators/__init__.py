@@ -8,3 +8,5 @@ from oarphpy_spark.operators.histogram import (  # noqa: F401
     df_histogram,
     histogram_with_examples,
 )
+from oarphpy_spark.operators.skew import salted_agg, salted_broadcast_join  # noqa: F401
+from oarphpy_spark.operators.bucketing import bucketed_join, write_bucketed  # noqa: F401

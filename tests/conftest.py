@@ -16,11 +16,18 @@ def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from oarphpy_spark.session import SessionFactory
 
+    import tempfile
+
     class TestSession(SessionFactory):
         APP_NAME = "oarphpy_spark_tests"
         CONF_KV = dict(
             SessionFactory.CONF_KV,
-            **{"spark.sql.shuffle.partitions": "32"},
+            **{
+                "spark.sql.shuffle.partitions": "32",
+                "spark.sql.warehouse.dir": tempfile.mkdtemp(
+                    prefix="oarphpy_spark_wh_"
+                ),
+            },
         )
 
     spark = TestSession.getOrCreate()

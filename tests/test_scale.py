@@ -1,0 +1,93 @@
+"""Scale-behavior tests: skew mitigation correctness, shuffle-free
+bucketed joins (plan-asserted), and a 10M-row smoke proving the core
+operators aren't sf0.1-bound."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oarphpy_spark.operators.bucketing import bucketed_join, write_bucketed
+from oarphpy_spark.operators.skew import salted_agg, salted_broadcast_join
+
+
+def test_salted_agg_matches_plain(spark):
+    # Skewed input: key 'hot' holds 90% of rows.
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("k"), F.col("id") % 7))
+        .alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    got = {
+        (r["k"]): (r["n"], r["s"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            partials={"n": F.count("*"), "s": F.sum("v")},
+            merges={"n": F.sum("n"), "s": F.sum("s")},
+        ).collect()
+    }
+    want = {
+        (r["k"]): (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    probe = spark.range(50_000).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    build = spark.createDataFrame([(i, f"name{i}") for i in range(5)], "k long, name string")
+    got = salted_broadcast_join(probe, build, "k").groupBy("name").count().collect()
+    want = probe.join(build, "k").groupBy("name").count().collect()
+    assert {(r["name"], r["count"]) for r in got} == {(r["name"], r["count"]) for r in want}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    left = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(left, "t_bkt_left", "k", num_buckets=4)
+    write_bucketed(right, "t_bkt_right", "k", num_buckets=4)
+    # Force the SMJ path (tiny test tables would otherwise broadcast,
+    # which bypasses bucketing entirely).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_bkt_left", "t_bkt_right", "k")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle either side
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.parametrize("n", [10_000_000])
+def test_ten_million_row_smoke(spark, n):
+    """Core operator shapes at 10M rows, in-memory generated: agg,
+    window top-k, broadcast join, approx distinct. Bounded runtime on
+    local[32]; verifies no driver-side collapse at 100x the sf0.1
+    row count."""
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 1000).alias("k"),
+        (F.rand(42) * 100).alias("v"),
+    )
+    # partial+final agg over 1000 groups
+    aggd = df.groupBy("k").agg(F.count("*").alias("c"), F.round(F.sum("v"), 2).alias("s"))
+    assert aggd.count() == 1000
+    # broadcast join against a small dim
+    dim = spark.range(1000).select(F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id") % 10).alias("grp"))
+    joined = df.join(F.broadcast(dim), "k").groupBy("grp").count()
+    assert joined.count() == 10
+    # HLL distinct
+    approx = df.agg(F.approx_count_distinct("k", 0.05).alias("d")).collect()[0]["d"]
+    assert 900 <= approx <= 1100
