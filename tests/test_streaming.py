@@ -11,6 +11,7 @@ from oarphpy_spark.streaming.stateful import running_user_totals
 from oarphpy_spark.streaming.windows import (
     run_to_memory_sink,
     sessionized_stream,
+    sliding_counts_stream,
     stream_events,
     tumbling_counts_stream,
 )
@@ -29,6 +30,16 @@ def test_streaming_tumbling_equals_batch(spark):
         tumbling_counts_stream(events), "t_tumbling_test"
     )
     want = registry.queries()["q_events_tumbling"](spark, SF_SMALL)
+    cols = ["window_start_us", "event_type", "n", "sum_value"]
+    assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_streaming_sliding_equals_batch(spark):
+    events = stream_events(spark, f"{SF_SMALL}/events.parquet")
+    got = run_to_memory_sink(
+        sliding_counts_stream(events), "t_sliding_test"
+    )
+    want = registry.queries()["q_events_sliding"](spark, SF_SMALL)
     cols = ["window_start_us", "event_type", "n", "sum_value"]
     assert _rows_set(got, cols) == _rows_set(want, cols)
 
