@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from oarphpy_spark.functions.text import md5_str, norm_tokens, shingles, token_md5s
+from oarphpy_spark.functions.text import md5_str, norm_tokens, shingles
 from oarphpy_spark.util.partitioning import spread
 
 
@@ -94,6 +94,11 @@ def minhash_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bh")
     ).select("doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    # The self-join below references this subtree twice and Catalyst
+    # does not dedupe differently-aliased subplans — persist so the
+    # shingle+hash pipeline (the expensive part) runs once. Bucket rows
+    # are bands x (id + 32-byte hash): tiny relative to the corpus.
+    buckets = buckets.persist()
     if max_bucket is not None:
         # Cap pathological buckets (boilerplate content) before the join.
         sizes = buckets.groupBy("band", "h").agg(F.count("*").alias("__n"))
@@ -118,17 +123,26 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Bit p is the majority vote over tokens of the high bit of the p-th
     md5 nibble (nibble >= 8). Token multiplicity weights the vote —
     standard SimHash with unit weights."""
-    hashed = token_md5s(norm_tokens(F.col(text_col)))
-    df2 = df.select(F.col(id_col), hashed.alias("__th"))
-
-    def bit_vote(p: int):
-        return lambda acc, h: acc + F.when(F.substring(h, p, 1) >= "8", 1).otherwise(-1)
-
+    # Explode-and-aggregate shape (like minhash_signatures): one md5
+    # per token, 16 parallel conditional-sum votes in a single partial-
+    # aggregated pass. The array-aggregate formulation re-computed the
+    # token-md5 array once PER BIT after Catalyst's CollapseProject.
+    toks = norm_tokens(F.col(text_col))
+    exploded = spread(df).select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        F.col(id_col), md5_str(F.col("__t")).alias("__h")
+    )
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring("__h", p, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"v{p}")
+            for p in range(1, 17)
+        ]
+    )
     fp = F.lit(0)
     for p in range(1, 17):
-        vote = F.aggregate(F.col("__th"), F.lit(0), bit_vote(p))
-        fp = fp + F.when(vote > 0, F.lit(1 << (p - 1))).otherwise(0)
-    return df2.select(F.col(id_col), fp.alias("simhash"))
+        fp = fp + F.when(F.col(f"v{p}") > 0, F.lit(1 << (p - 1))).otherwise(0)
+    return votes.select(F.col(id_col), fp.cast("int").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
