@@ -32,6 +32,7 @@ HEADLINE = [
     "q_dedup_simhash",        # 16 aggregate votes per doc
     "q_sim_topk",             # brute-force cosine top-k
     "q_sim_lsh_topk",         # hyperplane LSH top-k
+    "q_sim_ivf_topk",         # inverted-file cells top-k
     "q_text_quality",         # text scoring scan
     "q_pandas_udf_norm",      # Arrow pandas-UDF path
     "q_multimodal_blob",      # mapInPandas binary plumbing

@@ -143,3 +143,70 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition vectors into
+    cells by nearest centroid; search only the query's cell.
+
+    ``centroids`` defaults to the first ``n_cells`` corpus vectors by id
+    — a deterministic stand-in for k-means training that keeps the
+    whole operator oracle-checkable. In production: train KMeans
+    offline, broadcast the (tiny) centroid table; everything else is
+    identical. Assignment uses the expanded L2 form
+    ||a||^2 - 2<a,b> + ||b||^2 so both engines evaluate the same
+    sequential dot products.
+
+    At 100 TB: assignment is one broadcast-join scan; cells become an
+    equi-join key exactly like the LSH bucket; recall tuned by probing
+    the nearest ``p`` cells instead of 1.
+    """
+    from oarphpy_spark.functions.vectors import dot
+
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_cells)
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+        )
+    )
+
+    def assign(df: DataFrame, out_id: str) -> DataFrame:
+        v, c = F.col("__v"), F.col("centroid")
+        dist = F.round(dot(v, v) - 2 * dot(v, c) + dot(c, c), 6)
+        w = Window.partitionBy(out_id).orderBy(dist, F.col("cell"))
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+            .crossJoin(cents)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(out_id, F.col("__v"), "cell")
+        )
+
+    c_assigned = assign(corpus, "neighbor_id")
+    q_assigned = assign(queries, "query_id").select(
+        "query_id", F.col("__v").alias("qv"), "cell"
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("__v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

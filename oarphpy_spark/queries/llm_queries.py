@@ -522,3 +522,47 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "format", "n", "total_bytes", F.round("avg_pixels", 4).alias("avg_pixels")
     )
+
+
+def _ivf_oracle(n_cells: int = 8, k: int = 5) -> str:
+    dist = (
+        "ROUND(list_inner_product({v}, {v}) - 2 * list_inner_product({v}, {c}) "
+        "+ list_inner_product({c}, {c}), 6)"
+    )
+    d = dist.format(v="e.v", c="c.v")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cents AS (SELECT vec_id AS cell, v FROM e WHERE vec_id < {n_cells}),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d}, c.cell) AS rn
+        FROM e CROSS JOIN (SELECT cell, v FROM cents) c
+      ) WHERE rn = 1
+    ), q AS (SELECT * FROM assigned WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a='q.v', b='a.v')}, 6) AS cos
+      FROM assigned a JOIN q ON a.cell = q.cell
+      WHERE a.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@query("q_sim_ivf_topk", oracle=_ivf_oracle())
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid cells (deterministic
+    centroids = first 8 vectors, standing in for offline k-means) bound
+    the search to one cell per query — the inverted-file scale path."""
+    from oarphpy_spark.llm.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8)
