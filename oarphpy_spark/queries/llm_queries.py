@@ -566,3 +566,140 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8)
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, verified bitwise). At 100 TB swap in
+    `percentile_approx` (t-digest sketch, single pass, mergeable) and
+    accept rank error — the exact form needs a per-group sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def _hamming_oracle() -> str:
+    # Neighbor fingerprints at Hamming distance <= 1: fp itself + fp
+    # with each of the 16 bits flipped.
+    return """
+    WITH fp AS (
+      SELECT doc_id, simhash FROM (
+        {simhash}
+      )
+    ), probes AS (
+      SELECT doc_id, simhash, xor(simhash, CAST(pow(2, b.b) AS BIGINT)) AS probe
+      FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+      UNION ALL SELECT doc_id, simhash, simhash AS probe FROM fp
+    )
+    SELECT a.doc_id AS doc_a, f.doc_id AS doc_b,
+           bit_count(CAST(xor(a.simhash, f.simhash) AS BIT)) AS hamming
+    FROM probes a JOIN fp f ON a.probe = f.simhash AND a.doc_id < f.doc_id
+    GROUP BY 1, 2, 3
+    """.format(
+        simhash="""
+        WITH th AS (
+          SELECT doc_id, list_transform(string_split(lower(text), ' '), t -> md5(t)) AS h
+          FROM documents
+        )
+        SELECT doc_id, {terms} AS simhash FROM th
+        """.format(
+            terms=" + ".join(
+                "(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN "
+                f"substring(x, {p}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+                f"THEN {1 << (p - 1)} ELSE 0 END)"
+                for p in range(1, 17)
+            )
+        )
+    )
+
+
+@query("q_dedup_simhash_hamming", oracle=_hamming_oracle())
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 1, via a
+    Hamming-ball equi-join: each doc probes its fingerprint plus the 16
+    single-bit flips — 17 equi-join keys instead of any pairwise scan.
+    The standard trick for Hamming-radius search at corpus scale."""
+    sim = simhash16(table(spark, sf_dir, "documents"), "text", "doc_id").select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
+    )
+    sim = sim.persist()  # referenced by both sides of the probe join
+    probes = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[
+                    F.col("simhash").bitwiseXOR(F.lit(1 << b)) for b in range(16)
+                ],
+            )
+        ).alias("probe"),
+    )
+    f = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    pairs = (
+        probes.join(f, probes.probe == f.fp_b)
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("fp_b"))).cast("long").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+@query(
+    "q_sim_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, v, {_lsh_sig_duck('v')} AS bucket FROM e
+    ), q AS (SELECT * FROM sig WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id, v, bucket AS probe FROM q
+      UNION ALL
+      SELECT vec_id, v, xor(bucket, CAST(pow(2, b.b) AS BIGINT)) AS probe
+      FROM q CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+    ), scored AS (
+      SELECT DISTINCT p.vec_id AS query_id, s.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a='p.v', b='s.v')}, 6) AS cos
+      FROM sig s JOIN probes p ON s.bucket = p.probe
+      WHERE s.vec_id <> p.vec_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: query bucket + 4 Hamming-1 neighbor
+    buckets — ~5x candidates, recall close to brute force, still zero
+    corpus shuffles."""
+    from oarphpy_spark.llm.similarity import hyperplane_lsh_topk_multiprobe
+
+    emb = table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4
+    )
