@@ -107,3 +107,38 @@ def blob_feature_stats(blobs: DataFrame) -> DataFrame:
         F.sum(F.length("data")).alias("total_bytes"),
         F.avg(F.col("meta.width") * F.col("meta.height")).alias("avg_pixels"),
     )
+
+
+def frame_sample(
+    blobs: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced fixed-size 'frames' from each
+    binary blob (the video-frame-sampling shape: the real decoder is a
+    stub — see ``decode_image`` — but the batching, offsets, and output
+    schema are the production plumbing). Output one row per
+    (doc_id, frame_idx) with the frame bytes."""
+
+    def sample(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                data = bytes(data)
+                if len(data) == 0:
+                    continue
+                stride = max(1, (len(data) - frame_bytes) // max(1, n_frames - 1))
+                for i in range(n_frames):
+                    off = min(i * stride, max(0, len(data) - frame_bytes))
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": i,
+                            "frame": data[off : off + frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return blobs.select("doc_id", "data").mapInPandas(
+        sample, schema="doc_id bigint, frame_idx int, frame binary"
+    )

@@ -90,3 +90,40 @@ def test_jpeg_header_dimensions():
     jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
     assert jpeg_header_dimensions(jpeg) == (640, 480)
     assert jpeg_header_dimensions(b"not a jpeg") is None
+
+
+def test_frame_sample(spark):
+    from oarphpy_spark.llm.multimodal import frame_sample
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    frames = frame_sample(synth_blob_table(docs), n_frames=4, frame_bytes=32).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(6))
+    for rows in by_doc.values():
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+        assert all(len(r["frame"]) == 32 for r in rows)
+
+
+def test_tensor_values_as_arrays(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from oarphpy_spark.codec import RowAdapter
+    from oarphpy_spark.codec.arrow_helpers import tensor_values_as_arrays
+
+    class Holder:
+        def __init__(self, hid=0, arr=None):
+            self.hid = hid
+            self.arr = arr if arr is not None else np.zeros(1)
+
+    objs = [Holder(1, np.arange(4, dtype=np.float32)),
+            Holder(2, np.arange(1024, dtype=np.float64))]  # second is packed
+    df = RowAdapter.to_df(spark, objs)
+    out = tensor_values_as_arrays(df, "arr", out_col="vals")
+    got = {r["hid"]: list(r["vals"]) for r in out.collect()}
+    assert got[1] == [0.0, 1.0, 2.0, 3.0]
+    assert len(got[2]) == 1024 and got[2][-1] == 1023.0
+    # decoded arrays are plain SQL arrays: JVM-side math works on them
+    sums = out.select("hid", F.round(F.aggregate("vals", F.lit(0.0), lambda a, x: a + x), 2).alias("s"))
+    assert {r["hid"]: r["s"] for r in sums.collect()}[2] == 523776.0

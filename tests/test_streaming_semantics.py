@@ -1,0 +1,97 @@
+"""Watermark/late-data semantics and the idempotent foreachBatch sink —
+driven with real micro-batches (two parquet files arriving in order).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from oarphpy_spark.streaming.sinks import foreach_batch_parquet
+from oarphpy_spark.streaming.windows import stream_events, tumbling_counts_stream
+
+
+def _write_events(path: str, rows: list[tuple[int, str, int]]) -> None:
+    """rows: (event_id, ts iso-string, user_id)."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[ns]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+
+    # Batch 1: event at 10:05 (watermark after batch: 08:05).
+    # Batch 2: event at 13:30 -> watermark 11:30 passes the 10:00
+    # window's END (11:00), so that window finalizes with n=1.
+    # Batch 3 (second run): a LATE 09:30 event — behind the watermark,
+    # silently dropped; its 09:00 window must never be emitted.
+    _write_events(str(src / "b1.parquet"), [(1, "2024-01-01 10:05:00", 1)])
+    time.sleep(1.1)
+    _write_events(str(src / "b2.parquet"), [(2, "2024-01-01 13:30:00", 1)])
+
+    sink = str(tmp_path / "wm_out")
+
+    def run_increment():
+        agg = tumbling_counts_stream(
+            stream_events(spark, str(src), max_files_per_trigger=1),
+            watermark="2 hours",
+            window="1 hour",
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)  # resumes across runs
+            .outputMode("append")  # append emits only finalized windows
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_increment()
+    _write_events(str(src / "b3.parquet"), [(3, "2024-01-01 09:30:00", 1)])
+    run_increment()
+
+    rows = spark.read.parquet(sink).collect()
+    finalized = {(r["window_start_us"], r["n"]) for r in rows}
+    h10 = 1704103200000000  # 2024-01-01 10:00 UTC in epoch-us
+    h9 = h10 - 3600_000_000
+    # The 10:00 window finalized with exactly 1 event; the late 09:30
+    # event's window was NEVER emitted (dropped behind the watermark).
+    assert (h10, 1) in finalized
+    assert all(w != h9 for w, _ in finalized)
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    _write_events(str(src / "b1.parquet"), [(1, "2024-01-01 10:05:00", 1), (2, "2024-01-01 10:20:00", 2)])
+    out_dir = str(tmp_path / "sink_out")
+    events = stream_events(spark, str(src))
+    q = foreach_batch_parquet(
+        events.select("event_id", "user_id"), out_dir, "t_febatch"
+    )
+    q.awaitTermination(120)
+    time.sleep(0.5)
+    epochs = [d for d in os.listdir(out_dir) if d.startswith("epoch=")]
+    assert len(epochs) >= 1
+    back = spark.read.parquet(os.path.join(out_dir, epochs[0]))
+    assert {r["event_id"] for r in back.collect()} == {1, 2}
