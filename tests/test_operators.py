@@ -120,3 +120,23 @@ def test_monte_carlo_pi(spark):
     # Reference tolerance (oarphpy/spark.py:246-260): |pi - 3.14| < 0.1.
     row = monte_carlo_pi(spark, 1_000_000).collect()[0]
     assert abs(row["pi_est"] - 3.14) < 0.1
+
+
+def test_histogram_properties(spark):
+    """Property sweep: for varied data shapes, counts sum to row count,
+    edges are monotone equal-width, and no row falls outside."""
+    import random
+
+    rnd = random.Random(7)
+    for trial in range(5):
+        n = rnd.randint(1, 500)
+        bins = rnd.randint(1, 12)
+        vals = [rnd.uniform(-1000, 1000) for _ in range(n)]
+        df = spark.createDataFrame([Row(x=v) for v in vals])
+        rows = sorted(df_histogram(df, "x", bins).collect(), key=lambda r: r["bucket"])
+        assert len(rows) == bins
+        assert sum(r["count"] for r in rows) == n
+        widths = {round(r["hi"] - r["lo"], 6) for r in rows}
+        assert len(widths) == 1
+        assert abs(rows[0]["lo"] - min(vals)) < 1e-9
+        assert abs(rows[-1]["hi"] - max(vals)) < 1e-9

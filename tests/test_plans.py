@@ -68,3 +68,23 @@ def test_lsh_join_is_hash_not_cartesian(spark):
     plan = _plan(spark, "q_sim_lsh_topk", "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Every registered query's plan is free of CartesianProduct.
+    (Broadcast nested-loop joins against tiny broadcast sides are fine
+    and appear as BroadcastNestedLoopJoin.)"""
+    from oarphpy_spark import registry
+
+    offenders = []
+    for name, fn in sorted(registry.queries().items()):
+        try:
+            df = fn(spark, SF_SMALL)
+        except Exception:  # noqa: BLE001 - plan-only audit
+            continue
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("simple")
+        if "CartesianProduct" in buf.getvalue():
+            offenders.append(name)
+    assert not offenders, offenders
