@@ -703,3 +703,30 @@ def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk_multiprobe(
         emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4
     )
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST((97 + doc_id % 26) // 16 AS INT) AS argmax_bin,
+           (16 + (doc_id % 5) * 8) * (16 + (doc_id % 3) * 8) AS n_bytes,
+           1.0 AS top_mass
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media (byte-value histogram per
+    blob via numpy in mapInPandas). Synthetic blobs are a single
+    repeated byte, so the oracle can state the argmax bin and its mass
+    exactly — the full Arrow plumbing is what's under test."""
+    from oarphpy_spark.llm.multimodal import extract_byte_histogram_features
+
+    blobs = synth_blob_table(table(spark, sf_dir, "documents"))
+    f = extract_byte_histogram_features(blobs)
+    return f.select(
+        "doc_id",
+        "argmax_bin",
+        "n_bytes",
+        F.round(F.element_at("features", F.col("argmax_bin") + 1), 6).alias("top_mass"),
+    )

@@ -127,3 +127,13 @@ def test_tensor_values_as_arrays(spark):
     # decoded arrays are plain SQL arrays: JVM-side math works on them
     sums = out.select("hid", F.round(F.aggregate("vals", F.lit(0.0), lambda a, x: a + x), 2).alias("s"))
     assert {r["hid"]: r["s"] for r in sums.collect()}[2] == 523776.0
+
+
+def test_resize_blob_subsample():
+    from oarphpy_spark.llm.multimodal import resize_blob
+
+    data = bytes(range(200))
+    out = resize_blob(data, 50)
+    assert len(out) == 50
+    assert out[0] == 0 and out[-1] == data[int(49 * 4)]
+    assert resize_blob(b"tiny", 50) == b"tiny"
