@@ -730,3 +730,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", F.col("argmax_bin") + 1), 6).alias("top_mass"),
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle="""
+    WITH dedup AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    ), kept AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             len(string_split(lower(d.text), ' ')) AS n_words
+      FROM documents d JOIN dedup USING (doc_id)
+      WHERE d.n_chars >= 120 AND d.lang IN ('en', 'fr', 'es', 'de')
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM kept GROUP BY lang, source
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation chain as ONE declarative
+    plan: exact dedup -> length filter -> language allowlist -> corpus
+    rollup. Catalyst fuses the whole thing: one dedup shuffle + one
+    rollup shuffle, filters pushed below both. The shape a 100 TB
+    curation job actually runs."""
+    docs = table(spark, sf_dir, "documents")
+    reps = exact_dedup(docs, "text", "doc_id").select("doc_id")
+    kept = (
+        docs.join(reps, "doc_id")
+        .filter((F.col("n_chars") >= 120) & F.col("lang").isin("en", "fr", "es", "de"))
+        .withColumn("n_words", F.size(F.split(F.lower("text"), " ", -1)))
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
