@@ -171,39 +171,23 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the nearest-earlier click by the
-    same user.
-
-    Spark has no ASOF JOIN builtin; the scalable formulation is a
-    union + window (single shuffle on user_id, no row explosion):
-    tag clicks and purchases, sort within user by ts, and carry the
-    last-seen click timestamp forward with last(ignorenulls=True).
-    An inequality join would be O(clicks x purchases) per user.
+    same user — via the reusable ``operators.joins.asof_join``
+    (union + window: single shuffle on user_id, no row explosion;
+    an inequality join would be O(clicks x purchases) per user).
     """
-    events = table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click")
-    purchases = events.filter(F.col("event_type") == "purchase")
+    from oarphpy_spark.operators.joins import asof_join
 
-    tagged = purchases.select(
-        "event_id", "user_id", "ts", F.lit(0).alias("is_click")
-    ).unionByName(
-        clicks.select("event_id", "user_id", "ts", F.lit(1).alias("is_click"))
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    # Clicks sort before purchases at equal ts => "p.ts >= c.ts" semantics.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
-    return (
-        tagged.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
-        .filter(F.col("is_click") == 0)
-        .select(
-            "event_id",
-            "user_id",
-            F.unix_micros("ts").alias("ts_us"),
-            F.unix_micros("last_click_ts").alias("last_click_ts_us"),
-        )
+    joined = asof_join(purchases, clicks, on="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_asof").alias("last_click_ts_us"),
     )
 
 

@@ -140,3 +140,24 @@ def test_histogram_properties(spark):
         assert len(widths) == 1
         assert abs(rows[0]["lo"] - min(vals)) < 1e-9
         assert abs(rows[-1]["hi"] - max(vals)) < 1e-9
+
+
+def test_asof_join_carries_values(spark):
+    from oarphpy_spark.operators.joins import asof_join
+
+    quotes = spark.createDataFrame(
+        [Row(sym="A", ts=1, px=10.0), Row(sym="A", ts=5, px=11.0),
+         Row(sym="B", ts=3, px=99.0)],
+        "sym string, ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [Row(tid=1, sym="A", ts=4), Row(tid=2, sym="A", ts=5),
+         Row(tid=3, sym="B", ts=2), Row(tid=4, sym="B", ts=9)],
+        "tid long, sym string, ts long",
+    )
+    out = {r["tid"]: (r["ts_asof"], r["px_asof"]) for r in
+           asof_join(trades, quotes, on="sym", right_value_cols=["px"]).collect()}
+    assert out[1] == (1, 10.0)   # latest quote at or before ts=4
+    assert out[2] == (5, 11.0)   # equal ts matches (>= semantics)
+    assert out[3] == (None, None)  # no earlier quote
+    assert out[4] == (3, 99.0)
