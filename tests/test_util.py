@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from oarphpy_spark.util.misc import (
@@ -77,3 +79,40 @@ def test_thruput_wrap_generator():
     out = list(obs.wrap_generator(iter([b"ab", b"cdef"]), size_of=len))
     assert out == [b"ab", b"cdef"]
     assert obs.n == 2 and obs.num_bytes == 6
+
+
+def test_gpu_info_parse():
+    # Mocked nvidia-smi CSV (reference tests mock the same way,
+    # test_util/test_misc.py GPU section).
+    from oarphpy_spark.util.gpus import GPUInfo
+
+    out = "0, NVIDIA A100-SXM4-40GB, 40960, 1024\n1, NVIDIA A100-SXM4-40GB, 40960, 0\n"
+    infos = GPUInfo.parse_smi_csv(out)
+    assert len(infos) == 2
+    assert infos[0].index == 0 and infos[0].mem_free_mb == 39936
+    assert infos[1].mem_used_mb == 0
+    # Environment has no GPU: graceful empty.
+    assert GPUInfo.get_infos() == []
+
+
+def test_fs_utils(tmp_path):
+    from oarphpy_spark.util.fs import (
+        all_files_recursive,
+        cleandir,
+        missing_or_empty,
+        mkdir_p,
+        rm_rf,
+    )
+
+    d = str(tmp_path / "a" / "b")
+    mkdir_p(d)
+    assert missing_or_empty(d)
+    f = os.path.join(d, "x.txt")
+    with open(f, "w") as fh:
+        fh.write("hi")
+    assert not missing_or_empty(d)
+    assert list(all_files_recursive(str(tmp_path))) == [f]
+    cleandir(d)
+    assert missing_or_empty(d) and os.path.isdir(d)
+    rm_rf(str(tmp_path / "a"))
+    assert missing_or_empty(str(tmp_path / "a"))
