@@ -61,7 +61,10 @@ def q_rowadapter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the decoded callable is invocable (-1 = empty callable)."""
     objs = _fixture_objects()
     df = RowAdapter.to_df(spark, objs)
-    out = os.path.join(tempfile.gettempdir(), "oarphpy_spark_codec_roundtrip")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oarphpy_spark_codec_roundtrip_{os.path.basename(sf_dir)}",
+    )
     df.write.mode("overwrite").parquet(out)
     decoded = RowAdapter.collect_objects(spark.read.parquet(out))
 
@@ -113,7 +116,10 @@ def q_tensor_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     proto = Row(**{k: v for k, v in sorted(arrays.items())})
     row = Row(**{k: Tensor.from_numpy(v) for k, v in sorted(arrays.items())})
     df = spark.createDataFrame([row], schema=RowAdapter.to_schema(proto))
-    out = os.path.join(tempfile.gettempdir(), "oarphpy_spark_codec_tensor")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oarphpy_spark_codec_tensor_{os.path.basename(sf_dir)}",
+    )
     df.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out).collect()[0]
 
