@@ -50,12 +50,19 @@ def to_tf_dataset(df: DataFrame, batch_size: int = 1024):
         ) from ex
     import tensorflow as tf
 
+    _TF_TYPES = {
+        "bigint": tf.int64, "int": tf.int32, "smallint": tf.int32,
+        "double": tf.float64, "float": tf.float32, "boolean": tf.bool,
+        "string": tf.string, "binary": tf.string,
+    }
+    output_types = {
+        name: _TF_TYPES.get(dtype, tf.string) for name, dtype in df.dtypes
+    }
+
     def gen():
         yield from iter_row_batches(df, batch_size)
 
-    return tf.data.Dataset.from_generator(
-        gen, output_types={c: tf.string for c in df.columns}
-    )
+    return tf.data.Dataset.from_generator(gen, output_types=output_types)
 
 
 def to_torch_iterable(df: DataFrame, batch_size: int = 1024):

@@ -103,11 +103,22 @@ def _pyclass_of(obj: Any) -> str:
 
 
 def _resolve_class(pyclass: str) -> type:
-    mod_name, _, cls_name = pyclass.rpartition(".")
-    outer, _, inner = cls_name.partition(".")  # tolerate one nesting level
-    mod = importlib.import_module(mod_name)
-    cls = getattr(mod, outer)
-    return getattr(cls, inner) if inner else cls
+    """Resolve 'pkg.mod.Outer.Inner' by importing the longest importable
+    module prefix, then walking attributes (handles nested classes)."""
+    parts = pyclass.split(".")
+    last_err = None
+    for i in range(len(parts) - 1, 0, -1):
+        mod_name = ".".join(parts[:i])
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError as ex:
+            last_err = ex
+            continue
+        obj = mod
+        for attr in parts[i:]:
+            obj = getattr(obj, attr)
+        return obj
+    raise ImportError(f"cannot resolve {pyclass!r}") from last_err
 
 
 def _object_fields(obj: Any) -> dict[str, Any]:

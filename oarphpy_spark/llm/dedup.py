@@ -98,6 +98,8 @@ def minhash_candidate_pairs(
     # does not dedupe differently-aliased subplans — persist so the
     # shingle+hash pipeline (the expensive part) runs once. Bucket rows
     # are bands x (id + 32-byte hash): tiny relative to the corpus.
+    # No explicit unpersist (the result is lazy); Spark's ContextCleaner
+    # drops the cached blocks once the DataFrame is driver-GC'd.
     buckets = buckets.persist()
     if max_bucket is not None:
         # Cap pathological buckets (boilerplate content) before the join.

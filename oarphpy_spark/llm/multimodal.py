@@ -152,6 +152,10 @@ def extract_byte_histogram_features(blobs: DataFrame, n_bins: int = 16) -> DataF
     batching, and normalization are production-shaped."""
     import numpy as np
 
+    if n_bins < 1 or 256 % n_bins != 0:
+        raise ValueError("n_bins must divide 256 (byte-value range)")
+    shift_div = 256 // n_bins  # byte // shift_div -> bin in [0, n_bins)
+
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -160,7 +164,9 @@ def extract_byte_histogram_features(blobs: DataFrame, n_bins: int = 16) -> DataF
                 if arr.size == 0:
                     hist = np.zeros(n_bins)
                 else:
-                    hist = np.bincount(arr >> 4, minlength=n_bins).astype(np.float64)
+                    hist = np.bincount(
+                        arr // shift_div, minlength=n_bins
+                    ).astype(np.float64)
                     hist = hist / hist.sum()
                 rows.append(
                     {

@@ -34,6 +34,10 @@ def df_histogram(df: DataFrame, col: str, num_bins: int) -> DataFrame:
     BIGINT) with exactly ``num_bins`` rows, empty buckets included —
     numpy-compatible edges: lo_i = min + i*width, width=(max-min)/bins.
     """
+    # NULL/NaN rows are excluded (numpy semantics); without this filter
+    # F.least's null-skipping would dump them all into the last bucket.
+    x0 = F.col(col).cast("double")
+    df = df.filter(x0.isNotNull() & ~F.isnan(x0))
     mm = df.agg(
         F.min(F.col(col).cast("double")).alias("mn"),
         F.max(F.col(col).cast("double")).alias("mx"),

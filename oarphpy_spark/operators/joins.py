@@ -72,14 +72,18 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    out_cols = []
-    for c in carry:
-        src = F.when(F.col("__is_right") == 1, F.col(f"__r_{c}"))
-        carried = carried.withColumn(
-            f"{c}{suffix}", F.last(src, ignorenulls=True).over(w)
-        )
-        out_cols.append(f"{c}{suffix}")
+    # Carry the matched right row as ONE struct: per-column carries would
+    # mix columns from different right rows whenever a right value is
+    # legitimately NULL (the struct is non-null iff a right row exists,
+    # so NULL fields inside it stay NULL — DuckDB ASOF semantics).
+    right_struct = F.when(
+        F.col("__is_right") == 1,
+        F.struct(*[F.col(f"__r_{c}").alias(c) for c in carry]),
+    )
+    carried = unioned.withColumn(
+        "__match", F.last(right_struct, ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in carry]
     return carried.filter(F.col("__is_right") == 0).select(
         *left.columns, *out_cols
     )

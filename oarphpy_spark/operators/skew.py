@@ -59,7 +59,12 @@ def salted_broadcast_join(
 ) -> DataFrame:
     """Join a skewed probe side against a small build side with salt
     replication: probe rows get a random salt, build rows are exploded
-    across every salt, and the join key becomes (key, salt)."""
+    across every salt, and the join key becomes (key, salt).
+
+    Only 'inner' and 'left' are valid — under right/full-outer joins the
+    replicated build rows would null-extend once PER SALT."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_broadcast_join supports inner/left, not {how!r}")
     p = probe.withColumn("__salt", (F.rand(7) * n_salts).cast("int"))
     b = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -21,23 +21,30 @@ from oarphpy_spark.util.misc import as_row_of_constants, get_size_of_deep, stabl
     "q_sub_pivot_distinct",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
-    FROM documents GROUP BY lang
+    FROM documents WHERE lang IS NOT NULL GROUP BY lang
     """,
 )
 def q_sub_pivot_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Faceting / sub-pivot (reference SUB_PIVOT_COL handling,
+    """Faceting / sub-pivot, reference-shaped (SUB_PIVOT_COL handling,
     oarphpy/plotting.py:292-298): distinct facet values each define a
-    filtered panel. The reference ran distinct + N filtered jobs; one
-    groupBy computes every facet in a single pass — same result, one
-    shuffle of pre-aggregated rows."""
+    filtered panel, i.e. distinct + one filtered aggregation per facet.
+    (A single groupBy computes the same result in one shuffle — that
+    form is q_groupby_count; this slug preserves the reference's
+    per-facet-panel execution shape.) NULL facets are excluded in both
+    engines; an empty table yields an empty result."""
     docs = table(spark, sf_dir, "documents")
-    facets = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    panels = [
-        docs.filter(F.col("lang") == v).groupBy("lang").agg(
-            F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
-        )
-        for v in sorted(facets)
-    ]
+    facets = sorted(
+        r["lang"]
+        for r in docs.select("lang").distinct().collect()
+        if r["lang"] is not None
+    )
+    agged = docs.filter(F.col("lang").isNotNull()).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    if not facets:
+        return agged.limit(0)
+    panels = [agged.filter(F.col("lang") == v) for v in facets]
     out = panels[0]
     for p in panels[1:]:
         out = out.unionByName(p)

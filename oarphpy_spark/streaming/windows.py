@@ -127,5 +127,9 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not finish in {timeout_sec}s"
+        )
     return stream_df.sparkSession.table(query_name)

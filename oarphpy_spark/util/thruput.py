@@ -84,14 +84,23 @@ class ThruputObserver:
 
     # -- wrappers ----------------------------------------------------------
     def wrap_generator(self, gen: Iterable, size_of=None) -> Iterator:
-        for item in gen:
+        """Times the wrapped generator's PRODUCTION of each item (the
+        next() call), not the consumer's processing — matching the
+        reference's attribution (thruput_observer.py:275-281)."""
+        it = iter(gen)
+        while True:
             t0 = time.perf_counter()
-            yield item
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+            dt = time.perf_counter() - t0
             self.observe(
                 n=1,
                 num_bytes=(size_of(item) if size_of else 0),
-                dt_sec=time.perf_counter() - t0,
+                dt_sec=dt,
             )
+            yield item
 
     def __str__(self) -> str:
         pct = self.percentiles()

@@ -135,3 +135,18 @@ def test_schema_evolution_removed_field(spark, tmp_path):
     back = RowAdapter.collect_objects(spark.read.parquet(out))
     assert back[0].foo == 1 and back[0].bar == "x"
     assert back[0].gone == 99  # lands as an extra attribute on __dict__ objs
+
+
+class OuterHolder:
+    class InnerPayload:
+        def __init__(self, v=0):
+            self.v = v
+
+        def __eq__(self, other):
+            return self.v == other.v
+
+
+def test_nested_class_roundtrip(spark, tmp_path):
+    objs = [OuterHolder.InnerPayload(v=7)]
+    back = _roundtrip_df(spark, objs, tmp_path)
+    assert back[0] == OuterHolder.InnerPayload(v=7)

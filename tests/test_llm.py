@@ -137,3 +137,18 @@ def test_resize_blob_subsample():
     assert len(out) == 50
     assert out[0] == 0 and out[-1] == data[int(49 * 4)]
     assert resize_blob(b"tiny", 50) == b"tiny"
+
+
+def test_byte_histogram_n_bins(spark):
+    from oarphpy_spark.llm.multimodal import extract_byte_histogram_features
+
+    blobs = spark.createDataFrame(
+        [Row(doc_id=1, data=bytearray(bytes(range(256))))], "doc_id bigint, data binary"
+    )
+    for n_bins in (8, 16, 32):
+        r = extract_byte_histogram_features(blobs, n_bins=n_bins).collect()[0]
+        assert len(r["features"]) == n_bins
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+        assert all(abs(f - 1.0 / n_bins) < 1e-9 for f in r["features"])
+    with pytest.raises(ValueError):
+        extract_byte_histogram_features(blobs, n_bins=10)

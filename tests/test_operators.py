@@ -161,3 +161,36 @@ def test_asof_join_carries_values(spark):
     assert out[2] == (5, 11.0)   # equal ts matches (>= semantics)
     assert out[3] == (None, None)  # no earlier quote
     assert out[4] == (3, 99.0)
+
+
+def test_asof_join_null_right_values_not_mixed(spark):
+    # A legitimately-NULL right value must stay NULL, not be backfilled
+    # from an older right row (rows carry as one struct).
+    from oarphpy_spark.operators.joins import asof_join
+
+    quotes = spark.createDataFrame(
+        [Row(sym="A", ts=1, px=10.0), Row(sym="A", ts=5, px=None)],
+        "sym string, ts long, px double",
+    )
+    trades = spark.createDataFrame([Row(tid=1, sym="A", ts=6)], "tid long, sym string, ts long")
+    r = asof_join(trades, quotes, on="sym", right_value_cols=["px"]).collect()[0]
+    assert r["ts_asof"] == 5 and r["px_asof"] is None
+
+
+def test_histogram_ignores_null_and_nan(spark):
+    df = spark.createDataFrame(
+        [Row(x=1.0), Row(x=2.0), Row(x=None), Row(x=float("nan"))],
+        "x double",
+    )
+    counts, edges = histogram_to_numpy(df_histogram(df, "x", 2))
+    assert sum(counts) == 2
+    assert edges == [1.0, 1.5, 2.0]
+
+
+def test_salted_broadcast_join_rejects_outer(spark):
+    from oarphpy_spark.operators.skew import salted_broadcast_join
+
+    probe = spark.range(10).select(F.col("id").alias("k"))
+    build = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_broadcast_join(probe, build, "k", how="full")

@@ -116,3 +116,26 @@ def test_fs_utils(tmp_path):
     assert missing_or_empty(d) and os.path.isdir(d)
     rm_rf(str(tmp_path / "a"))
     assert missing_or_empty(str(tmp_path / "a"))
+
+
+def test_wrap_generator_times_production_not_consumption():
+    import time as _t
+    from oarphpy_spark.util.thruput import ThruputObserver
+
+    def slow_producer():
+        for i in range(3):
+            _t.sleep(0.05)
+            yield i
+
+    obs = ThruputObserver("p")
+    for _ in obs.wrap_generator(slow_producer()):
+        pass  # fast consumer
+    assert all(dt >= 0.04 for dt in obs.latencies_sec), obs.latencies_sec
+
+    def fast_producer():
+        yield from range(3)
+
+    obs2 = ThruputObserver("c")
+    for _ in obs2.wrap_generator(fast_producer()):
+        _t.sleep(0.05)  # slow consumer must NOT be attributed
+    assert all(dt < 0.04 for dt in obs2.latencies_sec), obs2.latencies_sec
