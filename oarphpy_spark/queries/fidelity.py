@@ -168,7 +168,7 @@ def q_bucket_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket,
            COUNT(*) AS count,
-           list_sort(list(li_key) FILTER (WHERE rn <= 5)) AS examples
+           array_to_string(list_sort(list(li_key) FILTER (WHERE rn <= 5)), ',') AS examples
     FROM ranked
     GROUP BY bucket
     """,
@@ -184,10 +184,18 @@ def q_hist_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = histogram_with_examples(
         li, "l_extendedprice", _BUCKET_EDGES, example_cols=["li_key"], n_examples=5
     )
+    # Serialized to a sorted CSV string: the driver's canonicalizer hashes
+    # scalar cells only (array cells crash pandas sort_values).
     return h.select(
         "bucket",
         "count",
-        F.transform("examples", lambda s: s["li_key"]).alias("examples"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.transform("examples", lambda s: s["li_key"])),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("examples"),
     )
 
 
@@ -230,7 +238,10 @@ def q_archive_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oarphpy/spark.py:457-459 + util/archive_flyweight.py). Fixture zip
     mirrors the reference's name==content members
     (oarphpy_test/test_spark.py:206-262)."""
-    zpath = os.path.join(tempfile.gettempdir(), "oarphpy_spark_fixture.zip")
+    # Keyed by PID so concurrent sessions never clobber each other's fixture.
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"oarphpy_spark_fixture_{os.getpid()}.zip"
+    )
     with zipfile.ZipFile(zpath, "w") as z:
         for m in _ARCHIVE_MEMBERS:
             z.writestr(m, m)

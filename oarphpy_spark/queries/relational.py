@@ -320,7 +320,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           (list_sort(list(event_id)))[1:10] AS example_ids
+           array_to_string((list_sort(list(event_id)))[1:10], ',') AS example_ids
     FROM events GROUP BY event_type
     """,
 )
@@ -333,7 +333,14 @@ def q_collect_list_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.slice(F.sort_array(F.collect_list("event_id")), 1, 10).alias("example_ids"),
+            # CSV-serialized: the driver's hasher requires scalar cells.
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("event_id")), 1, 10),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("example_ids"),
         )
     )
 

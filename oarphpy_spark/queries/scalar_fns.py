@@ -24,7 +24,7 @@ from oarphpy_spark.tables import table
            length(text) AS n_chars_computed,
            len(string_split(text, ' ')) AS n_words,
            regexp_extract(text, '(spark|data)', 1) AS first_kw,
-           concat(lang, '/', source) AS lang_source
+           concat_ws('/', lang, source) AS lang_source
     FROM documents
     """,
 )
