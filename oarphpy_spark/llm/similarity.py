@@ -19,6 +19,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,23 +61,55 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col, num_planes: int = 4, seed: str = "lsh") -> "F.Column":
-    """h-bit signature: bit p = (v . r_p) > 0, where r_p is a +/-1
-    hyperplane derived from md5('{seed}|{p}|{dim}') nibbles."""
-    def signed_term(prefix: str):
-        # Closure capture (a default arg would read as an extra lambda param).
-        return lambda x, i: x.cast("double") * F.when(
-            F.substring(
-                F.md5(F.concat(F.lit(prefix), i.cast("string")).cast("binary")), 1, 1
-            )
-            >= "8",
-            1.0,
-        ).otherwise(-1.0)
+def hyperplane_signs(
+    num_planes: int, dim: int, seed: str = "lsh"
+) -> list[list[float]]:
+    """+/-1 hyperplane sign matrix, sign[p][i-1] = +1 iff the first hex
+    nibble of md5('{seed}|{p}|{i}') >= '8' (i is 1-based).
 
+    Computed ONCE on the driver (num_planes x dim Python md5 calls) and
+    embedded as plan literals — per-row signature hashing in the
+    executors would cost num_planes x dim md5 calls per corpus row.
+    The derivation is identical to the engine-portable oracle form, so
+    buckets stay bit-equal across Spark / DuckDB / Python."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}|{p}|{i}".encode()).hexdigest()[0] >= "8"
+            else -1.0
+            for i in range(1, dim + 1)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality via a LIMIT-1 scan (metadata-scale job)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not row or row[0]["d"] is None or row[0]["d"] <= 0:
+        raise ValueError(f"cannot infer vector dim from column {vec_col!r}")
+    return int(row[0]["d"])
+
+
+def hyperplane_signature(
+    vec_col,
+    num_planes: int = 4,
+    seed: str = "lsh",
+    dim: int | None = None,
+    signs: list[list[float]] | None = None,
+) -> "F.Column":
+    """h-bit signature: bit p = (v . r_p) > 0, where r_p is a +/-1
+    hyperplane literal from :func:`hyperplane_signs`. Pure float
+    multiply-adds in whole-stage codegen — no per-row hashing."""
+    if signs is None:
+        if dim is None:
+            raise ValueError("hyperplane_signature needs dim= or signs=")
+        signs = hyperplane_signs(num_planes, dim, seed)
     sig = F.lit(0)
-    for p in range(num_planes):
+    for p, row in enumerate(signs):
+        plane = F.array(*[F.lit(s) for s in row])
         proj = F.aggregate(
-            F.zip_with(vec_col, F.sequence(F.lit(1), F.size(vec_col)), signed_term(f"{seed}|{p}|")),
+            F.zip_with(vec_col, plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -90,18 +124,20 @@ def hyperplane_lsh_topk(
     id_col: str = "vec_id",
     k: int = 5,
     num_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
     Same output shape as ``brute_force_topk`` (recall < 1 by design)."""
+    signs = hyperplane_signs(num_planes, dim or _vec_dim(corpus, vec_col))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        hyperplane_signature(F.col(vec_col), num_planes).alias("bucket"),
+        hyperplane_signature(F.col(vec_col), signs=signs).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(F.col(vec_col), num_planes).alias("bucket"),
+        hyperplane_signature(F.col(vec_col), signs=signs).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -219,21 +255,23 @@ def hyperplane_lsh_topk_multiprobe(
     id_col: str = "vec_id",
     k: int = 5,
     num_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe LSH: each query searches its own bucket plus every
     bucket at Hamming distance 1 (one hyperplane's vote flipped) —
     recall rises steeply for a (planes+1)x candidate fanout, with no
     extra passes over the corpus. The standard recall knob when adding
     hash tables is too expensive."""
+    signs = hyperplane_signs(num_planes, dim or _vec_dim(corpus, vec_col))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        hyperplane_signature(F.col(vec_col), num_planes).alias("bucket"),
+        hyperplane_signature(F.col(vec_col), signs=signs).alias("bucket"),
     )
     q_sig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(F.col(vec_col), num_planes).alias("bucket"),
+        hyperplane_signature(F.col(vec_col), signs=signs).alias("bucket"),
     )
     probes = q_sig.select(
         "query_id",
