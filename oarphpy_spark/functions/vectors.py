@@ -20,6 +20,29 @@ def dot(a, b) -> Column:
     return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def lit_double_array_sql(values) -> str:
+    """SQL text for an array<double> literal.
+
+    Building literal vectors element-by-element with ``F.lit``/``F.array``
+    costs one py4j round-trip per element — ~2 s of plan-build time for a
+    handful of 64-dim vectors. One expression string is one round-trip.
+    ``repr`` is shortest-round-trip, so cast('…' as double) is exact.
+    """
+    return "array(" + ", ".join(f"cast('{x!r}' as double)" for x in values) + ")"
+
+
+def dot_lit(vec_sql: str, values) -> Column:
+    """``dot`` of a column (given as SQL text) with a driver-side constant
+    vector, built as a single SQL expression. Same sequential fold and
+    double math as :func:`dot`, so results are bit-identical."""
+    arr = lit_double_array_sql(values)
+    return F.expr(
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> cast(x as double) * y), cast(0.0 as double), "
+        "(acc, v) -> acc + v)"
+    )
+
+
 def l2_norm(a) -> Column:
     return F.sqrt(dot(a, a))
 

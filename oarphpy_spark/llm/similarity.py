@@ -24,7 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oarphpy_spark.functions.vectors import cosine
+from oarphpy_spark.functions.vectors import cosine, dot_lit
 
 
 def brute_force_topk(
@@ -92,7 +92,7 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
 
 
 def hyperplane_signature(
-    vec_col,
+    vec_sql: str,
     num_planes: int = 4,
     seed: str = "lsh",
     dim: int | None = None,
@@ -100,19 +100,16 @@ def hyperplane_signature(
 ) -> "F.Column":
     """h-bit signature: bit p = (v . r_p) > 0, where r_p is a +/-1
     hyperplane literal from :func:`hyperplane_signs`. Pure float
-    multiply-adds in whole-stage codegen — no per-row hashing."""
+    multiply-adds — no per-row hashing. ``vec_sql`` is the vector
+    column as SQL text; each plane is one expression string (per-element
+    ``F.lit`` would cost a py4j round-trip per dimension)."""
     if signs is None:
         if dim is None:
             raise ValueError("hyperplane_signature needs dim= or signs=")
         signs = hyperplane_signs(num_planes, dim, seed)
     sig = F.lit(0)
     for p, row in enumerate(signs):
-        plane = F.array(*[F.lit(s) for s in row])
-        proj = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = dot_lit(vec_sql, row)
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
     return sig
 
@@ -132,12 +129,12 @@ def hyperplane_lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        hyperplane_signature(F.col(vec_col), signs=signs).alias("bucket"),
+        hyperplane_signature(vec_col, signs=signs).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(F.col(vec_col), signs=signs).alias("bucket"),
+        hyperplane_signature(vec_col, signs=signs).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -188,7 +185,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     k: int = 5,
     n_cells: int = 8,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition vectors into
     cells by nearest centroid; search only the query's cell.
@@ -196,35 +193,55 @@ def ivf_topk(
     ``centroids`` defaults to the first ``n_cells`` corpus vectors by id
     — a deterministic stand-in for k-means training that keeps the
     whole operator oracle-checkable. In production: train KMeans
-    offline, broadcast the (tiny) centroid table; everything else is
-    identical. Assignment uses the expanded L2 form
-    ||a||^2 - 2<a,b> + ||b||^2 so both engines evaluate the same
-    sequential dot products.
+    offline; everything else is identical. Assignment uses the expanded
+    L2 form ||a||^2 - 2<a,b> + ||b||^2 so both engines evaluate the
+    same sequential dot products.
 
-    At 100 TB: assignment is one broadcast-join scan; cells become an
-    equi-join key exactly like the LSH bucket; recall tuned by probing
-    the nearest ``p`` cells instead of 1.
+    The centroid table is tiny by construction (``n_cells`` rows), so
+    it is collected once on the driver and embedded as plan literals:
+    assignment is then ``array_min`` over per-cell (dist, cell) structs
+    — a pure per-row expression in whole-stage codegen with NO join and
+    NO shuffle. (A window/argmin over a corpus x centroids product
+    would exchange+sort the whole corpus on a unique key.)
+
+    At 100 TB: assignment is expression math inside the corpus scan;
+    cells become an equi-join key exactly like the LSH bucket; recall
+    tuned by probing the nearest ``p`` cells instead of 1.
     """
     from oarphpy_spark.functions.vectors import dot
 
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_cells)
-    cents = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
-        )
+    if isinstance(centroids, DataFrame):
+        cent_rows = centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+        ).collect()
+        centroids = [(r["cell"], r["cv"]) for r in cent_rows]
+    cents = sorted(
+        (int(cell), [float(x) for x in vec]) for cell, vec in centroids
     )
 
     def assign(df: DataFrame, out_id: str) -> DataFrame:
-        v, c = F.col("__v"), F.col("centroid")
-        dist = F.round(dot(v, v) - 2 * dot(v, c) + dot(c, c), 6)
-        w = Window.partitionBy(out_id).orderBy(dist, F.col("cell"))
-        return (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-            .crossJoin(cents)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(out_id, F.col("__v"), "cell")
+        v = F.col("__v")
+        vv = dot(v, v)
+        candidates = []
+        for cell, cvec in cents:
+            # Left-to-right Python sum == the engines' sequential list
+            # fold, so the literal is bit-equal to dot(c, c) in-plan.
+            cc = 0.0
+            for x in cvec:
+                cc += x * x
+            dist = F.round(vv - 2 * dot_lit("__v", cvec) + F.lit(cc), 6)
+            candidates.append(
+                F.struct(dist.alias("d"), F.lit(cell).alias("cell"))
+            )
+        # array_min orders structs field-by-field: min dist, then min
+        # cell id — the same (dist, cell) tiebreak as the SQL oracle.
+        best = F.array_min(F.array(*candidates))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("__v"),
+            best["cell"].alias("cell"),
         )
 
     c_assigned = assign(corpus, "neighbor_id")
@@ -266,12 +283,12 @@ def hyperplane_lsh_topk_multiprobe(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        hyperplane_signature(F.col(vec_col), signs=signs).alias("bucket"),
+        hyperplane_signature(vec_col, signs=signs).alias("bucket"),
     )
     q_sig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(F.col(vec_col), signs=signs).alias("bucket"),
+        hyperplane_signature(vec_col, signs=signs).alias("bucket"),
     )
     probes = q_sig.select(
         "query_id",

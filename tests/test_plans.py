@@ -70,6 +70,38 @@ def test_lsh_join_is_hash_not_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_ivf_assignment_is_expression_only(spark):
+    """Centroid assignment must be per-row expression math: the only
+    joins in the plan are the cell equi-join and the final top-k — no
+    corpus x centroids product, no Window for the argmin."""
+    plan = _plan(spark, "q_sim_ivf_topk", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one broadcast equi-join (cells); the argmin itself adds no join
+    assert plan.count("Join") <= 1, plan
+
+
+def test_sim_joins_broadcast_query_side(spark):
+    for q in ("q_sim_topk", "q_sim_lsh_topk", "q_sim_lsh_multiprobe", "q_sim_ivf_topk"):
+        plan = _plan(spark, q, "simple")
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_window_topk_uses_group_limit(spark):
+    """Spark >= 3.5 rewrites rank<=k windows into WindowGroupLimit,
+    which prunes per-group rows before the full sort."""
+    plan = _plan(spark, "q_window_topk_per_group", "simple")
+    assert "WindowGroupLimit" in plan
+
+
+def test_lsh_signature_has_no_per_row_hashing(spark):
+    """Hyperplane signs are driver-side literals: the physical plan
+    must not evaluate md5 per row for the signature."""
+    plan = _plan(spark, "q_sim_lsh_topk")
+    assert "md5" not in plan.lower()
+
+
 def test_no_accidental_cartesian_products(spark):
     """Every registered query's plan is free of CartesianProduct.
     (Broadcast nested-loop joins against tiny broadcast sides are fine
