@@ -21,20 +21,69 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 
+def iter_arrow_batches(
+    df: DataFrame, prefetch_partitions: bool = True
+) -> Iterator["pyarrow.RecordBatch"]:  # noqa: F821
+    """Stream a DataFrame to the driver as Arrow RecordBatches,
+    memory-bounded: one partition in flight (+1 prefetched), never a
+    full collect.
+
+    PySpark exposes no Arrow-native local iterator —
+    ``toLocalIterator`` deserializes pickled Rows one at a time, which
+    is exactly the per-row overhead an ML feed path cannot afford. So
+    each executor-side Arrow batch is re-serialized to Arrow IPC bytes
+    as a single ``binary`` cell via ``mapInArrow`` (columnar end to
+    end, no per-row Python objects on the executor either), and the
+    driver pays the row-iterator cost once per *batch* (~10k rows,
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``) instead of once
+    per row.
+    """
+    import pyarrow as pa
+
+    def to_ipc(batches):
+        for batch in batches:
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, batch.schema) as writer:
+                writer.write_batch(batch)
+            yield pa.RecordBatch.from_pydict(
+                {"ipc": [sink.getvalue().to_pybytes()]}
+            )
+
+    ipc_df = df.mapInArrow(to_ipc, "ipc binary")
+    for row in ipc_df.toLocalIterator(prefetchPartitions=prefetch_partitions):
+        with pa.ipc.open_stream(row["ipc"]) as reader:
+            yield from reader
+
+
+def _columns_of(table) -> dict[str, Any]:
+    """Arrow table -> {col: numpy array} — zero-copy for numeric
+    columns, object arrays for strings/binary/nested. (``to_pydict``
+    would rebuild every cell as a Python object and forfeit the
+    columnar win.)"""
+    return {
+        name: table.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+        for name in table.column_names
+    }
+
+
 def iter_row_batches(
     df: DataFrame, batch_size: int = 1024, prefetch_partitions: bool = True
-) -> Iterator[dict[str, list[Any]]]:
-    """Stream a DataFrame as column-dict batches, memory-bounded: one
-    partition in flight (+1 prefetched), never a full collect."""
-    batch: list = []
-    cols = df.columns
-    for row in df.toLocalIterator(prefetchPartitions=prefetch_partitions):
-        batch.append(row)
-        if len(batch) >= batch_size:
-            yield {c: [r[c] for r in batch] for c in cols}
-            batch = []
-    if batch:
-        yield {c: [r[c] for r in batch] for c in cols}
+) -> Iterator[dict[str, Any]]:
+    """Stream a DataFrame as column-dict batches (numpy-valued) of
+    exactly ``batch_size`` rows (except the last), memory-bounded.
+    Built on :func:`iter_arrow_batches`; re-chunking is zero-copy
+    Arrow slices."""
+    import pyarrow as pa
+
+    buf: "pa.Table | None" = None
+    for batch in iter_arrow_batches(df, prefetch_partitions):
+        t = pa.Table.from_batches([batch])
+        buf = t if buf is None else pa.concat_tables([buf, t])
+        while buf.num_rows >= batch_size:
+            yield _columns_of(buf.slice(0, batch_size))
+            buf = buf.slice(batch_size)
+    if buf is not None and buf.num_rows:
+        yield _columns_of(buf)
 
 
 def to_tf_dataset(df: DataFrame, batch_size: int = 1024):

@@ -6,7 +6,12 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from oarphpy_spark.bridges import iter_row_batches, to_tf_dataset, to_torch_iterable
+from oarphpy_spark.bridges import (
+    iter_arrow_batches,
+    iter_row_batches,
+    to_tf_dataset,
+    to_torch_iterable,
+)
 from oarphpy_spark.sources.tfrecords import (
     crc32c,
     iter_tfrecords,
@@ -26,6 +31,69 @@ def test_iter_row_batches_streams_all_rows(spark):
         n_batches += 1
     assert total == 2500
     assert n_batches == 3
+
+
+def test_iter_arrow_batches_columnar_and_complete(spark):
+    import pyarrow as pa
+
+    df = spark.range(5000).withColumn("v", F.col("id").cast("double") * 0.5)
+    batches = list(iter_arrow_batches(df))
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    t = pa.Table.from_batches(batches)
+    assert t.num_rows == 5000
+    assert t.column("v").to_pylist() == [i * 0.5 for i in t.column("id").to_pylist()]
+
+
+def test_iter_row_batches_empty_df(spark):
+    df = spark.range(10).filter("id < 0")
+    assert list(iter_row_batches(df)) == []
+
+
+def _row_at_a_time_batches(df, batch_size):
+    """The implementation iter_row_batches replaced: pickled-Row local
+    iteration + per-row column extraction. Kept here as the throughput
+    baseline the Arrow path must beat."""
+    batch: list = []
+    cols = df.columns
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        batch.append(row)
+        if len(batch) >= batch_size:
+            yield {c: [r[c] for r in batch] for c in cols}
+            batch = []
+    if batch:
+        yield {c: [r[c] for r in batch] for c in cols}
+
+
+def test_arrow_bridge_beats_row_iterator(spark):
+    """The redesign exists to kill per-row pickling (the reference's
+    spark_df_to_tf_dataset paid ~9 s per 786 KB shard); assert the
+    Arrow path out-throughputs row-at-a-time batch building on the
+    same data and workload."""
+    import time
+
+    n = 1_200_000
+    df = spark.range(n).select(
+        "id",
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * 2).cast("double").alias("b"),
+        F.sha1(F.col("id").cast("string")).alias("s"),
+    )
+    # Warm both paths (codegen + python-worker pool) before timing.
+    list(iter_row_batches(df.limit(100), batch_size=64))
+    sum(1 for _ in df.limit(100).toLocalIterator())
+
+    t0 = time.monotonic()
+    n_arrow = sum(len(b["id"]) for b in iter_row_batches(df, batch_size=4096))
+    arrow_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    n_rows = sum(
+        len(b["id"]) for b in _row_at_a_time_batches(df, batch_size=4096)
+    )
+    rows_s = time.monotonic() - t0
+
+    assert n_arrow == n_rows == n
+    assert arrow_s < rows_s, (arrow_s, rows_s)
 
 
 def test_framework_bridges_are_gated(spark):
