@@ -38,10 +38,21 @@ class SessionFactory:
     #: Master URL; ``None`` → ``$SPARK_MASTER`` or ``local[$SPARK_GRAFT_CPUS]``.
     MASTER: str | None = None
 
-    #: Extra .py/.zip files to ship to executors (deployment hook; the
-    #: reference built an egg of the caller's library automatically —
-    #: reference ``oarphpy/spark.py:590-657``).
+    #: Extra .py/.zip files to ship to executors as-is.
     PY_FILES: list[str] = []
+
+    #: Libraries to zip-and-ship at session build: module objects or
+    #: package/module paths (rebuild of the reference's automatic egg
+    #: shipping, ``oarphpy/spark.py:590-657``, via
+    #: :mod:`oarphpy_spark.shipping`).
+    SHIP_LIBS: list = []
+
+    #: When True, stack-walk to the library that called
+    #: ``getOrCreate()`` and ship its source automatically — the
+    #: reference's default behavior. Off here because the common
+    #: driver contract (repo on PYTHONPATH, local master) doesn't need
+    #: it; notebook/cluster presets turn it on.
+    AUTO_SHIP_CALLER_LIB: bool = False
 
     CONF_KV: dict[str, str] = {
         # --- planner / runtime re-planning -------------------------------
@@ -88,6 +99,12 @@ class SessionFactory:
         spark = builder.getOrCreate()
         for path in cls.PY_FILES:
             spark.sparkContext.addPyFile(path)
+        from oarphpy_spark.shipping import ship_library
+
+        for lib in cls.SHIP_LIBS:
+            ship_library(spark, lib)
+        if cls.AUTO_SHIP_CALLER_LIB:
+            ship_library(spark, None)
         return spark
 
 
@@ -122,3 +139,5 @@ class NotebookSessionFactory(SessionFactory):
             "spark.python.worker.reuse": "false",
         },
     )
+
+    AUTO_SHIP_CALLER_LIB = True

@@ -1,0 +1,167 @@
+"""Ship a user library's source to executors, automatically.
+
+Capability parity with the reference's egg-building deploy path
+(reference ``oarphpy/spark.py:541-657``: stack-walk to the calling
+library, build an egg, ``addPyFile`` it; ``oarphpy/spark.py:888-923``:
+notebook hot-rebuild per cell). Engine-native redesign: a plain
+source zip (importable via zipimport on every executor Python) instead
+of setuptools eggs — no build backend, no temp sdist, deterministic
+output — and Spark's own file distribution (``addPyFile``) does the
+transport exactly once per content hash.
+
+Why this exists at all: Spark serializes *closures* with cloudpickle,
+but any ``import mylib`` executed inside a UDF/``mapInPandas`` batch
+resolves against the executor's ``sys.path``. On a real cluster the
+driver's working tree is not on the executors, so iterating on a local
+library means re-shipping its source every time — the single most-used
+deployment feature of the reference. At 100 TB scale nothing here
+touches data paths: zips are KB-sized driver-side artifacts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import os
+import sys
+import sysconfig
+import tempfile
+import zipfile
+from types import ModuleType
+
+__all__ = [
+    "find_package_root",
+    "infer_caller_package_root",
+    "build_library_zip",
+    "ship_library",
+]
+
+
+def find_package_root(path: str) -> str:
+    """Given a path to a module file (or package dir), walk up through
+    ``__init__.py`` parents to the TOPMOST package directory.
+
+    Returns the package dir itself; its parent is what must land on
+    ``sys.path``. A bare script (no enclosing ``__init__.py``) returns
+    the file path unchanged — shipped as a single module.
+    """
+    path = os.path.abspath(path)
+    cur = path if os.path.isdir(path) else os.path.dirname(path)
+    if not os.path.exists(os.path.join(cur, "__init__.py")):
+        return path  # bare module / script
+    while os.path.exists(os.path.join(os.path.dirname(cur), "__init__.py")):
+        cur = os.path.dirname(cur)
+    return cur
+
+
+def _is_library_frame(filename: str, module_name: str, skip: tuple[str, ...]) -> bool:
+    if not filename or not os.path.exists(filename):
+        return False  # REPL / frozen / exec'd strings
+    top = module_name.split(".")[0] if module_name else ""
+    if top in skip or top in ("importlib", "runpy", "pytest", "_pytest", "pluggy"):
+        return False
+    # Skip stdlib and installed-distribution frames: those exist on
+    # executors already (same Python image); only local source needs
+    # shipping.
+    prefixes = {
+        sysconfig.get_paths().get(k, "\x00")
+        for k in ("stdlib", "platstdlib", "purelib", "platlib")
+    }
+    fn = os.path.abspath(filename)
+    return not any(fn.startswith(os.path.abspath(p) + os.sep) for p in prefixes if p)
+
+
+def infer_caller_package_root(
+    skip: tuple[str, ...] = ("oarphpy_spark", "pyspark", "py4j", "IPython"),
+) -> str | None:
+    """Stack-walk to the nearest frame that belongs to user library
+    code (not this engine, not Spark, not stdlib/site-packages) and
+    return its topmost package root. ``None`` when the caller is a
+    REPL cell or nothing ship-worthy is on the stack."""
+    for frame_info in inspect.stack():
+        name = frame_info.frame.f_globals.get("__name__", "")
+        if _is_library_frame(frame_info.filename, name, skip):
+            return find_package_root(frame_info.filename)
+    return None
+
+
+_SHIP_EXTENSIONS = (".py", ".json", ".yml", ".yaml", ".txt", ".csv", ".sql")
+
+
+def build_library_zip(src_root: str, out_dir: str | None = None) -> str:
+    """Build a deterministic, content-addressed zip of ``src_root``.
+
+    * package dir  -> zip rooted at the package name (``import pkg.x``)
+    * single file  -> zip holding just that module
+    * identical source -> identical digest -> the cached zip is reused,
+      so notebook-style "re-ship every cell" (reference NBSpark,
+      ``oarphpy/spark.py:888-923``) costs nothing when code is unchanged.
+    """
+    src_root = os.path.abspath(src_root)
+    if os.path.isfile(src_root):
+        members = [(os.path.basename(src_root), src_root)]
+    else:
+        pkg = os.path.basename(src_root)
+        members = []
+        for dirpath, dirnames, filenames in os.walk(src_root):
+            dirnames[:] = sorted(
+                d for d in dirnames
+                if d not in ("__pycache__", ".git") and not d.endswith(".egg-info")
+            )
+            for f in sorted(filenames):
+                if f.endswith(_SHIP_EXTENSIONS):
+                    full = os.path.join(dirpath, f)
+                    arc = os.path.join(pkg, os.path.relpath(full, src_root))
+                    members.append((arc, full))
+    if not members:
+        raise ValueError(f"nothing shippable under {src_root!r}")
+
+    digest = hashlib.sha256()
+    for arc, full in members:
+        digest.update(arc.encode())
+        with open(full, "rb") as fin:
+            digest.update(fin.read())
+    name = os.path.basename(src_root.rstrip("/")).removesuffix(".py")
+    out_dir = out_dir or os.path.join(
+        tempfile.gettempdir(), "oarphpy_spark_shipping"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    zpath = os.path.join(out_dir, f"{name}-{digest.hexdigest()[:16]}.zip")
+    if os.path.exists(zpath):
+        return zpath
+    tmp = zpath + f".tmp.{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for arc, full in members:
+            with open(full, "rb") as fin:
+                # Fixed timestamp keeps the archive byte-stable for a
+                # given content digest.
+                info = zipfile.ZipInfo(arc, date_time=(2020, 1, 1, 0, 0, 0))
+                info.compress_type = zipfile.ZIP_DEFLATED
+                z.writestr(info, fin.read())
+    os.replace(tmp, zpath)
+    return zpath
+
+
+def ship_library(spark, lib: str | ModuleType | None = None) -> str | None:
+    """Build a zip of ``lib`` (module object, package/module path, or
+    ``None`` = infer the calling library) and ``addPyFile`` it so every
+    executor can import it. Returns the zip path, or ``None`` when
+    auto-inference found nothing to ship.
+
+    ``addPyFile`` is idempotent per path, and the path is content-
+    addressed — so calling this repeatedly (every notebook cell) ships
+    a new zip only when the source actually changed. Pair with
+    ``spark.files.overwrite=true`` + ``spark.python.worker.reuse=false``
+    (see ``NotebookSessionFactory``) for hot reload semantics.
+    """
+    if isinstance(lib, ModuleType):
+        src = find_package_root(lib.__file__)
+    elif lib is not None:
+        src = find_package_root(lib)
+    else:
+        src = infer_caller_package_root()
+        if src is None:
+            return None
+    zpath = build_library_zip(src)
+    spark.sparkContext.addPyFile(zpath)
+    return zpath

@@ -31,6 +31,103 @@ def test_zip_module_ships_to_executors(spark, tmp_path):
     assert out == [0, 9001, 18002, 27003]
 
 
+def _write_pkg(root, name, version):
+    pkg = root / name
+    sub = pkg / "inner"
+    sub.mkdir(parents=True)
+    (pkg / "__init__.py").write_text(f"VERSION = {version}\n")
+    (sub / "__init__.py").write_text("")
+    (sub / "mathy.py").write_text(
+        "from {} import VERSION\n"
+        "def scaled(x):\n"
+        "    return x * VERSION\n".format(name)
+    )
+    return str(pkg)
+
+
+def test_ship_library_builds_and_ships_package(spark, tmp_path):
+    """The reference's flagship deploy feature (egg-build + addPyFile,
+    oarphpy/spark.py:541-657 / its test_egg at spark.py:269-314):
+    executors must import a *nested* module of a user package that
+    exists only as local source on the driver — exercised through
+    mapInPandas, the hot path that needs it."""
+    import pandas as pd
+
+    from oarphpy_spark.shipping import build_library_zip, ship_library
+
+    pkg_root = _write_pkg(tmp_path, "shiptest_userlib", 7)
+    zpath = ship_library(spark, pkg_root)
+    assert zpath.endswith(".zip")
+
+    # Deterministic + content-addressed: same source -> same artifact.
+    assert build_library_zip(pkg_root) == zpath
+
+    def batch_fn(batches):
+        from shiptest_userlib.inner.mathy import scaled
+
+        for pdf in batches:
+            yield pd.DataFrame({"y": [scaled(int(x)) for x in pdf["id"]]})
+
+    out = (
+        spark.range(6)
+        .repartition(3)
+        .mapInPandas(batch_fn, "y long")
+    )
+    assert sorted(r["y"] for r in out.collect()) == [0, 7, 14, 21, 28, 35]
+
+
+def test_ship_library_accepts_module_and_single_file(spark, tmp_path):
+    from oarphpy_spark.shipping import build_library_zip, find_package_root
+
+    # single-file module
+    mod = tmp_path / "loner_mod.py"
+    mod.write_text("ANSWER = 42\n")
+    assert find_package_root(str(mod)) == str(mod)
+    zpath = build_library_zip(str(mod))
+    with zipfile.ZipFile(zpath) as z:
+        assert z.namelist() == ["loner_mod.py"]
+
+    # nested file resolves to topmost package
+    pkg_root = _write_pkg(tmp_path, "rootfind_lib", 1)
+    nested = os.path.join(pkg_root, "inner", "mathy.py")
+    assert find_package_root(nested) == pkg_root
+
+
+def test_build_library_zip_changes_digest_with_content(tmp_path):
+    from oarphpy_spark.shipping import build_library_zip
+
+    pkg_root = _write_pkg(tmp_path, "digest_lib", 1)
+    z1 = build_library_zip(pkg_root)
+    _write_pkg(tmp_path / "v2", "digest_lib", 2)
+    z2 = build_library_zip(str(tmp_path / "v2" / "digest_lib"))
+    assert z1 != z2
+
+
+def test_infer_caller_package_root_skips_engine_frames(tmp_path):
+    """Auto-inference (reference oarphpy/spark.py:590-657 stack-walk)
+    must resolve the *user's* package even when the call goes through
+    engine code frames."""
+    import importlib
+    import sys
+
+    pkg = tmp_path / "callerlib"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "boot.py").write_text(
+        "from oarphpy_spark.shipping import infer_caller_package_root\n"
+        "def who_am_i():\n"
+        "    return infer_caller_package_root()\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        boot = importlib.import_module("callerlib.boot")
+        assert boot.who_am_i() == str(pkg)
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("callerlib.boot", None)
+        sys.modules.pop("callerlib", None)
+
+
 def test_executors_see_engine_package(spark):
     # The engine package itself must be importable in executor workers
     # (driver contract: the repo root is on PYTHONPATH / shipped).
