@@ -55,48 +55,40 @@ def synth_blob_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_image(data: bytes):
-    """Decode an image blob to an ndarray. STUB: pillow/cv2 are not in
-    this environment; the call raises until a codec is installed."""
+    """Decode an image blob to an ndarray. PNG decodes with the
+    dependency-free codec in :mod:`oarphpy_spark.util.images`; other
+    formats (jpeg pixels) use pillow when installed, else raise."""
+    data = bytes(data)
+    from oarphpy_spark.util.images import _PNG_SIG, png_decode
+
+    if data.startswith(_PNG_SIG):
+        return png_decode(data)
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as ex:
         raise NotImplementedError(
-            "image decode requires pillow; install it on executors and "
-            "wire Image.open(io.BytesIO(data)) here"
+            "non-PNG image decode requires pillow; install it on "
+            "executors and Image.open(io.BytesIO(data)) is wired here"
         ) from ex
     import io
 
     import numpy as np
-    from PIL import Image
 
     return np.asarray(Image.open(io.BytesIO(data)))
 
 
+def encode_png(img) -> bytes:
+    """Encode an ndarray as PNG bytes — reference ``to_png_bytes``
+    (``oarphpy/util/misc.py:281-290``), but dependency-free."""
+    from oarphpy_spark.util.images import png_encode
+
+    return png_encode(img)
+
+
 def jpeg_header_dimensions(data: bytes) -> tuple[int, int] | None:
-    """(width, height) from JPEG SOF headers WITHOUT decoding — the
-    header-only sizing idea from the reference
-    (``oarphpy/util/misc.py:305-329``), implemented against the JFIF
-    marker layout: scan segments for SOF0-SOF15 (excl. DHT/DAC/markers
-    without dimensions) and read the 5-byte dims block."""
-    if len(data) < 4 or data[0:2] != b"\xff\xd8":
-        return None
-    i = 2
-    sof_markers = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
-    while i + 9 < len(data):
-        if data[i] != 0xFF:
-            i += 1
-            continue
-        marker = data[i + 1]
-        if marker in sof_markers:
-            height = int.from_bytes(data[i + 5 : i + 7], "big")
-            width = int.from_bytes(data[i + 7 : i + 9], "big")
-            return (width, height)
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            i += 2
-            continue
-        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
-        i += 2 + seg_len
-    return None
+    from oarphpy_spark.util.images import jpeg_header_dimensions as _jhd
+
+    return _jhd(data)
 
 
 def blob_feature_stats(blobs: DataFrame) -> DataFrame:
@@ -184,18 +176,27 @@ def extract_byte_histogram_features(blobs: DataFrame, n_bins: int = 16) -> DataF
     )
 
 
-def resize_blob(data: bytes, target_bytes: int):
-    """Resize/thumbnail a media blob. STUB for real codecs (pillow not
-    in this environment); the deterministic fallback subsamples evenly —
-    which IS the correct behavior for the synthetic raw-byte blobs."""
-    try:
-        from PIL import Image  # noqa: F401
+def resize_image(data: bytes, max_side: int) -> bytes:
+    """Thumbnail an image blob to fit in (max_side, max_side),
+    preserving aspect — PNG in, PNG out, real pixels, no pillow
+    (nearest-neighbor via the pure codec). Non-PNG input requires
+    pillow."""
+    import numpy as np
 
-        raise NotImplementedError(
-            "wire Image.open(...).resize(...) here when pillow is present"
-        )
-    except ImportError:
-        pass
+    arr = decode_image(data)
+    h, w = arr.shape[:2]
+    scale = min(1.0, max_side / max(h, w))
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+    out = arr[ys][:, xs]
+    return encode_png(out)
+
+
+def resize_blob(data: bytes, target_bytes: int):
+    """Shrink a raw (non-image) media blob by even byte subsampling —
+    the deterministic plumbing used for the synthetic blob tables.
+    For real images use :func:`resize_image`."""
     if len(data) <= target_bytes:
         return data
     stride = len(data) / target_bytes

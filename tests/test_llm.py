@@ -71,9 +71,113 @@ def test_multimodal_blob_shapes(spark):
     assert {r["format"] for r in stats} == {"png", "jpeg"}
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_requires_pillow_for_non_png():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG fake")
+        decode_image(b"\x89PNG fake")  # bad sig -> not PNG -> pillow path
+
+
+def test_png_roundtrip_rgb_and_gray():
+    import numpy as np
+
+    from oarphpy_spark.llm.multimodal import encode_png
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(rgb)), rgb)
+
+    gray = rng.integers(0, 256, size=(5, 17), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(gray)), gray)
+
+
+def test_png_decode_all_filter_types():
+    """Decode output of an independent encoder that uses adaptive
+    filters: exercise Sub/Up/Average/Paeth reconstruction, not just
+    our own filter-0 stream."""
+    import numpy as np
+
+    from oarphpy_spark.util.images import png_decode
+
+    # Build a stream with one row per filter type, hand-filtered.
+    import struct
+    import zlib
+
+    w, ch = 4, 1
+    rows = np.array(
+        [
+            [10, 20, 30, 40],
+            [15, 25, 35, 45],
+            [20, 30, 40, 50],
+            [100, 110, 120, 130],
+            [200, 210, 220, 230],
+        ],
+        dtype=np.int64,
+    )
+    h = rows.shape[0]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ftype)
+        for x in range(w):
+            cur = int(rows[y, x])
+            left = int(rows[y, x - 1]) if x else 0
+            up = int(rows[y - 1, x]) if y else 0
+            ul = int(rows[y - 1, x - 1]) if (x and y) else 0
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                enc = cur - left
+            elif ftype == 2:
+                enc = cur - up
+            elif ftype == 3:
+                enc = cur - ((left + up) >> 1)
+            else:
+                enc = cur - paeth(left, up, ul)
+            raw.append(enc & 0xFF)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(png), rows.astype(np.uint8))
+
+
+def test_image_dimensions_header_only():
+    import numpy as np
+
+    from oarphpy_spark.llm.multimodal import encode_png
+    from oarphpy_spark.util.images import image_dimensions
+
+    png = encode_png(np.zeros((480, 640, 3), dtype=np.uint8))
+    assert image_dimensions(png) == (640, 480)
+    assert image_dimensions(b"garbage") is None
+
+
+def test_resize_image_real_pixels():
+    import numpy as np
+
+    from oarphpy_spark.llm.multimodal import encode_png, resize_image
+
+    img = np.zeros((64, 32, 3), dtype=np.uint8)
+    img[32:, :, 0] = 255  # bottom half red
+    out = decode_image(resize_image(encode_png(img), max_side=16))
+    assert out.shape == (16, 8, 3)
+    assert (out[12:, :, 0] == 255).all()
+    assert (out[:4, :, 0] == 0).all()
 
 
 def test_jpeg_header_dimensions():
