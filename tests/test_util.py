@@ -118,6 +118,63 @@ def test_fs_utils(tmp_path):
     assert missing_or_empty(str(tmp_path / "a"))
 
 
+def test_download_copies_plain_file(tmp_path):
+    from oarphpy_spark.util.fs import download
+
+    src = tmp_path / "payload.bin"
+    src.write_bytes(b"\x00\x01data")
+    dest = str(tmp_path / "out" / "payload.bin")
+    assert download(f"file://{src}", dest) == dest
+    with open(dest, "rb") as f:
+        assert f.read() == b"\x00\x01data"
+    # Idempotent: re-download with changed source is skipped.
+    src.write_bytes(b"changed")
+    download(str(src), dest)
+    with open(dest, "rb") as f:
+        assert f.read() == b"\x00\x01data"
+
+
+def test_download_expands_tarball(tmp_path):
+    import tarfile as _tar
+
+    from oarphpy_spark.util.fs import download
+
+    stage = tmp_path / "stage"
+    (stage / "sub").mkdir(parents=True)
+    (stage / "a.txt").write_text("alpha")
+    (stage / "sub" / "b.txt").write_text("beta")
+    tball = tmp_path / "fixture.tar.gz"
+    with _tar.open(tball, "w:gz") as t:
+        t.add(stage / "a.txt", arcname="a.txt")
+        t.add(stage / "sub", arcname="sub")
+
+    dest = str(tmp_path / "expanded")
+    download(f"file://{tball}", dest)
+    assert (tmp_path / "expanded" / "a.txt").read_text() == "alpha"
+    assert (tmp_path / "expanded" / "sub" / "b.txt").read_text() == "beta"
+
+
+def test_download_expands_zip_and_blocks_traversal(tmp_path):
+    import zipfile as _zip
+
+    import pytest as _pytest
+
+    from oarphpy_spark.util.fs import download, expand_archive
+
+    z = tmp_path / "fixture.zip"
+    with _zip.ZipFile(z, "w") as zf:
+        zf.writestr("ok.txt", "fine")
+    dest = str(tmp_path / "zout")
+    download(str(z), dest)
+    assert (tmp_path / "zout" / "ok.txt").read_text() == "fine"
+
+    evil = tmp_path / "evil.zip"
+    with _zip.ZipFile(evil, "w") as zf:
+        zf.writestr("../escape.txt", "nope")
+    with _pytest.raises(ValueError):
+        expand_archive(str(evil), str(tmp_path / "evil_out"))
+
+
 def test_wrap_generator_times_production_not_consumption():
     import time as _t
     from oarphpy_spark.util.thruput import ThruputObserver
