@@ -178,11 +178,23 @@ class RowAdapter:
                 pyclass = d.pop(PYCLASS_KEY)
                 cls = _resolve_class(pyclass)
                 inst = cls.__new__(cls)  # no-ctor materialization
+                has_dict = hasattr(inst, "__dict__")
                 for k, v in d.items():
-                    try:
-                        setattr(inst, k, dec(v))
-                    except AttributeError:
-                        pass  # field dropped from the class since write
+                    if has_dict:
+                        # Direct __dict__ write: immune to frozen
+                        # dataclass/attrs __setattr__ guards
+                        # (FrozenInstanceError is an AttributeError
+                        # subclass a setattr try/except would silently
+                        # swallow, losing every field).
+                        inst.__dict__[k] = dec(v)
+                    else:
+                        try:
+                            # object.__setattr__ bypasses frozen-class
+                            # guards (like dataclass __init__ does) but
+                            # still raises for a missing slot.
+                            object.__setattr__(inst, k, dec(v))
+                        except AttributeError:
+                            pass  # __slots__ member dropped since write
                 return inst
             return Row(**{k: dec(v) for k, v in d.items()})
         if isinstance(obj, dict):

@@ -70,7 +70,12 @@ def iter_tfrecords(fileobj: BinaryIO, verify: bool = True) -> Iterator[bytes]:
         if verify and masked_crc32c(header[:8]) != len_crc:
             raise IOError("TFRecord length crc mismatch")
         payload = fileobj.read(length)
-        (data_crc,) = struct.unpack("<I", fileobj.read(4))
+        if len(payload) != length:
+            raise IOError("truncated TFRecord payload")
+        crc_bytes = fileobj.read(4)
+        if len(crc_bytes) != 4:
+            raise IOError("truncated TFRecord payload crc")
+        (data_crc,) = struct.unpack("<I", crc_bytes)
         if verify and masked_crc32c(payload) != data_crc:
             raise IOError("TFRecord payload crc mismatch")
         yield payload

@@ -119,6 +119,16 @@ def test_tfrecords_roundtrip():
     assert list(iter_tfrecords(buf)) == records
 
 
+def test_tfrecords_truncation_detected():
+    buf = io.BytesIO()
+    write_tfrecords(buf, [b"hello world"])
+    raw = buf.getvalue()
+    # Cut inside the payload and inside the trailing crc respectively.
+    for cut in (len(raw) - 10, len(raw) - 2):
+        with pytest.raises(IOError, match="truncated"):
+            list(iter_tfrecords(io.BytesIO(raw[:cut])))
+
+
 def test_tfrecords_corruption_detected():
     buf = io.BytesIO()
     write_tfrecords(buf, [b"hello world"])

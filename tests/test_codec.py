@@ -150,3 +150,32 @@ def test_nested_class_roundtrip(spark, tmp_path):
     objs = [OuterHolder.InnerPayload(v=7)]
     back = _roundtrip_df(spark, objs, tmp_path)
     assert back[0] == OuterHolder.InnerPayload(v=7)
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class FrozenPoint:
+    x: int = 0
+    y: str = ""
+
+
+@dataclasses.dataclass(frozen=True, slots=True)
+class FrozenSlotPoint:
+    x: int = 0
+    y: str = ""
+
+
+def test_frozen_dataclass_roundtrip(spark, tmp_path):
+    """Frozen dataclasses raise FrozenInstanceError (an AttributeError
+    subclass) from setattr; decode must not silently drop every field."""
+    objs = [FrozenPoint(x=3, y="a"), FrozenPoint(x=4, y="b")]
+    back = sorted(_roundtrip_df(spark, objs, tmp_path), key=lambda o: o.x)
+    assert back == objs
+
+
+def test_frozen_slots_dataclass_roundtrip(spark, tmp_path):
+    objs = [FrozenSlotPoint(x=5, y="c")]
+    back = _roundtrip_df(spark, objs, tmp_path)
+    assert back == objs
