@@ -153,7 +153,14 @@ def _simhash_oracle() -> str:
 @query("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints + cluster sizes (docs sharing a
-    fingerprint are near-dup candidates)."""
+    fingerprint are near-dup candidates).
+
+    Count-over-window evaluates the fingerprint scan ONCE; the
+    aggregate+join alternative halves the shuffle (<= 2^16 fingerprint
+    rows after map-side combine) but recomputes the scan per side —
+    at 100 TB, persist the fingerprint table and use
+    groupBy+broadcast-join; in a single declarative plan the window
+    wins (measured 2x)."""
     sim = simhash16(table(spark, sf_dir, "documents"), "text", "doc_id")
     w = Window.partitionBy("simhash")
     return sim.select(
