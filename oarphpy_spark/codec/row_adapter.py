@@ -127,10 +127,16 @@ def _object_fields(obj: Any) -> dict[str, Any]:
         fields = {f.name: getattr(obj, f.name) for f in dataclasses.fields(obj)}
     elif hasattr(obj, "__attrs_attrs__"):
         fields = {a.name: getattr(obj, a.name) for a in obj.__attrs_attrs__}
-    elif hasattr(obj, "__dict__"):
-        fields = dict(obj.__dict__)
-    elif hasattr(obj, "__slots__"):
-        fields = {s: getattr(obj, s) for s in obj.__slots__ if hasattr(obj, s)}
+    elif hasattr(obj, "__dict__") or hasattr(type(obj), "__slots__"):
+        # Merge __dict__ with every __slots__ member across the MRO: a
+        # subclass with __slots__ under a slot-less base has BOTH, and
+        # slots can also be declared at several inheritance levels.
+        fields = dict(getattr(obj, "__dict__", {}))
+        for klass in type(obj).__mro__:
+            slots = getattr(klass, "__slots__", ())
+            for s in ([slots] if isinstance(slots, str) else slots):
+                if s not in ("__dict__", "__weakref__") and hasattr(obj, s):
+                    fields[s] = getattr(obj, s)
     else:
         raise TypeError(f"cannot adapt {type(obj)}")
     return dict(sorted(fields.items()))
@@ -178,23 +184,20 @@ class RowAdapter:
                 pyclass = d.pop(PYCLASS_KEY)
                 cls = _resolve_class(pyclass)
                 inst = cls.__new__(cls)  # no-ctor materialization
-                has_dict = hasattr(inst, "__dict__")
                 for k, v in d.items():
-                    if has_dict:
-                        # Direct __dict__ write: immune to frozen
-                        # dataclass/attrs __setattr__ guards
-                        # (FrozenInstanceError is an AttributeError
+                    try:
+                        # object.__setattr__, not plain setattr: it
+                        # bypasses frozen dataclass/attrs guards (like
+                        # dataclass __init__ does — their
+                        # FrozenInstanceError is an AttributeError
                         # subclass a setattr try/except would silently
-                        # swallow, losing every field).
-                        inst.__dict__[k] = dec(v)
-                    else:
-                        try:
-                            # object.__setattr__ bypasses frozen-class
-                            # guards (like dataclass __init__ does) but
-                            # still raises for a missing slot.
-                            object.__setattr__(inst, k, dec(v))
-                        except AttributeError:
-                            pass  # __slots__ member dropped since write
+                        # swallow, losing every field), routes slot
+                        # descriptors correctly even on __dict__+slots
+                        # hybrids, and still raises AttributeError for
+                        # a slot dropped from the class since write.
+                        object.__setattr__(inst, k, dec(v))
+                    except AttributeError:
+                        pass  # field's slot no longer exists
                 return inst
             return Row(**{k: dec(v) for k, v in d.items()})
         if isinstance(obj, dict):

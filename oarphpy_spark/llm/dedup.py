@@ -155,9 +155,15 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         md5 = hashlib.md5
         doc_idx, hashes, n_toks = [], [], []
         for i, t in enumerate(text):
+            if t is None:
+                # NULL text: zero tokens -> every majority fails ->
+                # simhash 0, matching SQL semantics (NULL votes make
+                # each CASE contribute nothing).
+                n_toks.append(0)
+                continue
             # identical tokenization to norm_tokens():
             # split(lower(text), ' ', -1) keeps empty tokens
-            toks = ("" if t is None else t).lower().split(" ")
+            toks = t.lower().split(" ")
             n_toks.append(len(toks))
             doc_idx.extend([i] * len(toks))
             hashes.extend(
@@ -168,6 +174,8 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         bits = ((H[:, None] >> shifts[None, :]) & 1).astype(np.int64)
         votes = np.zeros((len(text), 16), dtype=np.int64)
         np.add.at(votes, np.array(doc_idx, dtype=np.int64), bits)
+        # majority over ZERO tokens (NULL text) is vacuously false ->
+        # simhash 0.
         majority = (2 * votes) > np.array(n_toks, dtype=np.int64)[:, None]
         return pd.Series((majority @ weights).astype(np.int32))
 

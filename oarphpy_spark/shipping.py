@@ -60,6 +60,7 @@ def _is_library_frame(filename: str, module_name: str, skip: tuple[str, ...]) ->
     top = module_name.split(".")[0] if module_name else ""
     if top in skip or top in ("importlib", "runpy", "pytest", "_pytest", "pluggy"):
         return False
+    fn = os.path.abspath(filename)
     # Skip stdlib and installed-distribution frames: those exist on
     # executors already (same Python image); only local source needs
     # shipping.
@@ -67,7 +68,11 @@ def _is_library_frame(filename: str, module_name: str, skip: tuple[str, ...]) ->
         sysconfig.get_paths().get(k, "\x00")
         for k in ("stdlib", "platstdlib", "purelib", "platlib")
     }
-    fn = os.path.abspath(filename)
+    # Also skip interpreter scratch files: ipykernel >= 6 writes each
+    # notebook cell to $TMPDIR/ipykernel_<pid>/<hash>.py, which would
+    # otherwise look like a shippable single-module "library".
+    if f"{os.sep}ipykernel_" in fn:
+        return False
     return not any(fn.startswith(os.path.abspath(p) + os.sep) for p in prefixes if p)
 
 

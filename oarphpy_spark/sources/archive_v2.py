@@ -69,15 +69,34 @@ class ArchiveReader(DataSourceReader):
 
         if not partition.names:
             return
-        datas = _read_members(partition.archive, partition.names)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([partition.archive] * len(datas), pa.string()),
-                pa.array(partition.names, pa.string()),
-                pa.array(datas, pa.binary()),
-            ],
-            names=["archive", "name", "data"],
-        )
+
+        def emit(names: list[str], datas: list[bytes]):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([partition.archive] * len(datas), pa.string()),
+                    pa.array(names, pa.string()),
+                    pa.array(datas, pa.binary()),
+                ],
+                names=["archive", "name", "data"],
+            )
+
+        # Bound each Arrow batch by bytes: pa.binary() offsets are
+        # int32, so a batch of large members must split well under 2 GB.
+        max_bytes = 64 << 20
+        names: list[str] = []
+        datas: list[bytes] = []
+        nbytes = 0
+        for name, data in zip(
+            partition.names, _read_members(partition.archive, partition.names)
+        ):
+            names.append(name)
+            datas.append(data)
+            nbytes += len(data)
+            if nbytes >= max_bytes:
+                yield emit(names, datas)
+                names, datas, nbytes = [], [], 0
+        if datas:
+            yield emit(names, datas)
 
 
 class ArchiveDataSource(DataSource):

@@ -83,15 +83,20 @@ class TFRecordsReader(DataSourceReader):
         from oarphpy_spark.sources.tfrecords import iter_tfrecords
 
         def batches():
+            # Bound each batch by rows AND bytes: pa.binary() offsets
+            # are int32, so one batch must stay well under 2 GB.
+            max_bytes = 64 << 20
             idxs: list[int] = []
             recs: list[bytes] = []
+            nbytes = 0
             with open(partition.path, "rb") as f:
                 for i, rec in enumerate(iter_tfrecords(f)):
                     idxs.append(i)
                     recs.append(rec)
-                    if len(recs) >= self._batch_rows:
+                    nbytes += len(rec)
+                    if len(recs) >= self._batch_rows or nbytes >= max_bytes:
                         yield idxs, recs
-                        idxs, recs = [], []
+                        idxs, recs, nbytes = [], [], 0
             if recs:
                 yield idxs, recs
 
@@ -107,28 +112,47 @@ class TFRecordsReader(DataSourceReader):
 
 
 @dataclass
-class _WroteFile(WriterCommitMessage):
-    path: str
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    final: str
     n_records: int
 
 
 class TFRecordsWriter(DataSourceWriter):
+    """Two-phase commit like Spark's own file sinks: tasks write into a
+    hidden ``_staging`` dir (task retries / speculative attempts each
+    stage a distinct uuid file, invisible to readers), and only the
+    driver-side ``commit`` — called once with exactly one message per
+    successful task — publishes the chosen attempt's file. Requires a
+    filesystem shared between driver and executors (true for local
+    mode and any distributed fs; an object-store deployment would swap
+    the rename for its own commit protocol)."""
+
     def __init__(self, options, overwrite: bool):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("tfrecords sink requires a path")
-        self._overwrite = overwrite
+        # Constructed driver-side (DataSource.writer), so overwrite can
+        # clear prior output before any task runs.
+        if overwrite and os.path.isdir(self._dir):
+            for f in os.listdir(self._dir):
+                if f.endswith(".tfrecord"):
+                    os.remove(os.path.join(self._dir, f))
 
-    def write(self, iterator: Iterator) -> _WroteFile:
-        """Runs on executors: one output file per task. The ``record``
-        field (or the single binary column) is the payload."""
+    @property
+    def _staging(self) -> str:
+        return os.path.join(self._dir, "_staging")
+
+    def write(self, iterator: Iterator) -> _StagedFile:
+        """Runs on executors: one staged file per task attempt. The
+        ``record`` field (or the single binary column) is the payload."""
         from oarphpy_spark.sources.tfrecords import write_tfrecords
 
-        os.makedirs(self._dir, exist_ok=True)
-        out = os.path.join(self._dir, f"part-{uuid.uuid4().hex[:12]}.tfrecord")
+        os.makedirs(self._staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex[:12]}.tfrecord"
+        staged = os.path.join(self._staging, name)
         n = 0
-        tmp = out + ".tmp"
-        with open(tmp, "wb") as f:
+        with open(staged, "wb") as f:
             chunk: list[bytes] = []
             for row in iterator:
                 data = row["record"] if "record" in row.__fields__ else row[0]
@@ -139,16 +163,23 @@ class TFRecordsWriter(DataSourceWriter):
                     chunk = []
             if chunk:
                 write_tfrecords(f, chunk)
-        os.replace(tmp, out)
-        return _WroteFile(path=out, n_records=n)
+        return _StagedFile(
+            staged=staged, final=os.path.join(self._dir, name), n_records=n
+        )
 
     def commit(self, messages):
-        pass  # .tmp rename in write() already published atomically
+        for m in messages:
+            if m is not None:
+                os.replace(m.staged, m.final)
+        self._cleanup_staging()
 
     def abort(self, messages):
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        self._cleanup_staging()
+
+    def _cleanup_staging(self):
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
 
 
 class TFRecordsDataSource(DataSource):

@@ -51,12 +51,15 @@ class FirstSeenProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         if self._seen.exists():
             return
+        # min doc_id across ALL of the trigger's Arrow batches (a key's
+        # rows can span batches) -> deterministic winner.
         first = None
         for pdf in rows:
-            if len(pdf):
-                # min doc_id within the trigger -> deterministic winner
-                first = pdf.sort_values("doc_id").head(1)
-                break
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values("doc_id").head(1)
+            if first is None or cand["doc_id"].iat[0] < first["doc_id"].iat[0]:
+                first = cand
         if first is not None:
             self._seen.update((True,))
             yield first.assign(fingerprint=key[0])[

@@ -179,3 +179,24 @@ def test_frozen_slots_dataclass_roundtrip(spark, tmp_path):
     objs = [FrozenSlotPoint(x=5, y="c")]
     back = _roundtrip_df(spark, objs, tmp_path)
     assert back == objs
+
+
+class _SlotlessBase:
+    pass
+
+
+class HybridSlots(_SlotlessBase):
+    # subclass __slots__ under a slot-less base: instances have BOTH a
+    # __dict__ and slot descriptors; writes must route through the
+    # descriptor or reads hit the (empty) slot, not __dict__
+    __slots__ = ("x",)
+
+    def __eq__(self, other):
+        return self.x == other.x
+
+
+def test_dict_plus_slots_hybrid_roundtrip(spark, tmp_path):
+    o = HybridSlots()
+    o.x = 11
+    back = _roundtrip_df(spark, [o], tmp_path)
+    assert back[0].x == 11

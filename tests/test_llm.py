@@ -44,6 +44,17 @@ def test_simhash_exact_dup_same_fp(spark):
     assert 0 <= fps[1] < 2**16
 
 
+def test_simhash_null_text_is_zero(spark):
+    """NULL text -> zero tokens -> simhash 0, matching SQL semantics
+    (the oracle's NULL votes contribute nothing to any bit)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "real text here")], "doc_id bigint, text string"
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash16(df, "text", "doc_id").collect()}
+    assert fps[1] == 0
+    assert fps[2] != 0
+
+
 def test_lsh_topk_is_subset_of_brute(spark):
     from oarphpy_spark.tables import table
 

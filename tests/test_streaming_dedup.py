@@ -62,6 +62,17 @@ def test_first_seen_processor_emits_once():
     assert _emit(proc, ("fp1",), [batch]) == []
 
 
+def test_first_seen_processor_min_across_batches():
+    """A key's rows can span multiple Arrow batches within one trigger;
+    the winner must be the min doc_id over ALL of them."""
+    proc = FirstSeenProcessor()
+    proc.init(_FakeHandle())
+    b1 = pd.DataFrame({"doc_id": [7, 9], "text": ["t", "t"]})
+    b2 = pd.DataFrame({"doc_id": [3], "text": ["t"]})
+    out = _emit(proc, ("fp",), [b1, b2])
+    assert len(out) == 1 and out[0].iloc[0]["doc_id"] == 3
+
+
 def test_first_seen_processor_ignores_empty_batches():
     proc = FirstSeenProcessor()
     proc.init(_FakeHandle())

@@ -51,6 +51,20 @@ def test_write_format_tfrecords_roundtrip(tfr_session, tmp_path):
     assert back.count() == 100
 
 
+def test_write_mode_overwrite_replaces_prior_output(tfr_session, tmp_path):
+    out = str(tmp_path / "sink_ow")
+    mk = lambda n: tfr_session.range(n).select(  # noqa: E731
+        F.sha1(F.col("id").cast("string")).cast("binary").alias("record")
+    ).coalesce(1)
+    mk(5).write.format("tfrecords").option("path", out).mode("append").save()
+    mk(3).write.format("tfrecords").option("path", out).mode("overwrite").save()
+    back = tfr_session.read.format("tfrecords").load(out + "/*.tfrecord")
+    # overwrite cleared the 5-record file; only the 3 new records remain
+    assert back.count() == 3
+    # staging dir is cleaned up after commit
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+
 def test_read_reports_truncation(tfr_session, tmp_path):
     with open(tmp_path / "bad.tfrecord", "wb") as f:
         write_tfrecords(f, [b"hello world"])
