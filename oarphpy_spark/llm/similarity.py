@@ -37,11 +37,21 @@ def _paired_cosine() -> "F.Column":
     — same expressions, same operand order — but the norms are computed
     once per ROW before the join instead of once per candidate PAIR
     after it: at fanout f that deletes 2f of every 3 dot products, the
-    dominant cost of the scoring stage."""
-    return dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    dominant cost of the scoring stage.
+
+    ``try_divide``, not ``/``: a zero vector has no defined cosine, and
+    under ANSI mode (Spark 4 default) a plain divide would kill the
+    whole job on one degenerate row. NULL scores are dropped before
+    ranking (see ``_topk_by_cos``)."""
+    return F.try_divide(dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn"))
+
+
+def _drop_undefined(scored: DataFrame) -> DataFrame:
+    return scored.filter(F.col("cos").isNotNull())
 
 
 def _topk_by_cos(scored: DataFrame, k: int) -> DataFrame:
+    scored = _drop_undefined(scored)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -220,11 +230,15 @@ def cosine_near_dup_pairs(
             F.col("a.doc").alias("vec_a"),
             F.col("b.doc").alias("vec_b"),
             F.round(
-                dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nv") * F.col("b.nv")),
+                F.try_divide(
+                    dot(F.col("a.v"), F.col("b.v")),
+                    F.col("a.nv") * F.col("b.nv"),
+                ),
                 6,
             ).alias("cos"),
         )
+        # NULL-safe: zero vectors have no defined cosine and the >=
+        # filter drops their NULL scores
         .filter(F.col("cos") >= threshold)
     )
 
@@ -237,6 +251,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 8,
     centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition vectors into
     cells by nearest centroid; search only the query's cell.
@@ -259,7 +274,9 @@ def ivf_topk(
 
     At 100 TB: assignment is batch-local math inside the corpus scan;
     cells become an equi-join key exactly like the LSH bucket; recall
-    tuned by probing the nearest ``p`` cells instead of 1.
+    tuned by ``n_probe`` — each query searches its ``n_probe`` nearest
+    cells (the corpus side always lives in exactly one cell, so the
+    candidate fanout grows only with the tiny query side).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -286,17 +303,26 @@ def ivf_topk(
         cnorms.append(cc)
     cnorms = np.array(cnorms)
 
-    @pandas_udf("int")
-    def assign_cell(v: pd.Series) -> pd.Series:
+    def _dists(v: pd.Series) -> "np.ndarray":
         M = np.stack(v.to_numpy()).astype(np.float64)  # (N, D)
         vv = np.einsum("ij,ij->i", M, M)
         d = vv[:, None] - 2.0 * (M @ cmat.T) + cnorms[None, :]
         # round HALF_UP at 6dp (numpy's round is half-even; Spark and
         # DuckDB round() are half-up) so tie semantics match the oracle
-        d = np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+        return np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+
+    @pandas_udf("int")
+    def assign_cell(v: pd.Series) -> pd.Series:
         # argmin returns the FIRST min -> lowest cell id on ties
         # (cents sorted ascending) == the oracle's (dist, cell) order.
-        return pd.Series(cell_ids[np.argmin(d, axis=1)].astype(np.int32))
+        return pd.Series(cell_ids[np.argmin(_dists(v), axis=1)].astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def assign_probe_cells(v: pd.Series) -> pd.Series:
+        # stable sort keeps ascending cell order on 6dp-ties, matching
+        # the oracle's ORDER BY (dist, cell) ... rn <= n_probe
+        order = np.argsort(_dists(v), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([cell_ids[row].astype("int32").tolist() for row in order])
 
     def assign(df: DataFrame, out_id: str, vec_out: str, norm_out: str):
         return df.select(
@@ -307,7 +333,18 @@ def ivf_topk(
         )
 
     c_assigned = assign(corpus, "neighbor_id", "cv", "cn")
-    q_assigned = assign(queries, "query_id", "qv", "qn")
+    if n_probe <= 1:
+        q_assigned = assign(queries, "query_id", "qv", "qn")
+    else:
+        # probe cells are pairwise distinct per query and each corpus
+        # row has exactly one cell, so the explode join cannot emit a
+        # (query, neighbor) pair twice — no dedup shuffle needed.
+        q_assigned = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("qn"),
+            F.explode(assign_probe_cells(vec_col)).alias("cell"),
+        )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -18,6 +18,7 @@ from oarphpy_spark.llm.dedup import (
     ngram_jaccard_pairs,
     simhash16,
 )
+from oarphpy_spark.functions.text import norm_tokens
 from oarphpy_spark.llm.multimodal import blob_feature_stats, synth_blob_table
 from oarphpy_spark.llm.similarity import (
     brute_force_topk,
@@ -813,4 +814,114 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_words"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_emb_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM e
+    )
+    SELECT vec_id,
+           array_to_string(
+             list_transform(
+               v, x -> CAST(CAST(ROUND(x * 127.0 / norm, 0) AS INTEGER) AS VARCHAR)),
+             ',') AS q_csv,
+           ROUND(norm / 127.0, 9) AS inv_scale
+    FROM n WHERE norm > 0
+    """,
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize + int8-quantize every embedding (4x storage cut
+    for the ANN serving tier). Single-pass column expressions — scan-
+    bound at any scale. Quantized vector emitted as CSV (scalar) for
+    the cross-engine hash."""
+    from oarphpy_spark.llm.embeddings import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "embedding", "vec_id")
+    return q.filter(F.col("inv_scale").isNotNull()).select(
+        "vec_id",
+        F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string"))).alias("q_csv"),
+        F.round("inv_scale", 9).alias("inv_scale"),
+    )
+
+
+@query(
+    "q_token_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    )
+    SELECT token, n FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+      FROM tok GROUP BY token
+    ) WHERE rk <= 20
+    """,
+)
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens by frequency: explode -> partial-
+    aggregated count -> TakeOrderedAndProject. The vocabulary/heavy-
+    hitters pass of a tokenizer-training pipeline; at 100 TB the
+    explode volume partial-aggregates map-side before the one shuffle
+    on token."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(norm_tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), "token").limit(20).select("token", "n")
+    )
+
+
+def _ivf_multiprobe_oracle(n_cells: int = 8, k: int = 5, n_probe: int = 2) -> str:
+    dist = (
+        "ROUND(list_inner_product({v}, {v}) - 2 * list_inner_product({v}, {c}) "
+        "+ list_inner_product({c}, {c}), 6)"
+    )
+    d = dist.format(v="e.v", c="c.v")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cents AS (SELECT vec_id AS cell, v FROM e WHERE vec_id < {n_cells}),
+    ranked AS (
+      SELECT e.vec_id, e.v, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {d}, c.cell) AS rn
+      FROM e CROSS JOIN (SELECT cell, v FROM cents) c
+    ),
+    assigned AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+    q AS (SELECT vec_id, v, cell FROM ranked
+          WHERE rn <= {n_probe} AND vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a='q.v', b='a.v')}, 6) AS cos
+      FROM assigned a JOIN q ON a.cell = q.cell
+      WHERE a.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@query("q_sim_ivf_multiprobe", oracle=_ivf_multiprobe_oracle())
+def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with n_probe=2: each query searches its TWO nearest
+    cells. Recall rises toward brute force while the corpus still
+    lives in exactly one cell each — fanout grows only with the tiny
+    query side."""
+    from oarphpy_spark.llm.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8,
+        centroids=_ivf_centroids(spark, sf_dir, 8), n_probe=2,
     )

@@ -140,3 +140,94 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+_Q5_SQL = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query(
+    "q_sql_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table star with the
+    supplier-nation = customer-nation correlation. nation/region/
+    supplier/customer all broadcast; the only real shuffle is
+    lineitem x orders."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
+
+
+_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+       ROUND(o.o_totalprice, 2) AS totalprice,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 270
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+         date_format(o.o_orderdate, 'yyyy-MM-dd'), o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 50
+"""
+
+
+@query(
+    "q_sql_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 270
+    )
+    GROUP BY c_name, c_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): semi-join on a HAVING subquery.
+    Catalyst plans the IN as a left-semi hash join after partial
+    aggregation — no correlated re-execution."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)

@@ -55,6 +55,58 @@ def test_simhash_null_text_is_zero(spark):
     assert fps[2] != 0
 
 
+def test_ivf_multiprobe_recall_at_least_single(spark):
+    from oarphpy_spark.llm.similarity import brute_force_topk, ivf_topk
+    from oarphpy_spark.tables import table
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=n_probe).collect()
+        }
+        return len(got & brute)
+
+    assert recall(2) >= recall(1)
+    # probing every cell == exact search
+    assert recall(8) == len(brute)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    import numpy as np
+
+    from oarphpy_spark.llm.embeddings import quantize_int8
+    from oarphpy_spark.tables import table
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    rows = quantize_int8(emb).join(emb, "vec_id").collect()
+    assert rows
+    for r in rows[:50]:
+        q = np.array(r["q"], dtype=np.float64)
+        assert np.abs(q).max() <= 127
+        deq = q * r["inv_scale"]
+        orig = np.array([float(x) for x in r["embedding"]])
+        # dequantization error bounded by half a quant step per dim
+        assert np.abs(deq - orig).max() <= r["inv_scale"] * 0.5 + 1e-9
+
+
+def test_quantize_int8_zero_vector(spark):
+    from oarphpy_spark.llm.embeddings import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [3.0, 4.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[0]["inv_scale"] is None and out[0]["q"] == [0, 0]
+    assert out[1]["q"] == [76, 102]  # 127*(3,4)/5 rounded
+
+
 def test_lsh_topk_is_subset_of_brute(spark):
     from oarphpy_spark.tables import table
 

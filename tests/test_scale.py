@@ -91,3 +91,27 @@ def test_ten_million_row_smoke(spark, n):
     # HLL distinct
     approx = df.agg(F.approx_count_distinct("k", 0.05).alias("d")).collect()[0]["d"]
     assert 900 <= approx <= 1100
+
+
+def test_vector_search_scale_smoke(spark):
+    """300k synthetic 16-dim vectors through the full vectorized IVF
+    path (Arrow-batched assignment + cell join + top-k): proves the
+    ANN operators aren't bound to the sf0.1 embeddings table size."""
+    from oarphpy_spark.llm.similarity import ivf_topk
+
+    corpus = spark.range(300_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.sin(F.col("id") * i.cast("double")),
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 3)
+    out = ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=2)
+    rows = out.collect()
+    # vec_id=0 is the all-zero vector: cosine undefined -> NULL-safe
+    # scoring drops it instead of killing the job under ANSI mode
+    assert {r["query_id"] for r in rows} == {1, 2}
+    assert len(rows) == 10  # 2 real queries x k=5
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
