@@ -120,3 +120,38 @@ def test_no_accidental_cartesian_products(spark):
         if "CartesianProduct" in buf.getvalue():
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_token_topk_partial_agg_and_ordered_limit(spark):
+    """Heavy-hitters must partial-aggregate map-side BEFORE the token
+    shuffle, and the top-20 must be TakeOrderedAndProject (streamed
+    per-partition top-k), never a global sort."""
+    plan = _plan(spark, "q_token_topk", "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Sort " not in plan  # no full sort of the vocabulary
+
+
+def test_quantize_is_shuffle_free(spark):
+    plan = _plan(spark, "q_emb_quantize_int8", "simple")
+    assert "Exchange" not in plan  # pure per-row projection on the scan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    plan = _plan(spark, "q_sql_tpch_q5", "simple")
+    # customer, supplier, nation, region all broadcast; no cartesian
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_having_subquery_is_semi_join(spark):
+    plan = _plan(spark, "q_sql_tpch_q18", "simple")
+    assert "LeftSemi" in plan  # IN-subquery planned as semi join
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_multiprobe_single_join(spark):
+    plan = _plan(spark, "q_sim_ivf_multiprobe", "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Join") <= 1  # cell equi-join only
