@@ -11,8 +11,10 @@ implemented the way an iterative algorithm should run on Spark:
 * the driver merges partials in sorted order (deterministic float
   addition) and recomputes means — the same map-side-combine shape as
   MLlib's treeAggregate;
-* initialization is the first ``k`` distinct vectors by id —
-  deterministic, so training is reproducible run-to-run.
+* initialization is the first ``k`` DISTINCT vectors by id (duplicate
+  vectors in the head of the corpus would otherwise seed coincident
+  centroids whose ties always break the same way, leaving permanently
+  empty cells) — deterministic, so training is reproducible.
 
 No UDF in the final index: the trained centroids feed ``ivf_topk``
 as plain literals.
@@ -39,58 +41,73 @@ def kmeans_fit(
 ) -> list[tuple[int, list[float]]]:
     """Train ``k`` centroids; returns ``[(cell, centroid), ...]`` in
     the exact shape ``ivf_topk(centroids=...)`` accepts."""
-    init = (
-        df.orderBy(id_col)
-        .select(vec_col)
-        .limit(k)
-        .collect()
+    # First k DISTINCT vectors by id: scan a bounded head (k + slack),
+    # dedupe driver-side preserving id order. The head is tiny (k is
+    # the number of IVF cells, not data-sized).
+    head = (
+        df.orderBy(id_col).select(vec_col).limit(max(4 * k, k + 64)).collect()
     )
+    seen: set[tuple] = set()
+    init: list[list[float]] = []
+    for r in head:
+        key = tuple(float(x) for x in r[vec_col])
+        if key not in seen:
+            seen.add(key)
+            init.append(list(key))
+        if len(init) == k:
+            break
     if len(init) < k:
-        raise ValueError(f"need at least k={k} vectors, found {len(init)}")
-    cents = np.array([[float(x) for x in r[vec_col]] for r in init])
+        raise ValueError(
+            f"need at least k={k} distinct vectors, found {len(init)}"
+        )
+    cents = np.array(init)
     dim = cents.shape[1]
-    vecs = df.select(F.col(vec_col).alias("v"))
+    # One scan per iteration is the algorithm; without a persist it
+    # would also be one SOURCE READ per iteration.
+    vecs = df.select(F.col(vec_col).alias("v")).persist()
 
     partial_schema = "cell int, n long, s array<double>"
 
-    for _ in range(max_iters):
-        cm = cents  # closure snapshot for this iteration
+    try:
+        for _ in range(max_iters):
+            cm = cents  # closure snapshot for this iteration
 
-        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-                d = (
-                    np.einsum("ij,ij->i", M, M)[:, None]
-                    - 2.0 * (M @ cm.T)
-                    + np.einsum("ij,ij->i", cm, cm)[None, :]
-                )
-                cell = np.argmin(d, axis=1)
-                rows = []
-                for c in np.unique(cell):
-                    sub = M[cell == c]
-                    rows.append(
-                        {
-                            "cell": int(c),
-                            "n": int(sub.shape[0]),
-                            "s": sub.sum(axis=0).tolist(),
-                        }
-                    )
-                yield pd.DataFrame(rows, columns=["cell", "n", "s"])
+            def partials(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                from oarphpy_spark.functions.vectors_np import pairwise_sq_dists
 
-        got = vecs.mapInPandas(partials, schema=partial_schema).collect()
-        counts = np.zeros(k)
-        sums = np.zeros((k, dim))
-        # sorted merge -> deterministic float accumulation order
-        for r in sorted(got, key=lambda r: (r["cell"], r["n"], tuple(r["s"]))):
-            counts[r["cell"]] += r["n"]
-            sums[r["cell"]] += np.array(r["s"])
-        new_cents = cents.copy()
-        nonzero = counts > 0
-        new_cents[nonzero] = sums[nonzero] / counts[nonzero, None]
-        shift = float(np.abs(new_cents - cents).max())
-        cents = new_cents
-        if shift <= tol:
-            break
+                for pdf in batches:
+                    M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                    cell = np.argmin(pairwise_sq_dists(M, cm), axis=1)
+                    rows = []
+                    for c in np.unique(cell):
+                        sub = M[cell == c]
+                        rows.append(
+                            {
+                                "cell": int(c),
+                                "n": int(sub.shape[0]),
+                                "s": sub.sum(axis=0).tolist(),
+                            }
+                        )
+                    yield pd.DataFrame(rows, columns=["cell", "n", "s"])
+
+            got = vecs.mapInPandas(partials, schema=partial_schema).collect()
+            counts = np.zeros(k)
+            sums = np.zeros((k, dim))
+            # sorted merge -> deterministic float accumulation order
+            for r in sorted(got, key=lambda r: (r["cell"], r["n"], tuple(r["s"]))):
+                counts[r["cell"]] += r["n"]
+                sums[r["cell"]] += np.array(r["s"])
+            new_cents = cents.copy()
+            nonzero = counts > 0
+            new_cents[nonzero] = sums[nonzero] / counts[nonzero, None]
+            shift = float(np.abs(new_cents - cents).max())
+            cents = new_cents
+            if shift <= tol:
+                break
+    finally:
+        vecs.unpersist()
 
     return [(i, cents[i].tolist()) for i in range(k)]
 
@@ -105,13 +122,11 @@ def inertia(
     cm = np.array([c for _, c in sorted(centroids)], dtype=np.float64)
 
     def batch_inertia(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from oarphpy_spark.functions.vectors_np import pairwise_sq_dists
+
         for pdf in batches:
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            d = (
-                np.einsum("ij,ij->i", M, M)[:, None]
-                - 2.0 * (M @ cm.T)
-                + np.einsum("ij,ij->i", cm, cm)[None, :]
-            )
+            d = pairwise_sq_dists(M, cm)
             yield pd.DataFrame({"partial": [float(d.min(axis=1).sum())]})
 
     parts = (

@@ -304,12 +304,15 @@ def ivf_topk(
     cnorms = np.array(cnorms)
 
     def _dists(v: pd.Series) -> "np.ndarray":
+        from oarphpy_spark.functions.vectors_np import (
+            pairwise_sq_dists,
+            round_half_up,
+        )
+
         M = np.stack(v.to_numpy()).astype(np.float64)  # (N, D)
-        vv = np.einsum("ij,ij->i", M, M)
-        d = vv[:, None] - 2.0 * (M @ cmat.T) + cnorms[None, :]
-        # round HALF_UP at 6dp (numpy's round is half-even; Spark and
-        # DuckDB round() are half-up) so tie semantics match the oracle
-        return np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+        # cnorms hold the oracle's sequential-fold self-dots; HALF_UP
+        # at 6dp makes tie semantics match the SQL oracle.
+        return round_half_up(pairwise_sq_dists(M, cmat, c_sq=cnorms))
 
     @pandas_udf("int")
     def assign_cell(v: pd.Series) -> pd.Series:
@@ -324,12 +327,14 @@ def ivf_topk(
         order = np.argsort(_dists(v), axis=1, kind="stable")[:, :n_probe]
         return pd.Series([cell_ids[row].astype("int32").tolist() for row in order])
 
-    def assign(df: DataFrame, out_id: str, vec_out: str, norm_out: str):
+    def assign(df: DataFrame, out_id: str, vec_out: str, norm_out: str,
+               cell_expr: "F.Column | None" = None):
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(vec_out),
             l2_norm(F.col(vec_col)).alias(norm_out),
-            assign_cell(vec_col).alias("cell"),
+            (cell_expr if cell_expr is not None
+             else assign_cell(vec_col)).alias("cell"),
         )
 
     c_assigned = assign(corpus, "neighbor_id", "cv", "cn")
@@ -339,11 +344,9 @@ def ivf_topk(
         # probe cells are pairwise distinct per query and each corpus
         # row has exactly one cell, so the explode join cannot emit a
         # (query, neighbor) pair twice — no dedup shuffle needed.
-        q_assigned = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            l2_norm(F.col(vec_col)).alias("qn"),
-            F.explode(assign_probe_cells(vec_col)).alias("cell"),
+        q_assigned = assign(
+            queries, "query_id", "qv", "qn",
+            cell_expr=F.explode(assign_probe_cells(vec_col)),
         )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "cell")

@@ -207,9 +207,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULL (not NaN) on zero vectors, mirroring the engine's try_divide:
+# DuckDB's IEEE 0/0 = NaN sorts ABOVE every value in ORDER BY DESC,
+# which would rank degenerate rows first; NULL instead drops out of
+# both >= filters and the explicit IS NOT NULL guards on the rankers.
 _COS_DUCK = (
-    "list_inner_product({a}, {b}) / "
-    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+    "CASE WHEN list_inner_product({a}, {a}) * list_inner_product({b}, {b}) > 0 "
+    "THEN list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))) "
+    "ELSE NULL END"
 )
 
 
@@ -254,7 +260,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, cos FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rk
-      FROM scored
+      FROM scored WHERE cos IS NOT NULL
     ) WHERE rk <= 5
     """,
 )
@@ -296,7 +302,7 @@ def _lsh_sig_duck(v: str, num_planes: int = 4, seed: str = "lsh") -> str:
     SELECT query_id, neighbor_id, cos FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rk
-      FROM scored
+      FROM scored WHERE cos IS NOT NULL
     ) WHERE rk <= 5
     """,
 )
@@ -593,7 +599,7 @@ def _ivf_oracle(n_cells: int = 8, k: int = 5) -> str:
     SELECT query_id, neighbor_id, cos FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rk
-      FROM scored
+      FROM scored WHERE cos IS NOT NULL
     ) WHERE rk <= {k}
     """
 
@@ -733,7 +739,7 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, cos FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rk
-      FROM scored
+      FROM scored WHERE cos IS NOT NULL
     ) WHERE rk <= 5
     """,
 )
@@ -907,7 +913,7 @@ def _ivf_multiprobe_oracle(n_cells: int = 8, k: int = 5, n_probe: int = 2) -> st
     SELECT query_id, neighbor_id, cos FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rk
-      FROM scored
+      FROM scored WHERE cos IS NOT NULL
     ) WHERE rk <= {k}
     """
 

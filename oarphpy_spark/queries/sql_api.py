@@ -178,10 +178,15 @@ ORDER BY revenue DESC, n_name
     """,
 )
 def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 (local supplier volume): 6-table star with the
+    """TPC-H Q5-SHAPED (local supplier volume): 6-table star with the
     supplier-nation = customer-nation correlation. nation/region/
     supplier/customer all broadcast; the only real shuffle is
-    lineitem x orders."""
+    lineitem x orders.
+
+    Deliberate deviation from the spec's parameters: a TWO-year order
+    window (spec: one year) so the tiny test scale factors produce
+    non-trivial per-nation groups — do not compare revenue against
+    published Q5 numbers."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
 
@@ -226,8 +231,13 @@ LIMIT 50
     """,
 )
 def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 (large-volume orders): semi-join on a HAVING subquery.
-    Catalyst plans the IN as a left-semi hash join after partial
-    aggregation — no correlated re-execution."""
+    """TPC-H Q18-SHAPED (large-volume orders): semi-join on a HAVING
+    subquery. Catalyst plans the IN as a left-semi hash join after
+    partial aggregation — no correlated re-execution.
+
+    Deliberate deviation from the spec's parameters: quantity > 270
+    (spec: 300) and LIMIT 50 (spec: 100) so every test scale factor
+    has a non-empty, bounded result — do not compare against published
+    Q18 numbers."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_Q18_SQL)
