@@ -2,7 +2,7 @@
 
 This mirrors the driver's CORRECTNESS gate (which runs at sf0.01); we
 use sf0.001 here to keep the suite fast and run sf0.01 in the slower
-pre-commit sweep (scripts/check_parity.py).
+pre-commit sweep (scripts/drive_entry.py).
 """
 
 from __future__ import annotations
