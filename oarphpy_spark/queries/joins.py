@@ -227,3 +227,39 @@ def q_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_join_bloom_prune",
+    oracle="""
+    SELECT s_name,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN (SELECT * FROM supplier WHERE s_acctbal >= 9000) s
+      ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side Bloom pruning before the join: the high-balance
+    supplier subset's KEY SET becomes a Bloom filter probed inside the
+    lineitem scan, so non-matching fact rows die before any exchange.
+    Results are exactly the plain join (the join removes Bloom false
+    positives) — which is why this is oracle-checkable. At 100 TB this
+    is the play when the dim is too big to broadcast but its key set
+    fits bits."""
+    from oarphpy_spark.operators.bloom import bloom_prejoin
+
+    li = table(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") >= 9000)
+        .withColumnRenamed("s_suppkey", "suppkey")
+    )
+    return bloom_prejoin(li, supp, "suppkey").groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oarphpy_spark.operators.bloom import (
+    bloom_filter_column,
+    bloom_prejoin,
+    build_bloom,
+)
+from oarphpy_spark.operators.sketches import hll_merge, hll_rollup
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    dim = spark.range(0, 2000, 2).select(F.col("id").alias("k"))  # evens
+    bits = build_bloom(dim, "k", num_bits=1 << 16, num_hashes=5)
+
+    probe = spark.range(2000).select(F.col("id").alias("k"))
+    hits = probe.filter(
+        bloom_filter_column(bits, 1 << 16, 5, F.col("k"))
+    ).collect()
+    hit_keys = {r["k"] for r in hits}
+    # every member present (no false negatives)
+    assert all(k in hit_keys for k in range(0, 2000, 2))
+    # false-positive rate on the 1000 odd non-members stays small
+    fps = sum(1 for k in hit_keys if k % 2 == 1)
+    assert fps < 50  # < 5% at these parameters (theoretical ~0.1%)
+
+
+def test_bloom_prejoin_equals_plain_join(spark):
+    fact = spark.range(20_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(40).select(
+        (F.col("id") * 17 % 997).alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    ).dropDuplicates(["k"])
+    got = bloom_prejoin(fact, dim, "k").groupBy("name").count().collect()
+    want = fact.join(dim, "k").groupBy("name").count().collect()
+    assert {(r["name"], r["count"]) for r in got} == {
+        (r["name"], r["count"]) for r in want
+    }
+
+
+def test_hll_rollup_and_merge(spark):
+    df = spark.range(100_000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 5000).alias("v"),
+    )
+    per_group = hll_rollup(df, ["g"], "v")
+    rows = {r["g"]: r["approx_distinct"] for r in per_group.collect()}
+    # each group holds 1250 distinct values; HLL lg_k=12 err ~1.6%
+    for g, est in rows.items():
+        assert est == pytest.approx(1250, rel=0.05), (g, est)
+
+    # merge to global from the SKETCHES (raw data never rescanned)
+    merged = hll_merge(per_group.withColumn("all", F.lit(1)), ["all"])
+    est = merged.collect()[0]["approx_distinct"]
+    assert est == pytest.approx(5000, rel=0.05)
