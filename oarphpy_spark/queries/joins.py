@@ -263,3 +263,44 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query(
+    "q_join_range_bucketed",
+    oracle="""
+    SELECT p.event_id,
+           COUNT(*) AS n_clicks,
+           CAST(MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+    GROUP BY p.event_id
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style range join: clicks within the hour before each
+    purchase by the same user. A naive inequality join would plan as a
+    nested-loop explosion; ``operators.range_join`` buckets both sides
+    into hour chunks so the planner runs a plain equi hash join on
+    (user_id, chunk) with the BETWEEN as a residual filter."""
+    from oarphpy_spark.operators.range_join import range_join
+
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - 3_600_000_000).alias("lo_us"),
+        F.unix_micros("ts").alias("hi_us"),
+    )
+    joined = range_join(
+        clicks, purchases, "c_us", "lo_us", "hi_us",
+        on=["user_id"], chunk=3_600_000_000,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min(F.col("hi_us") - F.col("c_us")).cast("bigint").alias("min_gap_us"),
+    )

@@ -194,3 +194,36 @@ def test_salted_broadcast_join_rejects_outer(spark):
     build = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_broadcast_join(probe, build, "k", how="full")
+
+
+def test_range_join_matches_naive(spark):
+    from oarphpy_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5), (1, 50), (1, 99), (2, 10), (2, 200)], "k long, t long"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 40, 60, "b"), (1, 95, 105, "c"),
+         (2, 0, 300, "d"), (2, 150, 160, "e")],
+        "k long, lo long, hi long, name string",
+    )
+    got = range_join(pts, ivs, "t", "lo", "hi", on=["k"], chunk=16).collect()
+    naive = pts.alias("p").join(
+        ivs.alias("i"),
+        (F.col("p.k") == F.col("i.k"))
+        & F.col("p.t").between(F.col("i.lo"), F.col("i.hi")),
+    ).collect()
+    assert {(r["k"], r["t"], r["name"]) for r in got} == {
+        (r["k"], r["t"], r["name"]) for r in naive
+    }
+    assert len(got) == len(naive)  # no duplicate pairs from chunking
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from oarphpy_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame([(1, 5), (1, 1000)], "k long, t long")
+    ivs = spark.createDataFrame([(1, 0, 10, "a")], "k long, lo long, hi long, name string")
+    got = range_join(pts, ivs, "t", "lo", "hi", on=["k"], chunk=8, how="left").collect()
+    by_t = {r["t"]: r["name"] for r in got}
+    assert by_t == {5: "a", 1000: None}

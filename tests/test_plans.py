@@ -155,3 +155,9 @@ def test_ivf_multiprobe_single_join(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Join") <= 1  # cell equi-join only
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    plan = _plan(spark, "q_join_range_bucketed", "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
