@@ -41,6 +41,10 @@ def range_join(
     seconds/micros); ``chunk`` is in the same unit. ``how`` supports
     ``inner`` and ``left`` (points with no interval survive with NULL
     interval columns)."""
+    if chunk <= 0:
+        # non-ANSI division by zero would yield NULL chunks and a
+        # silently empty join instead of an error
+        raise ValueError(f"chunk must be positive, got {chunk}")
     on = on or []
     p_chunk = (F.col(point_col) / chunk).cast("long")
     i_chunks = F.sequence(

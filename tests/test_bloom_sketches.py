@@ -42,6 +42,60 @@ def test_bloom_prejoin_equals_plain_join(spark):
     }
 
 
+def test_bloom_survives_null_keys(spark, tmp_path):
+    """Regression: hashing str() of pandas cells turned a nullable
+    int64 batch into floats ('1' vs '1.0') -> false negatives. Hashing
+    engine-side (xxhash64) must be immune: a NULL in the dim batch
+    cannot lose the other members, and NULL fact keys probe False."""
+    import pandas as pd
+
+    pd.DataFrame({"k": [float(i) for i in range(0, 200, 2)] + [None]}).astype(
+        "Int64"
+    ).to_parquet(tmp_path / "dim.parquet")
+    dim = spark.read.parquet(str(tmp_path / "dim.parquet")).select(
+        F.col("k").cast("long").alias("k")
+    )
+    bits = build_bloom(dim, "k", num_bits=1 << 16, num_hashes=5)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(0, 200, 2)] + [(None,)], "k long"
+    )
+    hits = {
+        r["k"]
+        for r in probe.filter(
+            bloom_filter_column(bits, 1 << 16, 5, F.col("k"))
+        ).collect()
+    }
+    assert set(range(0, 200, 2)).issubset(hits)  # no false negatives
+    assert None not in hits  # NULL never probes true
+
+
+def test_bloom_prejoin_rejects_mismatched_key_types(spark):
+    fact = spark.range(10).select(F.col("id").cast("double").alias("k"))
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(TypeError, match="key types differ"):
+        bloom_prejoin(fact, dim, "k")
+
+
+def test_bloom_prejoin_with_null_fact_keys(spark):
+    fact = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k long, v string"
+    )
+    dim = spark.createDataFrame([(1, "x"), (None, "y")], "k long, name string")
+    got = bloom_prejoin(fact, dim, "k").collect()
+    want = fact.join(dim, "k").collect()
+    assert {(r["k"], r["v"], r["name"]) for r in got} == {
+        (r["k"], r["v"], r["name"]) for r in want
+    }
+
+
+def test_range_join_rejects_nonpositive_chunk(spark):
+    from oarphpy_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame([(1, 5)], "k long, t long")
+    with pytest.raises(ValueError, match="chunk must be positive"):
+        range_join(pts, pts, "t", "t", "t", chunk=0)
+
+
 def test_hll_rollup_and_merge(spark):
     df = spark.range(100_000).select(
         (F.col("id") % 4).alias("g"),
