@@ -36,3 +36,66 @@ def hll_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
         merged.alias("hll"),
         F.hll_sketch_estimate(merged).alias("approx_distinct"),
     )
+
+
+def approx_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> list[tuple]:
+    """Approximate top-k frequent values via mergeable Misra-Gries
+    summaries: each Arrow batch keeps at most ``capacity`` counters
+    (decrement-on-overflow), partials merge driver-side by counter
+    addition + re-trim. Guarantee: any value with true count >
+    N/capacity survives; reported counts undercount by at most
+    N/capacity. The bounded-memory alternative to the exact
+    explode-groupBy top-k when the value domain (e.g. a web-scale
+    vocabulary) is too wide to shuffle.
+
+    Returns ``[(value, approx_count), ...]`` sorted by count desc then
+    value — driver-side data, deliberately: heavy hitters are a
+    bounded summary, not a distributed table.
+    """
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def partials(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        counters: Counter = Counter()
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v is None:
+                    continue
+                if v in counters or len(counters) < capacity:
+                    counters[v] += 1
+                else:
+                    # decrement all; drop zeros (classic Misra-Gries)
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        if counters:
+            items = counters.most_common()
+            yield pd.DataFrame(
+                {"v": [x for x, _ in items], "n": [n for _, n in items]}
+            )
+
+    got = (
+        df.select(F.col(value_col).alias("v"))
+        .mapInPandas(partials, schema=f"v {df.schema[value_col].dataType.simpleString()}, n long")
+        .collect()
+    )
+    merged: "Counter" = Counter()
+    for r in sorted(got, key=lambda r: (str(r["v"]),)):
+        merged[r["v"]] += r["n"]
+    # re-trim the merged summary to capacity (summary merge rule)
+    if len(merged) > capacity:
+        kth = sorted(merged.values(), reverse=True)[capacity - 1]
+        for key in list(merged):
+            merged[key] -= kth
+            if merged[key] <= 0:
+                del merged[key]
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+    return top

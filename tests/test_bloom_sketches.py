@@ -111,3 +111,29 @@ def test_hll_rollup_and_merge(spark):
     merged = hll_merge(per_group.withColumn("all", F.lit(1)), ["all"])
     est = merged.collect()[0]["approx_distinct"]
     assert est == pytest.approx(5000, rel=0.05)
+
+
+def test_misra_gries_heavy_hitters(spark):
+    from oarphpy_spark.operators.sketches import approx_heavy_hitters
+
+    # skewed domain: value v appears ~ 60000/(v+1) times (zipf-ish)
+    df = spark.range(120_000).select(
+        (F.floor(F.sqrt(F.col("id") % 60_000))).cast("long").alias("v")
+    )
+    exact = {
+        r["v"]: r["n"]
+        for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    true_top10 = sorted(exact, key=lambda v: (-exact[v], v))[:10]
+
+    got = approx_heavy_hitters(df, "v", k=10, capacity=2048)
+    got_vals = [v for v, _ in got]
+    # the guarantee: every value with count > N/capacity must appear
+    n_total = 120_000
+    for v, n in exact.items():
+        if n > n_total / 2048 and v in true_top10:
+            assert v in got_vals, (v, n)
+    # approximate counts never exceed the truth + are within bound
+    for v, n in got:
+        assert n <= exact[v]
+        assert n >= exact[v] - n_total / 2048
