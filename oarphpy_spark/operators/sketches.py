@@ -66,8 +66,6 @@ def approx_heavy_hitters(
         counters: Counter = Counter()
         for pdf in batches:
             for v in pdf["v"]:
-                if v is None:
-                    continue
                 if v in counters or len(counters) < capacity:
                     counters[v] += 1
                 else:
@@ -83,7 +81,11 @@ def approx_heavy_hitters(
             )
 
     got = (
+        # NULLs filter engine-side: a numeric batch containing nulls
+        # arrives as float64-with-NaN in pandas, where `v is None`
+        # would miss and NaN would pollute the counters
         df.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
         .mapInPandas(partials, schema=f"v {df.schema[value_col].dataType.simpleString()}, n long")
         .collect()
     )

@@ -113,6 +113,16 @@ def test_hll_rollup_and_merge(spark):
     assert est == pytest.approx(5000, rel=0.05)
 
 
+def test_heavy_hitters_ignores_nulls(spark):
+    from oarphpy_spark.operators.sketches import approx_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,), (None,)], "v long"
+    )
+    got = dict(approx_heavy_hitters(df, "v", k=5, capacity=16))
+    assert got == {1: 2, 2: 1}  # NULLs never become a heavy hitter
+
+
 def test_misra_gries_heavy_hitters(spark):
     from oarphpy_spark.operators.sketches import approx_heavy_hitters
 
