@@ -931,3 +931,82 @@ def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8,
         centroids=_ivf_centroids(spark, sf_dir, 8), n_probe=2,
     )
+
+
+@query(
+    "q_text_clean",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(regexp_replace(
+                 regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                 '\s+', ' ', 'g')), '\s+', ' ', 'g')) AS clean_md5,
+           length(regexp_replace(trim(regexp_replace(
+                 regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                 '\s+', ' ', 'g')), '\s+', ' ', 'g')) AS clean_len
+    FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time text normalization: control characters -> spaces,
+    whitespace runs collapsed, trimmed. Pure regexp column expressions
+    (scan-bound); output is the md5 + length of the cleaned text so the
+    full transform is hash-checked without emitting document bodies."""
+    docs = table(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[\\x00-\\x1f\\x7f]", " "),
+                "\\s+",
+                " ",
+            )
+        ),
+        "\\s+",
+        " ",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned.cast("binary")).alias("clean_md5"),
+        F.length(cleaned).alias("clean_len"),
+    )
+
+
+@query(
+    "q_token_doc_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+      FROM documents
+    ), df AS (
+      SELECT token, COUNT(*) AS doc_freq FROM toks GROUP BY token
+    )
+    SELECT token, doc_freq,
+           ROUND(ln((1.0 + (SELECT COUNT(*) FROM documents)) / (1.0 + doc_freq)), 6) AS idf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token) AS rk FROM df
+    ) WHERE rk <= 30
+    """,
+)
+def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + smoothed IDF for the 30 most-common tokens:
+    per-doc DISTINCT tokens explode (array_distinct bounds the explode
+    at vocabulary-per-doc, not token count), partial-aggregated count,
+    TakeOrderedAndProject. The IDF table that quality/rarity scoring
+    joins against; at 100 TB the distinct-per-doc trick is what keeps
+    the shuffle proportional to vocabulary, not corpus length."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        F.explode(F.array_distinct(norm_tokens(F.col("text")))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    return (
+        counts.orderBy(F.col("doc_freq").desc(), "token")
+        .limit(30)
+        .select(
+            "token",
+            "doc_freq",
+            F.round(
+                F.log((1.0 + float(n_docs)) / (1.0 + F.col("doc_freq"))), 6
+            ).alias("idf"),
+        )
+    )
