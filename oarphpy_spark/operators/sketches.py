@@ -80,13 +80,19 @@ def approx_heavy_hitters(
                 {"v": [x for x, _ in items], "n": [n for _, n in items]}
             )
 
+    # NULLs filter engine-side: a numeric batch containing nulls
+    # arrives as float64-with-NaN in pandas, where a per-value None
+    # check would miss. Literal NaNs in float columns are dropped too:
+    # each np.float64 NaN is its own dict identity, so one NaN-heavy
+    # column would otherwise flood the counters with count-1 entries.
+    vals = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    if df.schema[value_col].dataType.simpleString() in ("float", "double"):
+        vals = vals.filter(~F.isnan(F.col("v")))
     got = (
-        # NULLs filter engine-side: a numeric batch containing nulls
-        # arrives as float64-with-NaN in pandas, where `v is None`
-        # would miss and NaN would pollute the counters
-        df.select(F.col(value_col).alias("v"))
-        .filter(F.col("v").isNotNull())
-        .mapInPandas(partials, schema=f"v {df.schema[value_col].dataType.simpleString()}, n long")
+        vals.mapInPandas(
+            partials,
+            schema=f"v {df.schema[value_col].dataType.simpleString()}, n long",
+        )
         .collect()
     )
     merged: "Counter" = Counter()

@@ -937,12 +937,12 @@ def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_clean",
     oracle=r"""
     SELECT doc_id,
-           md5(regexp_replace(trim(regexp_replace(
+           md5(trim(regexp_replace(
                  regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
-                 '\s+', ' ', 'g')), '\s+', ' ', 'g')) AS clean_md5,
-           length(regexp_replace(trim(regexp_replace(
+                 '\s+', ' ', 'g'))) AS clean_md5,
+           length(trim(regexp_replace(
                  regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
-                 '\s+', ' ', 'g')), '\s+', ' ', 'g')) AS clean_len
+                 '\s+', ' ', 'g'))) AS clean_len
     FROM documents
     """,
 )
@@ -952,20 +952,18 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scan-bound); output is the md5 + length of the cleaned text so the
     full transform is hash-checked without emitting document bodies."""
     docs = table(spark, sf_dir, "documents")
-    cleaned = F.regexp_replace(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), "[\\x00-\\x1f\\x7f]", " "),
-                "\\s+",
-                " ",
-            )
-        ),
-        "\\s+",
-        " ",
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[\\x00-\\x1f\\x7f]", " "),
+            "\\s+",
+            " ",
+        )
     )
+    from oarphpy_spark.functions.text import md5_str
+
     return docs.select(
         "doc_id",
-        F.md5(cleaned.cast("binary")).alias("clean_md5"),
+        md5_str(cleaned).alias("clean_md5"),
         F.length(cleaned).alias("clean_len"),
     )
 
@@ -994,7 +992,10 @@ def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins against; at 100 TB the distinct-per-doc trick is what keeps
     the shuffle proportional to vocabulary, not corpus length."""
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size as a lazy 1-row aggregate broadcast-joined in (the
+    # oracle's scalar subquery shape) — not an eager .count() at
+    # plan-build time
+    n_docs = docs.agg(F.count("*").alias("__n"))
     toks = docs.select(
         F.explode(F.array_distinct(norm_tokens(F.col("text")))).alias("token")
     )
@@ -1002,11 +1003,12 @@ def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.orderBy(F.col("doc_freq").desc(), "token")
         .limit(30)
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "token",
             "doc_freq",
             F.round(
-                F.log((1.0 + float(n_docs)) / (1.0 + F.col("doc_freq"))), 6
+                F.log((1.0 + F.col("__n")) / (1.0 + F.col("doc_freq"))), 6
             ).alias("idf"),
         )
     )

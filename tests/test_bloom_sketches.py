@@ -124,26 +124,35 @@ def test_heavy_hitters_ignores_nulls(spark):
 
 
 def test_misra_gries_heavy_hitters(spark):
+    """capacity (64) is far below the distinct-value count (~1001), so
+    the decrement sweeps and the merge re-trim genuinely run — the
+    bound assertions are not vacuous exact-counting."""
     from oarphpy_spark.operators.sketches import approx_heavy_hitters
 
-    # skewed domain: value v appears ~ 60000/(v+1) times (zipf-ish)
+    # 3 dominant values + a 1000-value uniform tail
     df = spark.range(120_000).select(
-        (F.floor(F.sqrt(F.col("id") % 60_000))).cast("long").alias("v")
+        F.when(F.col("id") < 50_000, 0)
+        .when(F.col("id") < 80_000, 1)
+        .when(F.col("id") < 100_000, 2)
+        .otherwise(3 + F.col("id") % 1000)
+        .cast("long")
+        .alias("v")
     )
     exact = {
         r["v"]: r["n"]
         for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()
     }
-    true_top10 = sorted(exact, key=lambda v: (-exact[v], v))[:10]
+    n_total, capacity = 120_000, 64
+    threshold = n_total / capacity  # 1875
 
-    got = approx_heavy_hitters(df, "v", k=10, capacity=2048)
-    got_vals = [v for v, _ in got]
+    got = dict(approx_heavy_hitters(df, "v", k=10, capacity=capacity))
     # the guarantee: every value with count > N/capacity must appear
-    n_total = 120_000
-    for v, n in exact.items():
-        if n > n_total / 2048 and v in true_top10:
-            assert v in got_vals, (v, n)
-    # approximate counts never exceed the truth + are within bound
-    for v, n in got:
-        assert n <= exact[v]
-        assert n >= exact[v] - n_total / 2048
+    for v in (0, 1, 2):
+        assert exact[v] > threshold
+        assert v in got, (v, exact[v])
+        # reported counts only undercount, and by at most N/capacity
+        assert got[v] <= exact[v]
+        assert got[v] >= exact[v] - threshold
+    # nothing from the 120-count tail can outrank the dominants
+    top3 = sorted(got, key=lambda v: -got[v])[:3]
+    assert set(top3) == {0, 1, 2}
