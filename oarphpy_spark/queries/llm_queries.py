@@ -1012,3 +1012,66 @@ def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
+
+
+@query(
+    "q_dedup_minhash_verified",
+    oracle=f"""
+    WITH cand AS ({_minhash_oracle()}),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(lower(text), ' ')) - 2 >= 1
+                    THEN list_transform(
+                           generate_series(1, len(string_split(lower(text), ' ')) - 2),
+                           i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))
+                    ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END
+             ) AS sh
+      FROM documents
+    )
+    SELECT doc_a, doc_b, n_shared_bands, jaccard FROM (
+      SELECT cand.doc_a, cand.doc_b, cand.n_shared_bands,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                   6) AS jaccard
+      FROM cand
+      JOIN sets a ON cand.doc_a = a.doc_id
+      JOIN sets b ON cand.doc_b = b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup pipeline in one declarative plan:
+    MinHash+LSH banding proposes candidate pairs (equi-join on band
+    hashes, never all-pairs), then exact shingle-Jaccard verifies ONLY
+    those candidates — the quadratic term is bounded by LSH bucket
+    sizes, exactly as the individual operators' docstrings promise for
+    100 TB. Output: verified pairs with their band support and score."""
+    docs = table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+    )
+    from oarphpy_spark.functions.text import norm_tokens as _nt
+    from oarphpy_spark.functions.text import shingles as _sh
+
+    sets = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(_sh(_nt(F.col("text")), 3)).alias("sh"),
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.round(
+                inter.cast("double") / union.cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -194,3 +194,79 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH mv AS (
+      SELECT user_id, MIN(ts) AS v
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), mc AS (
+      SELECT e.user_id, MIN(e.ts) AS c
+      FROM events e JOIN mv ON e.user_id = mv.user_id
+      WHERE e.event_type = 'click' AND e.ts > mv.v AND e.ts <= mv.v + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    ), mp AS (
+      SELECT e.user_id, MIN(e.ts) AS p
+      FROM events e JOIN mc ON e.user_id = mc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > mc.c AND e.ts <= mc.c + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    )
+    SELECT stage, COUNT(*) AS n_users FROM (
+      SELECT mv.user_id,
+             CASE WHEN mp.user_id IS NOT NULL THEN 'purchase'
+                  WHEN mc.user_id IS NOT NULL THEN 'click'
+                  ELSE 'view' END AS stage
+      FROM mv
+      LEFT JOIN mc ON mv.user_id = mc.user_id
+      LEFT JOIN mp ON mv.user_id = mp.user_id
+    ) GROUP BY stage
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view, then the first click
+    within 3 days AFTER that view, then the first purchase within 3
+    days AFTER that click — per
+    user, counted by the furthest stage reached. Each stage is a
+    partial-aggregated min on user_id; all three stage frames shuffle
+    on the SAME key, so AQE plans them as co-partitioned joins with no
+    re-exchange of the big side."""
+    events = table(spark, sf_dir, "events")
+
+    mv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    mc = (
+        events.filter(F.col("event_type") == "click")
+        .join(mv, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v"))
+            & (F.col("ts") <= F.col("v") + F.expr("INTERVAL 3 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
+    )
+    mp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(mc, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c"))
+            & (F.col("ts") <= F.col("c") + F.expr("INTERVAL 3 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    staged = (
+        mv.join(mc, "user_id", "left")
+        .join(mp, "user_id", "left")
+        .select(
+            F.when(F.col("p").isNotNull(), "purchase")
+            .when(F.col("c").isNotNull(), "click")
+            .otherwise("view")
+            .alias("stage")
+        )
+    )
+    return staged.groupBy("stage").agg(F.count("*").alias("n_users"))
