@@ -110,7 +110,8 @@ def frame_sample(
     binary blob (the video-frame-sampling shape: the real decoder is a
     stub — see ``decode_image`` — but the batching, offsets, and output
     schema are the production plumbing). Output one row per
-    (doc_id, frame_idx) with the frame bytes."""
+    (doc_id, frame_idx) with the frame's byte offset (provenance) and
+    the frame bytes."""
 
     def sample(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -126,13 +127,16 @@ def frame_sample(
                         {
                             "doc_id": int(doc_id),
                             "frame_idx": i,
+                            "off": off,
                             "frame": data[off : off + frame_bytes],
                         }
                     )
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "off", "frame"]
+            )
 
     return blobs.select("doc_id", "data").mapInPandas(
-        sample, schema="doc_id bigint, frame_idx int, frame binary"
+        sample, schema="doc_id bigint, frame_idx int, off bigint, frame binary"
     )
 
 

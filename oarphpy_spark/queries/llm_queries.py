@@ -1075,3 +1075,36 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST((16 + (doc_id % 5) * 8) * (16 + (doc_id % 3) * 8) AS BIGINT) AS L,
+             97 + CAST(doc_id % 26 AS INT) AS ch
+      FROM documents
+    ), f AS (
+      SELECT doc_id, L, ch, unnest(generate_series(0, 3)) AS frame_idx FROM b
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           LEAST(frame_idx * GREATEST(1, (L - 64) // 3), L - 64) AS off,
+           md5(repeat(chr(ch), 64)) AS frame_md5
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame sampling from binary media blobs (the
+    video-frame shape): 4 frames of 64 bytes per blob via Arrow-batched
+    mapInPandas. The oracle re-derives every offset from the synthetic
+    blob geometry, so the sampling arithmetic — not just the bytes —
+    is hash-checked."""
+    from oarphpy_spark.llm.multimodal import frame_sample
+
+    blobs = synth_blob_table(table(spark, sf_dir, "documents"))
+    frames = frame_sample(blobs, n_frames=4, frame_bytes=64)
+    return frames.select(
+        "doc_id", "frame_idx", "off", F.md5("frame").alias("frame_md5")
+    )
