@@ -1108,3 +1108,88 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", "off", F.md5("frame").alias("frame_md5")
     )
+
+
+@query(
+    "q_train_val_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE
+               WHEN CAST(('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-free
+    id hash (md5 of a salted id, first 4 hex nibbles mod 100): stable
+    across runs, clusters, and engines — the property a reproducible
+    training pipeline needs, vs rand()-based splits that reshuffle
+    every execution. Pure column expressions; rollup by (split, lang)
+    proves distributional balance without emitting assignments."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string")).cast("binary")),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "q_seq_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // 2048 AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY pack_id
+    """,
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents in
+    deterministic id order are packed greedily into ~2048-token bins
+    (bin = exclusive-prefix-sum div budget — each bin holds whole
+    documents and overflows by at most one doc, the standard
+    approximation). One window pass; at 100 TB the ORDER BY is the
+    only global sort and is what gives run-to-run identical batches —
+    the reproducibility requirement of a training-data freeze."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(norm_tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "pack_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
