@@ -14,10 +14,14 @@ queries that most need fresh verification this round:
    similarity/simhash paths, NULL-safe cosine, norm precompute);
 3. queries that are brand new this round (multiprobe IVF, int8
    quantization, token top-k, TPC-H Q5/Q18, Bloom pre-join, bucketized
-   range join).
+   range join, conversion funnel, verified near-dup pipeline, frame
+   sampling, train/val split, sequence packing).
 
 Queries with green round-1 rows and unchanged implementations follow
-in registration order.
+in registration order, as do a handful of never-checked relational
+basics (project/orderby/union/distinct/limit) whose physical shapes
+are fully covered by other green queries and plan tests — evicted to
+make room for the new operators; they rotate back in next round.
 """
 
 import oarphpy_spark.queries.codec_queries  # noqa: F401
@@ -34,7 +38,6 @@ from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
     # relational (no r1 correctness row)
-    "q_project",
     "q_filter_eq",
     "q_filter_range",
     "q_filter_sql_string",
@@ -42,13 +45,9 @@ _ROUND_PRIORITY = [
     "q_select_nested_field",
     "q_case_when",
     "q_groupby_count",
-    "q_distinct",
     "q_approx_count_distinct",
     "q_grouping_sets",
     "q_collect_list_examples",
-    "q_orderby",
-    "q_limit_topk",
-    "q_union_all",
     "q_intersect_except",
     # scalar fns (no r1 correctness row)
     "q_fn_string",
@@ -91,6 +90,11 @@ _ROUND_PRIORITY = [
     "q_sql_tpch_q18",
     "q_join_bloom_prune",
     "q_join_range_bucketed",
+    "q_events_funnel",
+    "q_dedup_minhash_verified",
+    "q_multimodal_frames",
+    "q_train_val_split",
+    "q_seq_packing",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)

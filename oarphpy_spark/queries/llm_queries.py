@@ -952,6 +952,8 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scan-bound); output is the md5 + length of the cleaned text so the
     full transform is hash-checked without emitting document bodies."""
     docs = table(spark, sf_dir, "documents")
+    from oarphpy_spark.functions.text import md5_str
+
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), "[\\x00-\\x1f\\x7f]", " "),
@@ -959,8 +961,6 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    from oarphpy_spark.functions.text import md5_str
-
     return docs.select(
         "doc_id",
         md5_str(cleaned).alias("clean_md5"),
@@ -1047,17 +1047,20 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     those candidates — the quadratic term is bounded by LSH bucket
     sizes, exactly as the individual operators' docstrings promise for
     100 TB. Output: verified pairs with their band support and score."""
+    from oarphpy_spark.functions.text import shingles
+
     docs = table(spark, sf_dir, "documents")
     cand = minhash_candidate_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
     )
-    from oarphpy_spark.functions.text import norm_tokens as _nt
-    from oarphpy_spark.functions.text import shingles as _sh
-
+    # persist: the shingle-set subtree feeds BOTH sides of the
+    # verification join and Catalyst does not dedupe differently-
+    # aliased subplans — without this the tokenize+shingle pipeline
+    # (the expensive part) runs twice more on top of the signature pass
     sets = docs.select(
         F.col("doc_id"),
-        F.array_distinct(_sh(_nt(F.col("text")), 3)).alias("sh"),
-    )
+        F.array_distinct(shingles(norm_tokens(F.col("text")), 3)).alias("sh"),
+    ).persist()
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -1134,10 +1137,12 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     every execution. Pure column expressions; rollup by (split, lang)
     proves distributional balance without emitting assignments."""
     docs = table(spark, sf_dir, "documents")
+    from oarphpy_spark.functions.text import md5_str
+
     bucket = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string")).cast("binary")),
+                md5_str(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
                 1, 4,
             ),
             16, 10,
