@@ -28,6 +28,7 @@ def salted_agg(
     partials: dict[str, Column],
     merges: dict[str, Column],
     n_salts: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Two-stage skew-safe aggregation.
 
@@ -35,13 +36,21 @@ def salted_agg(
     ``merges``: output_name -> aggregate over stage-1 partials (stage 2,
     referencing the stage-1 output columns by name).
 
+    ``salt_col`` optionally names an existing deterministic salt column
+    (e.g. a row-identity hash mod n) — preferable to the ``rand``
+    default wherever reproducible runs matter, since rand() salts
+    depend on partitioning.
+
     Example::
 
         salted_agg(li, ["l_returnflag"],
                    partials={"n": F.count("*"), "s": F.sum("l_quantity")},
                    merges={"n": F.sum("n"), "s": F.sum("s")})
     """
-    salted = df.withColumn("__salt", (F.rand(7) * n_salts).cast("int"))
+    if salt_col is not None:
+        salted = df.withColumn("__salt", F.col(salt_col))
+    else:
+        salted = df.withColumn("__salt", (F.rand(7) * n_salts).cast("int"))
     stage1 = salted.groupBy(*key_cols, "__salt").agg(
         *[c.alias(name) for name, c in partials.items()]
     )

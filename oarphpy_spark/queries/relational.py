@@ -435,3 +435,51 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = cust.intersect(okeys).withColumn("kind", F.lit("with_orders"))
     none = cust.exceptAll(okeys.distinct()).distinct().withColumn("kind", F.lit("no_orders"))
     return both.unionByName(none)
+
+
+@query(
+    "q_skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation over a pathologically hot key
+    (l_returnflag has 3 values for the whole fact table — the shape
+    where a plain groupBy sends a third of 100 TB through three
+    reducers). Salting fans stage 1 out over (key, salt) then merges
+    per key; the salt derives from row identity (xxhash64), NOT rand(),
+    so results and parity are reproducible under any partitioning.
+    Results are identical to the plain GROUP BY — the oracle IS the
+    plain GROUP BY."""
+    from oarphpy_spark.operators.skew import salted_agg
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "__row_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)).cast("int"),
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        partials={
+            "n_items": F.count("*"),
+            "sum_qty": F.sum("l_quantity"),
+            "sum_price": F.sum("l_extendedprice"),
+        },
+        merges={
+            "n_items": F.sum("n_items"),
+            "sum_qty": F.sum("sum_qty"),
+            "sum_price": F.sum("sum_price"),
+        },
+        salt_col="__row_salt",
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+    )
