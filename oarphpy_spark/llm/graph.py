@@ -1,0 +1,118 @@
+"""Distributed connected components for dedup clustering.
+
+MinHash/SimHash candidate generation emits near-dup *pairs*; curation
+needs *clusters* ("keep one representative per group of mutual
+near-dups"), and pairs only become clusters through transitive closure
+— a graph connectivity problem.
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SOCC 2014): every round is two shuffle-bounded
+DataFrame passes (a groupBy-min and an equi-join, both keyed on node
+id), and the edge set converges to one star per component centered at
+the component's minimum node id in O(log^2 n) rounds — 2-3 rounds for
+the shallow clusters near-dup graphs produce.  This is the shape that
+survives 100 TB: no adjacency lists in driver memory, no per-node
+message loops, just a handful of hash-partitioned self-joins over an
+edge table that *shrinks* as stars collapse.
+
+Per-round driver work is one tiny action (a 1-row convergence
+checksum); ``localCheckpoint`` truncates the growing lineage so round
+k's plan does not replay rounds 1..k-1 (at production scale prefer a
+reliable ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+so a lost executor cannot orphan the uncommitted edge blocks).
+
+The reference has no graph operator; this extends its dedup surface
+(reference `oarphpy/spark.py` has only row-level utilities) the way
+its `union_dfs`/`df_histogram` extend relational basics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SRC, _DST = "__cc_src", "__cc_dst"
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    sym = edges.union(
+        edges.select(F.col(_DST).alias(_SRC), F.col(_SRC).alias(_DST))
+    )
+    mins = sym.groupBy(_SRC).agg(
+        F.least(F.min(_DST), F.col(_SRC)).alias("__m")
+    )
+    return (
+        sym.join(mins, _SRC)
+        .filter(F.col(_DST) > F.col(_SRC))
+        .select(F.col(_DST).alias(_SRC), F.col("__m").alias(_DST))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward smaller ids, then connect every
+    smaller-or-equal neighbor of u (and u itself) to the minimum."""
+    oriented = edges.select(
+        F.greatest(_SRC, _DST).alias(_SRC), F.least(_SRC, _DST).alias(_DST)
+    ).filter(F.col(_SRC) != F.col(_DST))
+    mins = oriented.groupBy(_SRC).agg(F.min(_DST).alias("__m"))
+    relink = (
+        oriented.join(mins, _SRC)
+        .select(F.col(_DST).alias(_SRC), F.col("__m").alias(_DST))
+    )
+    center = mins.select(F.col(_SRC), F.col("__m").alias(_DST))
+    return (
+        relink.union(center)
+        .filter(F.col(_SRC) != F.col(_DST))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Transitive closure of an undirected edge list.
+
+    Returns ``(node, component)`` — one row per non-isolated node,
+    where ``component`` is the minimum node id in its connected
+    component (the canonical cluster representative). Callers supply
+    isolated nodes themselves (left-join + coalesce), which keeps this
+    operator pure edge-in / star-out.
+
+    ``max_iter`` is a safety bound; the algorithm provably converges
+    and near-dup graphs settle in 2-4 rounds. Raises if the bound is
+    hit without convergence (silently-partial clusters would corrupt
+    a dedup pass).
+    """
+    e = (
+        edges.select(F.col(src).alias(_SRC), F.col(dst).alias(_DST))
+        .filter(F.col(_SRC) != F.col(_DST))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e_next = _small_star(_large_star(e)).localCheckpoint()
+        # One 1-row action per round: (edge count, order-independent
+        # content checksum). Equal rounds => the star set is a fixpoint.
+        row = e_next.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64(_SRC, _DST).cast("decimal(38,0)")), F.lit(0)
+            ).alias("chk"),
+        ).collect()[0]
+        state = (row["n"], row["chk"])
+        e = e_next
+        if state == prev:
+            break
+        prev = state
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return e.select(F.col(_SRC).alias("node"), F.col(_DST).alias("component"))

@@ -19,6 +19,7 @@ from oarphpy_spark.llm.dedup import (
     simhash16,
 )
 from oarphpy_spark.functions.text import norm_tokens
+from oarphpy_spark.llm.graph import connected_components
 from oarphpy_spark.llm.multimodal import blob_feature_stats, synth_blob_table
 from oarphpy_spark.llm.similarity import (
     brute_force_topk,
@@ -1077,6 +1078,55 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup CLUSTERS: transitive closure of the
+    MinHash candidate graph via alternating large-star/small-star
+    connected components (llm/graph.py), then one label per document
+    (cluster representative = min doc_id; singletons label themselves).
+
+    The oracle states the same closure as a DuckDB recursive CTE —
+    fine at oracle scale, quadratic blowup at corpus scale, which is
+    exactly why the engine side iterates shuffle-bounded star rounds
+    instead. "Keep one per cluster" is then a filter on
+    doc_id = cluster_id."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
     )
 
 

@@ -1,0 +1,81 @@
+"""connected_components vs a union-find reference on random graphs."""
+
+from __future__ import annotations
+
+import random
+
+from oarphpy_spark.llm.graph import connected_components
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: label every node by the min id in its component
+    comp_min: dict[int, int] = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n_nodes)}
+
+
+def _run(spark, n_nodes, edges):
+    df = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    if not edges:
+        df = df.filter("a != a")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "a", "b").collect()
+    }
+    want = _uf_components(n_nodes, edges)
+    # the operator emits one (leaf -> center) row per non-center node
+    # of each >=2-node component; isolated nodes and centers are absent
+    # (callers restore them with left-join + coalesce)
+    non_isolated = {x for a, b in edges if a != b for x in (a, b)}
+    for v in non_isolated:
+        if want[v] == v:
+            assert v not in got
+        else:
+            assert got[v] == want[v], (v, got.get(v), want[v])
+    assert set(got) == {v for v in non_isolated if want[v] != v}
+
+
+def test_cc_empty(spark):
+    assert connected_components(
+        spark.createDataFrame([], "a long, b long"), "a", "b"
+    ).count() == 0
+
+
+def test_cc_single_edge(spark):
+    _run(spark, 3, [(2, 1)])
+
+
+def test_cc_chain_needs_multiple_rounds(spark):
+    # a 64-node path graph: worst-case diameter for label propagation;
+    # star-contraction must still converge within the iteration bound
+    edges = [(i, i + 1) for i in range(63)]
+    _run(spark, 64, edges)
+
+
+def test_cc_self_loops_and_duplicates(spark):
+    _run(spark, 5, [(1, 1), (1, 2), (2, 1), (1, 2), (3, 4)])
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 40 + trial * 20
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(int(n * 0.7))
+        ]
+        _run(spark, n, edges)
