@@ -17,6 +17,7 @@ local three-scale parity sweep re-covers the changes.
 """
 
 import oarphpy_spark.queries.codec_queries  # noqa: F401
+import oarphpy_spark.queries.curation  # noqa: F401
 import oarphpy_spark.queries.fidelity  # noqa: F401
 import oarphpy_spark.queries.inventory_extras  # noqa: F401
 import oarphpy_spark.queries.joins  # noqa: F401
