@@ -1,15 +1,22 @@
-"""Bucketed tables: shuffle-free co-located joins.
+"""Bucketed-table helpers: pre-shuffle once at write time, join and
+aggregate shuffle-free forever after.
 
-At 100 TB the dominant cost of fact-to-fact joins is shuffling both
-sides on the join key. Writing both tables bucketed (and sorted) on
-that key makes the partitioning a table property: every subsequent
-join on the bucket key is exchange-free — each task merge-joins bucket
-i of A with bucket i of B straight off storage.
+At 100 TB the dominant cost of a fact-to-fact equi-join is the
+all-to-all exchange of both sides. Spark's bucketing trades that for
+a one-time clustered write: ``df.write.bucketBy(n, key).sortBy(key)``
+hash-partitions rows into a fixed number of files per partition, and
+every later join or aggregation keyed on the bucket column reads the
+co-located buckets directly — the planner drops the Exchange (and
+with ``sortBy``, the Sort) from both sides. The write-side shuffle is
+paid once; nightly pipelines that join the same fact tables repeatedly
+amortize it to zero.
 
-These helpers wrap ``bucketBy``/``saveAsTable`` (bucketed layout
-requires the catalog; plain ``.parquet()`` paths cannot record bucket
-metadata) and are proven shuffle-free by tests/test_scale.py, which
-asserts the joined plan contains no Exchange.
+Rules that make it work (asserted by tests/test_bucketing.py):
+* both sides bucketed on the join key with the SAME bucket count
+  (or a multiple, with ``spark.sql.bucketing.coalesceBucketsInJoin``),
+* bucket count sized so a single bucket fits an executor's memory at
+  target scale (buckets = total_bytes / ~256 MB is a sane start),
+* ``spark.sql.sources.bucketing.enabled`` left on (default).
 """
 
 from __future__ import annotations
@@ -19,20 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(
     df: DataFrame,
-    table_name: str,
-    bucket_col: str,
-    num_buckets: int = 8,
-    sorted_by: str | None = None,
+    name: str,
+    key: str,
+    num_buckets: int,
+    sort: bool = True,
 ) -> None:
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
-    writer = writer.sortBy(sorted_by or bucket_col)
-    writer.format("parquet").saveAsTable(table_name)
+    """Persist ``df`` as a bucketed (and optionally sort-clustered)
+    managed table keyed for shuffle-free joins/aggs on ``key``."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(name)
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+    spark: SparkSession, left: str, right: str, key: str
 ) -> DataFrame:
-    """Join two same-bucketed catalog tables on the bucket key. With
-    matching bucket counts the planner emits a SortMergeJoin with NO
-    Exchange on either side."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)
+    """Equi-join two co-bucketed tables on their bucket key; with both
+    sides bucketed alike the physical plan carries no Exchange."""
+    lt, rt = spark.table(left), spark.table(right)
+    return lt.join(rt, key)
