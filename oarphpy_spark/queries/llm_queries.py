@@ -1248,3 +1248,117 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "q_doc_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), ch AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 16, 1), 48)) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(least(64, len(t) - s + 1) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[s:s+63], ' ')) AS chunk_md5
+    FROM ch
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, 16-token
+    overlap => stride 48) — the context-window splitter every
+    pretraining / RAG ingest runs. One generate-sequence + explode per
+    document: rows multiply by ~n_tokens/stride but nothing shuffles
+    (chunk rows inherit the scan's partitioning), and the chunk text
+    itself stays an expression (md5 here proves the content without
+    carrying it). The fallback start list [1] keeps sub-stride
+    documents as single short chunks."""
+    docs = table(spark, sf_dir, "documents")
+    toks = norm_tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - 16, F.lit(1)), F.lit(48)
+    )
+    return (
+        docs.select("doc_id", toks.alias("t"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / 48).cast("long").alias("chunk_idx"),
+            F.col("s").cast("long").alias("start_tok"),
+            F.least(F.lit(64), F.size("t") - F.col("s") + 1)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice("t", F.col("s"), 64)).cast("binary")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "q_sim_lsh_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 5),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a='q.v', b='e.v')}, 6) AS cos
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM exact_scored WHERE cos IS NOT NULL
+      ) WHERE rk <= 5
+    ),
+    sig AS (
+      SELECT vec_id, v, {_lsh_sig_duck('v')} AS bucket FROM e
+    ), qs AS (SELECT * FROM sig WHERE vec_id < 5),
+    approx_scored AS (
+      SELECT qs.vec_id AS query_id, s.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a='qs.v', b='s.v')}, 6) AS cos
+      FROM sig s JOIN qs ON s.bucket = qs.bucket WHERE s.vec_id <> qs.vec_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM approx_scored WHERE cos IS NOT NULL
+      ) WHERE rk <= 5
+    )
+    SELECT x.query_id AS query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM exact x LEFT JOIN approx a
+      ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the hyperplane-LSH index
+    against the exact cosine top-5, per query. This is the query an
+    index owner runs after every rebuild — approximate search is only
+    shippable with a measured recall. Both arms reuse the declared
+    operators; the join is on (query, neighbor) ids, so the eval costs
+    one extra broadcast join over the two top-k results."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries_df, k=5)
+    approx = hyperplane_lsh_topk(
+        emb, queries_df, k=5, num_planes=4, dim=_emb_dim(spark, sf_dir)
+    )
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("__hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("__hit").alias("n_hits"),
+        F.round(F.count("__hit") / 5.0, 6).alias("recall_at_5"),
+    )

@@ -270,3 +270,43 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return staged.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q_cdc_latest",
+    oracle="""
+    SELECT user_id, last_event_id, last_event_type, last_value, last_ts
+    FROM (
+      SELECT user_id,
+             event_id AS last_event_id,
+             event_type AS last_event_type,
+             value AS last_value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / upsert-latest: collapse an append-only change
+    stream to one current row per key. The engine shape is a single
+    max(struct(ts, event_id, ...)) aggregation — partial aggregation
+    combines map-side, so only one row PER KEY per input partition
+    crosses the wire, where the equivalent row_number window (the
+    oracle's phrasing, identical output) would shuffle and sort the
+    full 100 TB history. This is the nightly job that turns an event
+    log into a dimension snapshot."""
+    events = table(spark, sf_dir, "events")
+    latest = events.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value").alias("last_value"),
+        F.date_format("s.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
