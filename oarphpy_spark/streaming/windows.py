@@ -133,3 +133,27 @@ def run_to_memory_sink(
             f"streaming query {query_name!r} did not finish in {timeout_sec}s"
         )
     return stream_df.sparkSession.table(query_name)
+
+
+def enriched_counts_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    seg_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    static dimension (re-read per batch, so a nightly-refreshed dim
+    parquet is picked up automatically), then roll up per segment.
+    The dim side is broadcast — the stream never shuffles for the
+    join, the canonical shape for enriching a 100 TB/day event feed
+    with a million-row dimension."""
+    joined = events.join(
+        F.broadcast(dim), events[key_col] == dim[dim_key], "left"
+    )
+    return joined.groupBy(
+        F.coalesce(F.col(seg_col), F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -80,3 +80,25 @@ def test_stateful_running_totals(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark):
+    from oarphpy_spark.streaming.windows import enriched_counts_stream
+
+    from pyspark.sql import functions as F
+
+    dim = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    events = stream_events(spark, f"{SF_SMALL}/events.parquet")
+    got = run_to_memory_sink(
+        enriched_counts_stream(events, dim), "t_enrich_test"
+    )
+    batch_events = (
+        spark.read.option("mergeSchema", "false")
+        .parquet(f"{SF_SMALL}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    want = enriched_counts_stream(batch_events, dim)
+    cols = ["segment", "n", "sum_value"]
+    assert _rows_set(got, cols) == _rows_set(want, cols)
