@@ -161,3 +161,33 @@ def test_range_join_is_hash_not_nested_loop(spark):
     plan = _plan(spark, "q_join_range_bucketed", "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_bench_side(spark):
+    plan = _plan(spark, "q_contamination", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mixture_is_scan_only(spark):
+    # hash-Bernoulli mixture sampling must stay a pure scan filter
+    plan = _plan(spark, "q_domain_mixture", "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_cdc_latest_is_partial_agg_not_window(spark):
+    # compaction must partial-aggregate (map-side combine), never
+    # sort the full history through a window
+    plan = _plan(spark, "q_cdc_latest", "simple")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    plan = _plan(spark, "q_pii_scrub", "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    plan = _plan(spark, "q_doc_chunking", "simple")
+    assert "Exchange" not in plan, plan

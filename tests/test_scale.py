@@ -115,3 +115,24 @@ def test_vector_search_scale_smoke(spark):
     assert len(rows) == 10  # 2 real queries x k=5
     assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_connected_components_scale_smoke(spark):
+    """200k nodes in 2,000 chain components of 100 nodes each — deep
+    components are star-contraction's worst case; proves convergence
+    within the iteration bound at 2,000x the oracle-scale pair count."""
+    from oarphpy_spark.llm.graph import connected_components
+
+    n, block = 200_000, 100
+    edges = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        .filter((F.col("b") % block) != 0)
+    )
+    cc = connected_components(edges, "a", "b")
+    sizes = cc.groupBy("component").count()
+    bad = sizes.filter(
+        (F.col("count") != block - 1) | (F.col("component") % block != 0)
+    ).count()
+    assert bad == 0
+    assert sizes.count() == n // block
