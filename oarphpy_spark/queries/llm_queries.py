@@ -1362,3 +1362,73 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__hit").alias("n_hits"),
         F.round(F.count("__hit") / 5.0, 6).alias("recall_at_5"),
     )
+
+
+@query(
+    "q_token_ids",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      ORDER BY n DESC, token LIMIT 30
+    ), vocab AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS id FROM freq
+    ), pos AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(generate_series(1, len(t))) AS pos
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+    ), ids AS (
+      SELECT pos.doc_id, pos.pos, COALESCE(vocab.id, -1) AS id
+      FROM pos LEFT JOIN vocab ON pos.token = vocab.token
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (id = -1) AS BIGINT) AS n_oov,
+           md5(array_to_string(list(id ORDER BY pos), ',')) AS ids_md5
+    FROM ids GROUP BY doc_id
+    """,
+)
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding for training: map every token to its id in
+    a corpus-derived top-30 vocab (OOV -> -1) and re-assemble each
+    document's id sequence IN ORDER. posexplode carries the position
+    through the broadcast vocab join, and sort_array over
+    (pos, id) structs restores sequence order without a window — the
+    order-preserving explode/join/reassemble shape every tokenizer-at-
+    scale pipeline needs. The md5 over the joined id string proves the
+    full sequence, not just counts."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(norm_tokens(F.col("text"))).alias("pos", "token")
+    )
+    freq = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(30)
+    )
+    vocab = freq.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "token"))
+        .alias("id"),
+    )
+    ids = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(-1)).alias("id")
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("id") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("ids_md5"),
+    )

@@ -310,3 +310,127 @@ def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.value").alias("last_value"),
         F.date_format("s.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
     )
+
+
+@query(
+    "q_pivot_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot: per-user event-type counts as columns. The
+    pivot values are pinned (explicit list), which keeps the plan a
+    single partial-aggregated groupBy — Spark's two-job value-discovery
+    pass (and its driver-side distinct) never runs, the property that
+    matters when the long table is 100 TB."""
+    events = table(spark, sf_dir, "events")
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in ["view", "click", "purchase", "signup", "error"]
+        ],
+    )
+
+
+@query(
+    "q_user_trend",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(covar_pop(epoch(ts) / 86400.0, value)
+                 / NULLIF(var_pop(epoch(ts) / 86400.0), 0), 5) AS slope
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend (slope of value over time in days)
+    computed entirely with JVM-side moment aggregates —
+    covar_pop/var_pop partial-aggregate like any sum, so the per-user
+    regression costs exactly one combine-friendly shuffle and never
+    touches Python. The grouped-map applyInPandas formulation of the
+    same fit would move every row into Arrow batches; moments are the
+    100 TB shape for linear fits."""
+    events = table(spark, sf_dir, "events")
+    t_days = F.unix_micros("ts").cast("double") / 1e6 / 86400.0
+    return (
+        events.select("user_id", t_days.alias("t"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.covar_pop("t", "value")
+                / F.nullif(F.var_pop("t"), F.lit(0.0)),
+                5,
+            ).alias("slope"),
+        )
+    )
+
+
+@query(
+    "q_resample_1h",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS t0,
+             date_trunc('hour', MAX(ts)) AS t1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT grid.user_id, epoch_us(grid.h) AS hour_us,
+           CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n,
+           COALESCE(hourly.sum_value, 0.0) AS sum_value
+    FROM grid LEFT JOIN hourly
+      ON grid.user_id = hourly.user_id AND grid.h = hourly.h
+    """,
+)
+def q_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's event history onto
+    a complete hourly grid (sequence + explode builds the grid from
+    each key's own span — no driver-side calendar), then left-join the
+    hourly rollup and zero-fill. Grid rows are ~span/hour per key and
+    never leave their key's partition; both joins key on (user, hour)
+    so AQE coalesces the small side. The missing-bucket densify is
+    what makes downstream window/trend math see true zeros instead of
+    absent rows."""
+    events = table(spark, sf_dir, "events")
+    spans = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("h").alias("hour_us"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+        )
+    )
