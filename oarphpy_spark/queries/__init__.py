@@ -22,6 +22,7 @@ import oarphpy_spark.queries.fidelity  # noqa: F401
 import oarphpy_spark.queries.inventory_extras  # noqa: F401
 import oarphpy_spark.queries.joins  # noqa: F401
 import oarphpy_spark.queries.llm_queries  # noqa: F401
+import oarphpy_spark.queries.profiling  # noqa: F401
 import oarphpy_spark.queries.relational  # noqa: F401
 import oarphpy_spark.queries.scalar_fns  # noqa: F401
 import oarphpy_spark.queries.sql_api  # noqa: F401

@@ -312,3 +312,49 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clicks"),
         F.min(F.col("hi_us") - F.col("c_us")).cast("bigint").alias("min_gap_us"),
     )
+
+
+@query(
+    "q_join_fuzzy",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment, c_name FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM c a JOIN c b
+      ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) matching within blocks: candidate pairs
+    come from a blocking-key equi-join (market segment here; at 100 TB
+    the block is a phonetic/sorted-neighborhood or LSH key — the
+    quadratic term must always be block-bounded, same discipline as
+    ngram_jaccard), then JVM-side levenshtein verifies. Entity
+    resolution's standard two-phase shape; never an all-pairs cross
+    join."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "seg")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )

@@ -434,3 +434,31 @@ def q_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist per segment (the unique-key tie-break makes ntile
+    deterministic). One shuffle+sort on the partition key; all three
+    functions evaluate in the same window pass."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
