@@ -201,3 +201,48 @@ def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
+
+
+@query(
+    "q_grouped_apply_zscore",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_pop(c_acctbal) OVER (PARTITION BY c_mktsegment),
+                 4) AS zscore
+    FROM customer
+    """,
+)
+def q_grouped_apply_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: each market segment arrives as
+    ONE pandas DataFrame (Arrow-batched), is z-score-normalized with
+    numpy, and streams back out. The declared semantics here are
+    window-expressible on purpose — that is what lets a SQL oracle
+    certify the grouped-map transport (group integrity, column
+    mapping, dtype fidelity); real users reach for this API when the
+    per-group logic is NOT expressible (model scoring, scipy fits).
+    Scale note: one shuffle on the group key, and a single group must
+    fit one executor's memory — use mapInPandas + pre-partitioning
+    when groups can be huge."""
+    import numpy as np
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["c_acctbal"].to_numpy(dtype=np.float64)
+        mean = v.mean()
+        std = v.std()  # ddof=0: population, matching stddev_pop
+        z = (v - mean) / std if std > 0 else np.zeros_like(v)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "zscore": np.round(z, 4),
+            }
+        )
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey long, c_mktsegment string, zscore double"
+    )
