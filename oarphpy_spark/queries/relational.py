@@ -483,3 +483,86 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_qty", 2).alias("sum_qty"),
         F.round("sum_price", 2).alias("sum_price"),
     )
+
+
+_TEXT_SOURCE_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _text_source_roundtrip(
+    spark: SparkSession, sf_dir: str, fmt: str
+) -> DataFrame:
+    """Write documents through a text-based format and read it back
+    with a PINNED schema (inference over 100 TB means a second full
+    scan — production readers always declare), then aggregate."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oarphpy_spark_src_{fmt}_{os.path.basename(sf_dir)}",
+    )
+    docs = table(spark, sf_dir, "documents")
+    w = docs.write.mode("overwrite")
+    if fmt == "json":
+        w.json(out)
+        back = spark.read.schema(_DOCS_SCHEMA).json(out)
+    else:
+        w.option("header", True).csv(out)
+        back = spark.read.schema(_DOCS_SCHEMA).option("header", True).csv(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query("q_source_json", oracle=_TEXT_SOURCE_ORACLE)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + schema-pinned source round-trip (the interchange
+    format of every scraping/annotation pipeline)."""
+    return _text_source_roundtrip(spark, sf_dir, "json")
+
+
+@query("q_source_csv", oracle=_TEXT_SOURCE_ORACLE)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-pinned source round-trip with header
+    handling."""
+    return _text_source_roundtrip(spark, sf_dir, "csv")
+
+
+@query(
+    "q_partition_prune",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning: write orders
+    partitioned by priority, read back filtering on the partition
+    column — the filter resolves against directory names at planning
+    time, so only 1 of 5 partition subtrees is ever listed or scanned
+    (tests/test_plans.py pins the pruned-partition count in the scan
+    node). At 100 TB, partition design IS the first query optimizer."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oarphpy_spark_part_{os.path.basename(sf_dir)}",
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "o_orderpriority",
+        )
+    )

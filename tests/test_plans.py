@@ -191,3 +191,12 @@ def test_pii_scrub_is_shuffle_free(spark):
 def test_doc_chunking_is_shuffle_free(spark):
     plan = _plan(spark, "q_doc_chunking", "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_partition_prune_reads_one_partition(spark):
+    plan = _plan(spark, "q_partition_prune")
+    # planning-time pruning: 1 of 5 priority directories survives
+    assert "PartitionFilters" in plan
+    sel = [ln for ln in plan.splitlines() if "partitions read" in ln.lower()]
+    if sel:  # formatted plans report "Partitions read: 1 of 5"-style counts
+        assert "1" in sel[0]
