@@ -78,11 +78,14 @@ def connected_components(
 ) -> DataFrame:
     """Transitive closure of an undirected edge list.
 
-    Returns ``(node, component)`` — one row per non-isolated node,
-    where ``component`` is the minimum node id in its connected
-    component (the canonical cluster representative). Callers supply
-    isolated nodes themselves (left-join + coalesce), which keeps this
-    operator pure edge-in / star-out.
+    Returns ``(node, component)`` — one row per non-isolated,
+    NON-REPRESENTATIVE node, where ``component`` is the minimum node
+    id in its connected component (the canonical cluster
+    representative). The representative itself is NOT in the output
+    (its row would be the self-loop ``(min, min)``), and neither are
+    isolated nodes; callers restore both with a left-join +
+    ``coalesce(component, node)``, which keeps this operator pure
+    edge-in / star-out. ``tests/test_graph.py`` pins this contract.
 
     ``max_iter`` is a safety bound; the algorithm provably converges
     and near-dup graphs settle in 2-4 rounds. Raises if the bound is

@@ -63,7 +63,7 @@ def q_rowadapter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = RowAdapter.to_df(spark, objs)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"oarphpy_spark_codec_roundtrip_{os.path.basename(sf_dir)}",
+        f"oarphpy_spark_codec_roundtrip_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     df.write.mode("overwrite").parquet(out)
     decoded = RowAdapter.collect_objects(spark.read.parquet(out))
@@ -118,7 +118,7 @@ def q_tensor_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame([row], schema=RowAdapter.to_schema(proto))
     out = os.path.join(
         tempfile.gettempdir(),
-        f"oarphpy_spark_codec_tensor_{os.path.basename(sf_dir)}",
+        f"oarphpy_spark_codec_tensor_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     df.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out).collect()[0]

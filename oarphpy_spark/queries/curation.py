@@ -198,10 +198,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: distinct 5-gram overlap between
     the corpus and a (held-out) eval set — here the doc_id % 97 slice
-    stands in for the benchmark. The eval side is tiny by construction,
-    so it broadcasts and the corpus never shuffles on text: the join
-    key is the n-gram string, the classic decontamination shape
-    (per WebText/GPT-2 and The Pile's 13-gram filters) at any scale."""
+    stands in for the benchmark. The join key is the n-gram string,
+    the classic decontamination shape (per WebText/GPT-2 and The
+    Pile's 13-gram filters). Join strategy is deliberately left to
+    the planner: a REAL benchmark is fixed-size (a few MB of eval
+    grams) and AQE will broadcast it at runtime, but this stand-in
+    slice grows with the corpus, so forcing ``F.broadcast`` here
+    would OOM at scale — AQE's runtime size check is the safe
+    default for an eval side whose size is configuration, not
+    physics."""
     docs = table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
@@ -214,7 +219,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corp = grams.filter(F.col("doc_id") % 97 != 0)
     return (
-        corp.join(F.broadcast(bench), "g")
+        corp.join(bench, "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("g").alias("n_overlap_grams"),

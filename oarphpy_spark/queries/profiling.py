@@ -76,10 +76,12 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'orders_orphan_customer' AS check_name,
            CAST(COUNT(*) AS BIGINT) AS n_violations
-    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    FROM orders WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
     UNION ALL
     SELECT 'lineitem_orphan_order', CAST(COUNT(*) AS BIGINT)
-    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    FROM lineitem WHERE l_orderkey IS NOT NULL
+      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
     UNION ALL
     SELECT 'customer_dup_key',
            CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
@@ -99,7 +101,12 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks as filtered counts. Output is check_name -> n_violations,
     the contract a pipeline gate asserts on. Each arm
     partial-aggregates; the FK anti-joins broadcast their key side
-    when it fits and shuffle-hash otherwise — never a row explosion."""
+    when it fits and shuffle-hash otherwise — never a row explosion.
+    NULL FKs are excluded from the orphan arms on BOTH engines (an
+    anti-join counts a NULL-key row as an orphan while SQL ``NOT IN``
+    silently drops it — on dirty data the two disagree unless the
+    check pins the semantics); NULL keys are surfaced by their own
+    dedicated arm instead."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     lineitem = table(spark, sf_dir, "lineitem")
@@ -110,12 +117,16 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_violations"),
         )
 
-    orphan_orders = orders.join(
-        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
-    ).agg(F.count("*").alias("n"))
-    orphan_items = lineitem.join(
-        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
-    ).agg(F.count("*").alias("n"))
+    orphan_orders = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(customer, orders["o_custkey"] == customer["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+    orphan_items = (
+        lineitem.filter(F.col("l_orderkey").isNotNull())
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
     dup_cust = customer.agg(
         (F.count("*") - F.countDistinct("c_custkey")).alias("n")
     )

@@ -113,7 +113,8 @@ def _sink_roundtrip(spark: SparkSession, sf_dir: str, codec: str) -> DataFrame:
     partition-pruned, re-scannable data (reference codec checks:
     oarphpy_test/test_spark.py:54-86)."""
     out = os.path.join(
-        tempfile.gettempdir(), f"oarphpy_spark_sink_{codec}_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"oarphpy_spark_sink_{codec}_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     (
         table(spark, sf_dir, "lineitem")
@@ -503,7 +504,7 @@ def _text_source_roundtrip(
     scan — production readers always declare), then aggregate."""
     out = os.path.join(
         tempfile.gettempdir(),
-        f"oarphpy_spark_src_{fmt}_{os.path.basename(sf_dir)}",
+        f"oarphpy_spark_src_{fmt}_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     docs = table(spark, sf_dir, "documents")
     w = docs.write.mode("overwrite")
@@ -549,7 +550,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     node). At 100 TB, partition design IS the first query optimizer."""
     out = os.path.join(
         tempfile.gettempdir(),
-        f"oarphpy_spark_part_{os.path.basename(sf_dir)}",
+        f"oarphpy_spark_part_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     (
         table(spark, sf_dir, "orders")

@@ -163,10 +163,25 @@ def test_range_join_is_hash_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_contamination_broadcasts_bench_side(spark):
+def test_contamination_join_is_equi_not_forced_broadcast(spark):
+    """The bench side's size is configuration, not physics — the plan
+    must NOT carry a forced broadcast hint (AQE decides at runtime)
+    and the gram join must be a plain equi join."""
     plan = _plan(spark, "q_contamination", "simple")
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_fuzzy_join_blocks_on_composite_prefix_key(spark):
+    """Candidate generation must be an equi join on the composite
+    (segment, name-prefix) blocking key — bounded block size — never a
+    nested-loop/cartesian, and the prefix must appear in the join keys."""
+    plan = _plan(spark, "q_join_fuzzy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "substring" in plan.lower()  # prefix key in the plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_domain_mixture_is_scan_only(spark):
