@@ -14,7 +14,23 @@ tensorflow/core/framework/summary.proto):
 * ``Event``: 1 = wall_time (double), 2 = step (int64),
   5 = summary (message)
 * ``Summary``: 1 = repeated Value (message)
-* ``Summary.Value``: 1 = tag (string), 2 = simple_value (float)
+* ``Summary.Value``: 1 = tag (string), 2 = simple_value (float),
+  4 = image (Summary.Image), 8 = tensor (TensorProto)
+* ``Summary.Image``: 1 = height, 2 = width, 3 = colorspace
+  (all int32), 4 = encoded_image_string (bytes — PNG per the proto
+  docs)
+* ``TensorProto``: 1 = dtype (enum), 2 = tensor_shape
+  (TensorShapeProto: 2 = repeated Dim{1 = size}), 4 = tensor_content
+  (packed little-endian bytes), 6/7/8/11 = repeated
+  float/double/int32/int64 fallback encodings
+
+Parity note: the reference's ``TFSummaryReader`` additionally decodes
+images via imageio and tensors via ``tf.make_ndarray``
+(``oarphpy/util/tfutil.py:229-238``); here image summaries surface
+dims + encoded PNG bytes (decode with
+``oarphpy_spark.util.images.png_decode`` — see
+``decode_image_summary``) and tensors surface dtype/shape/values, so
+neither TF nor imageio is ever required.
 
 Scan is distributed: files land on executors via the ``binaryFile``
 source and records explode in Arrow-batched ``mapInPandas`` — same
