@@ -64,3 +64,93 @@ def render_histogram_html(
         "<th>examples</th></tr>" + "".join(cells) + "</table>"
     )
     return f"<div><b>{_html.escape(title)}</b>{svg}{table}</div>"
+
+
+def render_histogram_interactive_html(
+    hist_df: DataFrame,
+    title: str = "histogram",
+    width_px: int = 640,
+    height_px: int = 200,
+) -> str:
+    """Interactive histogram-with-examples as ONE self-contained HTML
+    document — hover shows (bucket, range, count, proportion), click a
+    bar fills the context box with that bucket's example keys.
+
+    Parity target: the reference's bokeh layer
+    (``oarphpy/plotting.py:305-364``) — quad glyphs with a HoverTool
+    (Count / Proportion / Value tooltips) and a TapTool whose CustomJS
+    writes ``source.data.display[idx]`` into a Div ("Click on a
+    histogram bar to show examples"). Redesign rationale: bokeh is a
+    heavyweight optional dependency and its output embeds CDN script
+    tags; this renderer emits plain SVG + ~20 lines of inline vanilla
+    JS, so the artifact is deterministic (golden-file testable, like
+    the reference's PNG-compare test ``oarphpy_test/test_plotting.py:
+    74-100``), renders offline, and diffs cleanly in review.
+
+    Only the already-bounded histogram result (num_bins rows) is ever
+    collected; the source table stays distributed.
+    """
+    rows = sorted(hist_df.collect(), key=lambda r: r["bucket"])
+    safe_title = _html.escape(title)
+    if not rows:
+        return f"<div><b>{safe_title}</b> (empty)</div>"
+    total = sum(r["count"] for r in rows) or 1
+    max_count = max(r["count"] for r in rows) or 1
+    bar_w = max(4, width_px // max(len(rows), 1) - 2)
+    plot_h = max(40, height_px - 20)
+    bars, displays = [], []
+    for i, r in enumerate(rows):
+        d = r.asDict()
+        hgt = max(1, int(plot_h * r["count"] / max_count))
+        red, grn, blu = hash_to_rgb(int(r["bucket"]))
+        lo = f"{d['lo']:.4g}" if d.get("lo") is not None else "?"
+        hi = f"{d['hi']:.4g}" if d.get("hi") is not None else "?"
+        prop = f"{r['count'] / total:.4f}"
+        tooltip = (
+            f"bucket {r['bucket']} [{lo}, {hi}) count={r['count']} "
+            f"proportion={prop}"
+        )
+        bars.append(
+            f'<rect class="hb" data-idx="{i}" x="{i * (bar_w + 2)}" '
+            f'y="{plot_h - hgt}" width="{bar_w}" height="{hgt}" '
+            f'fill="rgb({red},{grn},{blu})" fill-opacity="0.5">'
+            f"<title>{_html.escape(tooltip)}</title></rect>"
+        )
+        examples = d.get("examples")
+        ex_html = (
+            "".join(
+                f"<li>{_html.escape(str(e))}</li>" for e in list(examples)[:10]
+            )
+            if examples
+            else "<li>(no examples recorded)</li>"
+        )
+        displays.append(
+            f"<b>bucket {r['bucket']}</b> [{lo}, {hi}) "
+            f"count={r['count']} proportion={prop}<ul>{ex_html}</ul>"
+        )
+    import json as _json
+
+    payload = _json.dumps(displays)
+    svg = (
+        f'<svg id="hsvg" width="{width_px}" height="{plot_h}" role="img">'
+        + "".join(bars)
+        + "</svg>"
+    )
+    script = (
+        "<script>(function(){"
+        f"var D={payload};"
+        'var box=document.getElementById("hctx");'
+        'document.querySelectorAll("#hsvg .hb").forEach(function(el){'
+        'el.addEventListener("click",function(){'
+        "box.innerHTML=D[+el.getAttribute('data-idx')];});"
+        'el.addEventListener("mouseenter",function(){'
+        'el.setAttribute("fill-opacity","1.0");});'
+        'el.addEventListener("mouseleave",function(){'
+        'el.setAttribute("fill-opacity","0.5");});'
+        "});})();</script>"
+    )
+    ctxbox = (
+        f'<div id="hctx" style="width:{width_px}px">'
+        "Click on a histogram bar to show examples.</div>"
+    )
+    return f"<div><b>{safe_title}</b>{svg}{ctxbox}{script}</div>"

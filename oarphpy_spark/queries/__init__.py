@@ -55,7 +55,16 @@ _ROUND_PRIORITY = [
     # --- implementations touched this round (temp-path de-race) ---
     "q_sink_parquet_lz4",
     "q_sink_parquet_zstd",
-    # --- new round-3 declarations follow here as they land ---
+    # --- new round-3 declarations ---
+    "q_sql_tpch_q10",
+    "q_rollup",
+    "q_explode_ordinality",
+    "q_min_max_by",
+    "q_regexp_extract_all",
+    "q_islands_gaps",
+    "q_tfidf_top_terms",
+    "q_bm25_rank",
+    "q_tfevents_scan",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)

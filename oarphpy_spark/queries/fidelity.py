@@ -258,3 +258,103 @@ def q_monte_carlo_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-health smoke (reference oarphpy/spark.py:246-260),
     codegen'd end-to-end; accuracy asserted in pytest (|pi-3.14|<0.1)."""
     return monte_carlo_pi(spark, 1_000_000)
+
+
+@query(
+    "q_tfevents_scan",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'loss',      CAST(2.0 AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+      (CAST(1 AS BIGINT), 'loss',      CAST(1.5 AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+      (CAST(2 AS BIGINT), 'viz/frame', CAST(NULL AS DOUBLE),
+       CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(NULL AS BIGINT)),
+      (CAST(3 AS BIGINT), 'emb/vec',   CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(step, tag, simple_value, image_height, image_width, tensor_n)
+    """,
+)
+def q_tfevents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TensorBoard event-file scan surfaced as a declared query:
+    scalars, an image summary (dims + PNG payload decoded from the
+    protobuf wire format — no TF, no imageio), and a tensor summary
+    (dtype/shape/values) — reference ``TFSummaryReader`` parity
+    (``oarphpy/util/tfutil.py:253-302``). The fixture is generated
+    deterministically here (an event file is just TFRecord-framed
+    protobufs, both written by this repo's own codecs), and the scan
+    itself is the distributed binaryFile + mapInPandas path that
+    handles a directory of real training logs at cluster scale. The
+    oracle is the literal expected table — DuckDB can't read the wire
+    format, but the VALUES contract pins every decoded field."""
+    import struct as _struct
+
+    import numpy as np
+
+    from oarphpy_spark.sources.tfevents import tf_summary_df
+    from oarphpy_spark.sources.tfrecords import write_tfrecords
+    from oarphpy_spark.util.images import png_encode
+
+    def _varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def _fld(num: int, wire: int, payload: bytes) -> bytes:
+        return _varint((num << 3) | wire) + payload
+
+    def _msg(num: int, inner: bytes) -> bytes:
+        return _fld(num, 2, _varint(len(inner)) + inner)
+
+    def _scalar(step: int, tag: str, val: float) -> bytes:
+        value = _msg(1, tag.encode()) + _fld(2, 5, _struct.pack("<f", val))
+        return _fld(2, 0, _varint(step)) + _msg(5, _msg(1, value))
+
+    def _image(step: int, tag: str, h: int, w: int, png: bytes) -> bytes:
+        img = (
+            _fld(1, 0, _varint(h))
+            + _fld(2, 0, _varint(w))
+            + _fld(3, 0, _varint(3))
+            + _msg(4, png)
+        )
+        value = _msg(1, tag.encode()) + _msg(4, img)
+        return _fld(2, 0, _varint(step)) + _msg(5, _msg(1, value))
+
+    def _tensor(step: int, tag: str, vals: list[float]) -> bytes:
+        dims = _msg(2, _fld(1, 0, _varint(len(vals))))
+        content = b"".join(_struct.pack("<f", v) for v in vals)
+        tp = _fld(1, 0, _varint(1)) + _msg(2, dims) + _msg(4, content)
+        value = _msg(1, tag.encode()) + _msg(8, tp)
+        return _fld(2, 0, _varint(step)) + _msg(5, _msg(1, value))
+
+    png = png_encode(np.zeros((4, 5, 3), dtype=np.uint8))
+    events = [
+        _scalar(0, "loss", 2.0),
+        _scalar(1, "loss", 1.5),
+        _image(2, "viz/frame", 4, 5, png),
+        _tensor(3, "emb/vec", [0.5, 0.25, 0.75]),
+    ]
+    # Keyed by PID so concurrent sessions never clobber each other.
+    evdir = os.path.join(
+        tempfile.gettempdir(), f"oarphpy_spark_tfevents_{os.getpid()}"
+    )
+    os.makedirs(evdir, exist_ok=True)
+    evpath = os.path.join(evdir, "events.out.tfevents.1.fixture")
+    with open(evpath, "wb") as fobj:
+        write_tfrecords(fobj, events)
+
+    df = tf_summary_df(spark, evpath, full=True)
+    return df.select(
+        "step",
+        "tag",
+        F.round("simple_value", 6).alias("simple_value"),
+        "image_height",
+        "image_width",
+        F.size("tensor_values").cast("long").alias("tensor_n"),
+    ).where(F.col("tag").isNotNull())

@@ -1432,3 +1432,141 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("ids_md5"),
     )
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ROUND(tf.tf * ln((1.0 + (SELECT COUNT(*) FROM documents))
+                              / (1.0 + dfreq.doc_freq)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token)
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance/keyword
+    extraction pass. Term frequency and document frequency are both
+    partial-aggregable groupBys on (doc, token) / (token); the DF side
+    is vocabulary-sized so it broadcast-joins back onto TF (never a
+    corpus-sized shuffle), and the per-doc top-3 is a window
+    group-limit that Spark pushes partial. Ranking is on the ROUNDED
+    score with the token as tie-break in BOTH engines, so the window
+    cutoff can't diverge on a last-ulp ln() difference."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("__n"))
+    toks = docs.select(
+        "doc_id", F.explode(norm_tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("__n")) / (1.0 + F.col("doc_freq"))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "tfidf")
+    )
+
+
+_BM25_TERMS = ("spark", "query", "table")
+
+
+@query(
+    "q_bm25_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), avgdl AS (
+      SELECT AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('spark', 'query', 'table')
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))
+             ) AS s
+      FROM tf
+      JOIN dfreq USING (token)
+      JOIN dl USING (doc_id), n, avgdl
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s, 4) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document ranking for a fixed 3-term query
+    — the retrieval scorer behind most lexical search and RAG recall
+    stages. Everything partial-aggregates: doc lengths and term
+    frequencies are groupBys, IDF numerators are a 3-row broadcast,
+    avgdl and N are 1-row broadcast scalars; the token filter prunes
+    the explode output BEFORE the tf shuffle so only query-term hits
+    ever move. Final ordering is on the rounded score + doc_id in both
+    engines (floating sum-order can differ in the last ulp)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(norm_tokens(F.col("text"))).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n_docs = docs.agg(F.count("*").alias("n"))
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

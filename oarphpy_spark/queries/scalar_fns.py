@@ -246,3 +246,95 @@ def q_grouped_apply_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").applyInPandas(
         zscore, "c_custkey long, c_mktsegment string, zscore double"
     )
+
+
+@query(
+    "q_explode_ordinality",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+    FROM embeddings
+    WHERE vec_id % 20 = 0
+    """,
+)
+def q_explode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``posexplode``: array → (position, element) rows with the
+    ordinal preserved — the lateral-unnest-WITH-ORDINALITY of SQL
+    engines. Runs inside whole-stage codegen (Generate node), no
+    shuffle; the vec_id filter pushes to the parquet scan before the
+    row expansion, so the explode multiplies only surviving rows —
+    the right order of operations at any scale."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v").cast("double"), 6).alias("val"),
+    )
+
+
+@query(
+    "q_min_max_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_min(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
+                   + o_orderkey) AS cheapest_order,
+           arg_max(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
+                   + o_orderkey) AS priciest_order,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``min_by``/``max_by``: argmin/argmax as a single partial-
+    aggregable pass — the shuffle-light replacement for the
+    window-rank-then-filter idiom when only the extreme row's key is
+    needed. Ties on price are broken deterministically by folding the
+    unique order key into the ordering value (price-in-cents ×1e9 +
+    orderkey fits int64 with headroom), so Spark and the oracle agree
+    bit-for-bit — bare min_by ties are engine-nondeterministic."""
+    orders = table(spark, sf_dir, "orders")
+    ordv = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(1000000000)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", ordv).alias("cheapest_order"),
+        F.max_by("o_orderkey", ordv).alias("priciest_order"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]*ing')) AS BIGINT)
+               AS n_matches,
+           array_to_string(regexp_extract_all(text, '[a-z]*ing'), ',')
+               AS matches
+    FROM documents
+    WHERE len(regexp_extract_all(text, '[a-z]*ing')) > 0
+    """,
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all``: every match per row, order preserved —
+    scan-local, codegen'd JVM regex (no Python). Joined to a string
+    for the oracle hash so array-representation differences between
+    engines can't mask value differences."""
+    docs = table(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all("text", F.lit("[a-z]*ing"), 0)
+    return (
+        docs.select("doc_id", matches.alias("m"))
+        .filter(F.size("m") > 0)
+        .select(
+            "doc_id",
+            F.size("m").cast("long").alias("n_matches"),
+            F.array_join("m", ",").alias("matches"),
+        )
+    )

@@ -241,3 +241,57 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q18 numbers."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_Q18_SQL)
+
+
+_Q10_SQL = """
+SELECT c.c_custkey,
+       c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q_sql_tpch_q10", oracle=_Q10_SQL)
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): 4-table join, one quarter
+    of orders, 'R'-flag lineitems only, top 20 customers by lost
+    revenue. The date + returnflag predicates push into the parquet
+    scans; nation broadcasts; AQE picks broadcast for the pruned
+    orders quarter at small SF while the lineitem⋈orders join stays a
+    shuffle hash join at 100 TB. ORDER BY carries c_custkey as the
+    deterministic tie-break (the spec's revenue-only sort is
+    underdetermined)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: the hierarchical prefix of CUBE — (priority, status),
+    (priority), () — one pass, one shuffle; Spark expands grouping
+    sets map-side so partial aggregation still applies."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

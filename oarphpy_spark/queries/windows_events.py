@@ -462,3 +462,47 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@query(
+    "q_islands_gaps",
+    oracle="""
+    WITH hrs AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    ), seq AS (
+      SELECT user_id, h,
+             CAST(epoch(h) AS BIGINT) / 3600
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h) AS grp
+      FROM hrs
+    ), isl AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM seq GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS max_streak_hours
+    FROM isl GROUP BY user_id
+    """,
+)
+def q_islands_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active hours via
+    the classic hour_index − row_number() group key — no self-join, no
+    iteration; one window plus two partial-aggregable groupBys, all on
+    the same user_id partitioning, so AQE coalesces the three stages
+    onto one exchange. The sessionization shape for billions of rows
+    when ``session_window``'s gap semantics (timeout from last event)
+    aren't what's wanted — here a streak is calendar-hour aligned."""
+    events = table(spark, sf_dir, "events")
+    hrs = events.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    seq = hrs.select(
+        "user_id",
+        (F.unix_micros("h") / F.lit(3_600_000_000)).cast("long")
+        - F.row_number().over(w),
+    ).toDF("user_id", "grp")
+    isl = seq.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return isl.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("len").alias("max_streak_hours"),
+    )

@@ -37,23 +37,36 @@ EVENTS_SCHEMA = (
 def stream_events(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Streaming scan of an events parquet directory. The ns timestamp
-    column arrives as int64 (same nanosAsLong contract as the batch
-    loader) and converts JVM-side."""
+    """Streaming scan of an events parquet directory. Streaming file
+    sources need a user-declared schema, and the fixture's physical
+    ``ts`` form has varied across driver regenerations (int64 nanos /
+    µs NTZ / UTC-adjusted — the same three cases as the batch loader,
+    ``oarphpy_spark.tables.table``), so the batch reader probes ONE
+    footer up front and the declared stream schema + JVM-side
+    normalization branch on what's actually on disk. All forms
+    normalize to a UTC TIMESTAMP column named ``ts``, so downstream
+    window/watermark logic — and batch-equivalence tests — see one
+    contract."""
     if os.path.isfile(source_dir):
         # Streaming file sources require a directory; wrap a lone file.
         d = tempfile.mkdtemp(prefix="oarphpy_spark_stream_")
         os.symlink(source_dir, os.path.join(d, os.path.basename(source_dir)))
         source_dir = d
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(spark.read.parquet(source_dir).dtypes).get("ts", "bigint")
     reader = spark.readStream.schema(
-        "event_id bigint, ts bigint, user_id bigint, "
+        f"event_id bigint, ts {ts_type}, user_id bigint, "
         "event_type string, value double, props string"
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":  # int64 nanoseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts_stream(

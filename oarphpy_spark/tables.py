@@ -32,11 +32,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown-capable FileScan (predicates + column pruning reach the
     parquet reader).
 
-    ``events.ts`` is nanosecond parquet, which Spark cannot scan as a
-    timestamp (PARQUET_TYPE_ILLEGAL). We read it as raw int64 nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert JVM-side with
-    ``timestamp_micros(ts div 1000)`` — the same ns→µs truncation DuckDB
-    applies, so cross-engine timestamp comparisons are exact.
+    ``events.ts`` arrives in whatever physical form the fixture
+    generator used, and that has varied across driver regenerations;
+    all three forms normalize to the same UTC TIMESTAMP column:
+
+    * nanosecond parquet — unscannable as a timestamp
+      (PARQUET_TYPE_ILLEGAL); read as raw int64 nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``) and convert JVM-side
+      with ``timestamp_micros(ts div 1000)`` — the same ns→µs
+      truncation DuckDB applies;
+    * µs/ms parquet with ``isAdjustedToUTC=false`` — Spark 4 infers
+      ``TIMESTAMP_NTZ`` (``spark.sql.parquet.inferTimestampNTZ``
+      defaults on); cast to TIMESTAMP, which interprets the naive
+      wall-clock in the session timezone — pinned UTC below, exactly
+      DuckDB's reading of a naive TIMESTAMP;
+    * UTC-adjusted parquet — already TIMESTAMP, no-op.
 
     The session timezone is pinned to UTC here (runtime-settable conf):
     ``year``/``date_trunc``/date casts are tz-dependent, and queries
@@ -46,10 +56,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -2,8 +2,16 @@ from __future__ import annotations
 
 from pyspark.sql import Row
 
+import pathlib
+
 from oarphpy_spark.operators.histogram import df_histogram, histogram_with_examples
-from oarphpy_spark.plotting import hash_to_rgb, render_histogram_html
+from oarphpy_spark.plotting import (
+    hash_to_rgb,
+    render_histogram_html,
+    render_histogram_interactive_html,
+)
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 
 
 def test_hash_to_rgb_stable_and_bounded():
@@ -29,3 +37,36 @@ def test_render_with_examples(spark):
     html = render_histogram_html(h, title="ex")
     assert html.count("<rect") == 2
     assert "Row(" in html or "," in html  # example cells populated
+
+
+def _interactive_fixture(spark):
+    df = spark.createDataFrame([Row(a=i, k=i * 10) for i in range(50)])
+    h = histogram_with_examples(
+        df, "a", [0.0, 25.0, 50.0], example_cols=["k"], n_examples=3
+    )
+    return render_histogram_interactive_html(h, title="iex", width_px=320)
+
+
+def test_render_interactive_structure(spark):
+    html = _interactive_fixture(spark)
+    # hover: per-bar tooltip + JS opacity handlers; tap: context box fill
+    assert html.count('<rect class="hb"') == 2
+    assert "mouseenter" in html and "addEventListener" in html
+    assert 'id="hctx"' in html and "Click on a histogram bar" in html
+    assert "proportion=" in html
+    # examples payload rides inside the document (tap-to-show data)
+    assert "<li>" in html
+
+
+def test_render_interactive_golden(spark):
+    """Golden-file compare — the same artifact-regression strategy as
+    the reference's PNG-compare test (oarphpy_test/test_plotting.py:
+    74-100), on a deterministic HTML artifact instead of pixels.
+    Regenerate with: python -c "see docstring" after intentional
+    renderer changes (delete the golden file and re-run pytest)."""
+    html = _interactive_fixture(spark)
+    golden = GOLDEN_DIR / "hist_interactive_golden.html"
+    if not golden.exists():
+        GOLDEN_DIR.mkdir(exist_ok=True)
+        golden.write_text(html)
+    assert html == golden.read_text()

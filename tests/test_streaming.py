@@ -94,11 +94,9 @@ def test_stream_static_join_equals_batch(spark):
     got = run_to_memory_sink(
         enriched_counts_stream(events, dim), "t_enrich_test"
     )
-    batch_events = (
-        spark.read.option("mergeSchema", "false")
-        .parquet(f"{SF_SMALL}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from oarphpy_spark.tables import table
+
+    batch_events = table(spark, SF_SMALL, "events")
     want = enriched_counts_stream(batch_events, dim)
     cols = ["segment", "n", "sum_value"]
     assert _rows_set(got, cols) == _rows_set(want, cols)
