@@ -65,6 +65,9 @@ _ROUND_PRIORITY = [
     "q_tfidf_top_terms",
     "q_bm25_rank",
     "q_tfevents_scan",
+    "q_window_range_interval",
+    "q_sessionize_ids",
+    "q_monthly_growth",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)

@@ -506,3 +506,133 @@ def q_islands_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_islands"),
         F.max("len").alias("max_streak_hours"),
     )
+
+
+@query(
+    "q_window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_trailing_1h,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 4) AS sum_trailing_1h
+    FROM events
+    """,
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the trailing-1-hour count
+    and sum for that user — the per-row rolling metric that tumbling/
+    sliding windows can't give (those emit per-window rows, this
+    emits per-event rows). ``rangeBetween`` on epoch seconds is
+    rank-free, needs one shuffle on user_id, and the frame is bounded
+    by time, so state per partition is O(events-in-1h), not O(n) —
+    the correct scaling for burst-heavy event data. RANGE (not ROWS)
+    also makes ties on ts deterministic: every co-timestamped event
+    sees the same frame, so no orderBy tie-break is needed. The frame
+    is expressed in integer microseconds in both engines — exact
+    arithmetic, no float-boundary divergence."""
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_trailing_1h"),
+    )
+
+
+@query(
+    "q_sessionize_ids",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                  > 1800000000 OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess,
+             event_id
+      FROM events
+    ), sess AS (
+      SELECT user_id, value,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit session IDs via the lag-gap-cumsum idiom (30-min
+    inactivity gap): unlike ``session_window`` — which emits one
+    aggregated row per session — this assigns every event a stable
+    (user_id, session_id) key that later joins/labels can reference.
+    One shuffle on user_id serves both windows and the final groupBy
+    (same partitioning, no re-exchange); the event_id tie-break makes
+    co-timestamped events deterministic in both engines."""
+    events = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = events.select(
+        "user_id",
+        "value",
+        F.sum(new_sess)
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@query(
+    "q_monthly_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           revenue,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 4) AS pct_change
+    FROM monthly
+    """,
+)
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: partial-aggregated monthly
+    totals (tiny result), then a single-partition lag window over the
+    months. The unpartitioned window is safe BECAUSE it runs on the
+    aggregate — months-cardinality rows — never on raw orders; the
+    canonical two-level shape for trend reporting at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("m")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias(
+            "pct_change"
+        ),
+    )

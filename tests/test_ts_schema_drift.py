@@ -1,0 +1,120 @@
+"""Timestamp physical-form drift guard.
+
+The driver's fixture generator has shipped ``events.ts`` in different
+parquet physical forms across regenerations (int64 nanoseconds, then
+microsecond TIMESTAMP with isAdjustedToUTC=false). Both the batch
+loader (``oarphpy_spark.tables.table``) and the streaming source
+(``oarphpy_spark.streaming.windows.stream_events``) must normalize
+every form to the same UTC TIMESTAMP column — these tests write the
+same logical rows in each physical form and assert identical loaded
+values, so the next regeneration can't silently shift every
+time-based query again.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from oarphpy_spark.tables import table
+
+# One logical fixture: three events, microsecond-precision wall times.
+_US = [1_700_000_000_000_000, 1_700_000_123_456_789, 1_700_003_600_000_000]
+_ROWS = {
+    "event_id": [1, 2, 3],
+    "user_id": [10, 10, 11],
+    "event_type": ["view", "click", "view"],
+    "value": [1.0, 2.5, 3.25],
+    "props": ["{}", "{}", "{}"],
+}
+
+
+def _write(dirpath: str, ts_array: pa.Array) -> str:
+    tbl = pa.table(
+        {
+            "event_id": pa.array(_ROWS["event_id"], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array(_ROWS["user_id"], pa.int64()),
+            "event_type": pa.array(_ROWS["event_type"], pa.string()),
+            "value": pa.array(_ROWS["value"], pa.float64()),
+            "props": pa.array(_ROWS["props"], pa.string()),
+        }
+    )
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(tbl, os.path.join(dirpath, "events.parquet"))
+    return dirpath
+
+
+def _forms(base: str) -> dict[str, str]:
+    return {
+        "nanos_int64": _write(
+            os.path.join(base, "nanos"),
+            pa.array([u * 1000 for u in _US], pa.timestamp("ns")),
+        ),
+        "micros_ntz": _write(
+            os.path.join(base, "ntz"),
+            pa.array(_US, pa.timestamp("us")),
+        ),
+        "micros_utc": _write(
+            os.path.join(base, "utc"),
+            pa.array(_US, pa.timestamp("us", tz="UTC")),
+        ),
+    }
+
+
+def test_batch_loader_normalizes_all_ts_forms(spark, tmp_path):
+    got = {}
+    for form, d in _forms(str(tmp_path)).items():
+        df = table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", form
+        got[form] = sorted(
+            (r["event_id"], r["us"])
+            for r in df.select(
+                "event_id", F.unix_micros("ts").alias("us")
+            ).collect()
+        )
+    expect = sorted(zip(_ROWS["event_id"], _US))
+    for form, rows in got.items():
+        assert rows == expect, f"{form}: {rows}"
+
+
+def test_stream_source_normalizes_all_ts_forms(spark, tmp_path):
+    from oarphpy_spark.streaming.windows import stream_events
+
+    for form, d in _forms(str(tmp_path)).items():
+        events = stream_events(spark, os.path.join(d, "events.parquet"))
+        assert events.isStreaming
+        assert dict(events.dtypes)["ts"] == "timestamp", form
+        q = (
+            events.select("event_id", F.unix_micros("ts").alias("us"))
+            .writeStream.format("memory")
+            .queryName(f"t_drift_{form}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = sorted(
+            (r["event_id"], r["us"])
+            for r in spark.sql(f"SELECT * FROM t_drift_{form}").collect()
+        )
+        assert rows == sorted(zip(_ROWS["event_id"], _US)), form
+
+
+@pytest.mark.parametrize("col", ["o_orderdate"])
+def test_orders_date_column_usable_under_ntz(spark, col):
+    """date_trunc/year/date_format — the operations our queries apply
+    to order/ship dates — must work whatever flavor the fixture
+    carries (TIMESTAMP or TIMESTAMP_NTZ)."""
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    orders = table(spark, sf, "orders")
+    out = orders.select(
+        F.date_trunc("month", col).alias("m"),
+        F.year(col).alias("y"),
+        F.date_format(col, "yyyy-MM").alias("ym"),
+    ).first()
+    assert out["y"] >= 1990 and out["ym"].startswith(str(out["y"]))
