@@ -215,23 +215,33 @@ def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_grouped_apply_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map ``applyInPandas``: each market segment arrives as
-    ONE pandas DataFrame (Arrow-batched), is z-score-normalized with
-    numpy, and streams back out. The declared semantics here are
-    window-expressible on purpose — that is what lets a SQL oracle
-    certify the grouped-map transport (group integrity, column
-    mapping, dtype fidelity); real users reach for this API when the
-    per-group logic is NOT expressible (model scoring, scipy fits).
-    Scale note: one shuffle on the group key, and a single group must
-    fit one executor's memory — use mapInPandas + pre-partitioning
-    when groups can be huge."""
+    """Grouped-map ``applyInPandas`` with a BOUNDED group key. Naively
+    grouping by ``c_mktsegment`` (5 values) would materialize ~1/5 of
+    the table as one pandas DataFrame in one executor — an OOM by
+    construction at scale. Instead, two passes:
+
+    1. segment mean/stddev via a plain partial-aggregable ``groupBy``
+       (5 output rows), broadcast-joined back onto the table;
+    2. ``applyInPandas`` on the SALTED key ``(c_mktsegment,
+       c_custkey % SALT)`` — max group size is O(rows / (5·SALT)) and
+       SALT is a knob that grows with data, so no single group ever
+       exceeds executor memory. Each group already carries its
+       segment stats as columns, so the pandas fn is pure per-row
+       math (the shape real users need for model scoring / scipy
+       fits, where per-group logic is NOT window-expressible).
+
+    The declared semantics stay window-expressible on purpose — that
+    is what lets a SQL oracle certify the grouped-map transport
+    (group integrity, column mapping, dtype fidelity)."""
     import numpy as np
+
+    SALT = 16  # scale knob: pick ~rows / (n_segments * target_group_rows)
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["c_acctbal"].to_numpy(dtype=np.float64)
-        mean = v.mean()
-        std = v.std()  # ddof=0: population, matching stddev_pop
-        z = (v - mean) / std if std > 0 else np.zeros_like(v)
+        mean = pdf["seg_mean"].to_numpy(dtype=np.float64)
+        std = pdf["seg_std"].to_numpy(dtype=np.float64)
+        z = np.where(std > 0, (v - mean) / np.where(std > 0, std, 1.0), 0.0)
         return pd.DataFrame(
             {
                 "c_custkey": pdf["c_custkey"],
@@ -243,7 +253,14 @@ def q_grouped_apply_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    return cust.groupBy("c_mktsegment").applyInPandas(
+    stats = cust.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("seg_mean"),
+        F.stddev_pop("c_acctbal").alias("seg_std"),
+    )
+    enriched = cust.join(F.broadcast(stats), "c_mktsegment").withColumn(
+        "salt", (F.col("c_custkey") % SALT).cast("int")
+    )
+    return enriched.groupBy("c_mktsegment", "salt").applyInPandas(
         zscore, "c_custkey long, c_mktsegment string, zscore double"
     )
 

@@ -450,17 +450,87 @@ def q_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — ntile quartiles, percent_rank,
-    cume_dist per segment (the unique-key tie-break makes ntile
-    deterministic). One shuffle+sort on the partition key; all three
-    functions evaluate in the same window pass."""
-    cust = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    cume_dist per segment — via DISTRIBUTED two-pass ranking, because
+    ``Window.partitionBy(c_mktsegment)`` (5 values) would sort 1/5 of
+    the table in one task: skew-by-construction at scale.
+
+    Recipe (the unique (c_acctbal, c_custkey) tie-break makes all
+    three functions pure arithmetic over the global rank ``rn`` and
+    segment size ``n``):
+
+    1. per-segment ``percentile_approx`` edges split the value domain
+       into B range-buckets (edges table is 5 rows — broadcast);
+    2. ``row_number`` windows partition by (segment, bucket) — max
+       partition is O(rows / (5·B)) and B is a knob that grows with
+       data;
+    3. per-bucket counts (80 rows) turn into rank offsets with a
+       window over the tiny counts table; global rn = offset +
+       local rn, and n comes back via the same broadcast.
+
+    One fact shuffle total (the bounded-key window), same as the
+    naive plan, but no task ever holds more than a bucket."""
+    B = 16  # scale knob: pick ~rows / (n_segments * target_task_rows)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    edges = cust.groupBy("c_mktsegment").agg(
+        F.percentile_approx(
+            "c_acctbal", [i / B for i in range(1, B)], 10000
+        ).alias("edges")
+    )
+    bucketed = (
+        cust.join(F.broadcast(edges), "c_mktsegment")
+        .withColumn(
+            "bkt",
+            F.aggregate(
+                "edges",
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("c_acctbal") > e, 1).otherwise(0),
+            ),
+        )
+        .drop("edges")
+    )
+    counts = bucketed.groupBy("c_mktsegment", "bkt").agg(
+        F.count("*").alias("cnt")
+    )
+    w_off = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "c_mktsegment",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    )
+    totals = counts.groupBy("c_mktsegment").agg(F.sum("cnt").alias("n"))
+    w_loc = Window.partitionBy("c_mktsegment", "bkt").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    ranked = (
+        bucketed.withColumn("local_rn", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), ["c_mktsegment", "bkt"])
+        .join(F.broadcast(totals), "c_mktsegment")
+        .withColumn("rn", (F.col("offset") + F.col("local_rn")).cast("long"))
+    )
+    # ntile(4): first (n mod 4) buckets hold (n div 4)+1 rows each.
+    n, rn = F.col("n"), F.col("rn")
+    base = (n / 4).cast("long")
+    rem = n % 4
+    size_big = base + 1
+    thr = rem * size_big
+    quartile = F.when(
+        rn <= thr, ((rn - 1) / size_big).cast("long") + 1
+    ).otherwise(rem + ((rn - thr - 1) / base).cast("long") + 1)
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        quartile.cast("long").alias("quartile"),
+        F.round(
+            F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(rn / n, 6).alias("cdist"),
     )
 
 

@@ -47,14 +47,26 @@ def stream_events(
     normalize to a UTC TIMESTAMP column named ``ts``, so downstream
     window/watermark logic — and batch-equivalence tests — see one
     contract."""
+    from oarphpy_spark.tables import _events_ts_kind
+
     if os.path.isfile(source_dir):
         # Streaming file sources require a directory; wrap a lone file.
         d = tempfile.mkdtemp(prefix="oarphpy_spark_stream_")
         os.symlink(source_dir, os.path.join(d, os.path.basename(source_dir)))
         source_dir = d
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = dict(spark.read.parquet(source_dir).dtypes).get("ts", "bigint")
+    kind = _events_ts_kind(source_dir)
+    if kind == "ns":
+        # Unlike the batch path (which restores the conf after read()),
+        # a stream re-plans every microbatch, so the legacy conf must
+        # stay set for the query's lifetime. Only the genuinely-ns case
+        # pays that session-wide contract.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_type = "bigint"
+    elif kind == "ntz":
+        ts_type = "timestamp_ntz"
+    else:
+        ts_type = "timestamp"
     reader = spark.readStream.schema(
         f"event_id bigint, ts {ts_type}, user_id bigint, "
         "event_type string, value double, props string"

@@ -11,6 +11,49 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Footer-probe cache: (path, mtime_ns, size) -> one of
+# 'ns' | 'ntz' | 'utc' | 'none'.  Keyed on stat so a regenerated
+# fixture re-probes, while steady-state table() calls stay probe-free.
+_TS_KIND_CACHE: dict[tuple[str, int, int], str] = {}
+
+
+def _events_ts_kind(path: str) -> str:
+    """Classify the physical form of ``events.ts`` from the parquet
+    footer only (no row groups read): 'ns' (INT64 nanos — unscannable
+    by Spark as a timestamp), 'ntz' (µs/ms with isAdjustedToUTC=false →
+    Spark infers TIMESTAMP_NTZ), 'utc' (µs/ms UTC-adjusted → TIMESTAMP),
+    or 'none' (no ts column / not a timestamp)."""
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            n for n in os.listdir(path)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+        if not parts:
+            return "none"
+        probe = os.path.join(path, parts[0])
+    st = os.stat(probe)
+    key = (probe, st.st_mtime_ns, st.st_size)
+    kind = _TS_KIND_CACHE.get(key)
+    if kind is None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        field = None
+        schema = pq.ParquetFile(probe).schema_arrow
+        if "ts" in schema.names:
+            field = schema.field("ts")
+        if field is None or not pa.types.is_timestamp(field.type):
+            kind = "none"
+        elif field.type.unit == "ns":
+            kind = "ns"
+        elif field.type.tz is None:
+            kind = "ntz"
+        else:
+            kind = "utc"
+        _TS_KIND_CACHE[key] = kind
+    return kind
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -51,18 +94,40 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The session timezone is pinned to UTC here (runtime-settable conf):
     ``year``/``date_trunc``/date casts are tz-dependent, and queries
     must produce identical results under ANY caller-built session.
+
+    The physical form is decided by a cached pyarrow FOOTER probe (no
+    row groups read), so the ``nanosAsLong`` legacy conf is touched
+    only when the file really is int64-nanos — and then restored to
+    its prior value immediately after ``spark.read.parquet`` returns.
+    Spark captures the inferred bigint schema into the relation at
+    read() time, so later actions on the returned DataFrame stay
+    correct (verified by tests/test_ts_schema_drift.py); other parquet
+    reads on the same session never observe the conf.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        from pyspark.sql import functions as F
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
 
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
+    from pyspark.sql import functions as F
+
+    kind = _events_ts_kind(path)
+    if kind == "ns":
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+        # Same ns→µs truncation DuckDB applies.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+        if kind == "ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -208,6 +208,36 @@ def test_doc_chunking_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_grouped_apply_zscore_bounded_group_key(spark):
+    """The grouped-map shuffle must key on (c_mktsegment, salt) — max
+    group size O(rows / (5·SALT)) — and the 5-row segment-stats side
+    must come back via a broadcast join, never a second fact shuffle."""
+    plan = _plan(spark, "q_grouped_apply_zscore", "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    # the grouped-map exchange partitions on BOTH key columns
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any(
+        "c_mktsegment" in e and "salt" in e for e in exchanges
+    ), exchanges
+
+
+def test_window_distribution_ranks_on_bounded_key(spark):
+    """The fact-table row_number window must partition by
+    (c_mktsegment, bkt) — never by the 5-value segment alone — and the
+    offsets/totals sides must come back as broadcast joins."""
+    import re
+
+    plan = _plan(spark, "q_window_distribution", "simple")
+    rn_windows = re.findall(r"Window \[row_number\(\)[^\n]*", plan)
+    assert rn_windows, plan
+    assert all("bkt" in w for w in rn_windows), rn_windows
+    assert "BroadcastHashJoin" in plan
+    assert "ntile(" not in plan  # derived arithmetically from rn/n
+
+
 def test_partition_prune_reads_one_partition(spark):
     plan = _plan(spark, "q_partition_prune")
     # planning-time pruning: 1 of 5 priority directories survives

@@ -105,6 +105,60 @@ def test_stream_source_normalizes_all_ts_forms(spark, tmp_path):
         assert rows == sorted(zip(_ROWS["event_id"], _US)), form
 
 
+def test_nanos_conf_not_leaked_by_batch_loader(spark, tmp_path):
+    """Reading events must not mutate session conf as a side effect:
+    after table() loads a genuinely-ns events fixture, an UNRELATED
+    ns-timestamp parquet read on the same session must behave exactly
+    as it would on a fresh session (PARQUET_TYPE_ILLEGAL), not
+    silently surface as bigint — and the loaded events DataFrame must
+    still collect correctly after the conf was restored."""
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(conf_key)
+
+    forms = _forms(str(tmp_path))
+    ns_dir = forms["nanos_int64"]
+    df = table(spark, ns_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert spark.conf.get(conf_key, None) in (None, "false"), (
+        "table() leaked nanosAsLong into the session"
+    )
+
+    # The returned DataFrame stays usable after the conf restore.
+    rows = sorted(
+        (r["event_id"], r["us"])
+        for r in df.select("event_id", F.unix_micros("ts").alias("us")).collect()
+    )
+    assert rows == sorted(zip(_ROWS["event_id"], _US))
+
+    # An unrelated ns parquet read hits the session-default behavior.
+    other = os.path.join(str(tmp_path), "other")
+    os.makedirs(other, exist_ok=True)
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2, 3], pa.timestamp("ns"))}),
+        os.path.join(other, "other.parquet"),
+    )
+    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
+        spark.read.parquet(os.path.join(other, "other.parquet")).collect()
+
+    # Non-ns events fixtures never touch the conf at all.
+    table(spark, forms["micros_ntz"], "events")
+    table(spark, forms["micros_utc"], "events")
+    assert spark.conf.get(conf_key, None) in (None, "false")
+
+
+def test_nanos_conf_prior_value_restored(spark, tmp_path):
+    """If the caller had set nanosAsLong themselves, table() must put
+    their value back, not clobber it."""
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(conf_key, "true")
+    try:
+        ns_dir = _forms(str(tmp_path))["nanos_int64"]
+        table(spark, ns_dir, "events")
+        assert spark.conf.get(conf_key) == "true"
+    finally:
+        spark.conf.unset(conf_key)
+
+
 @pytest.mark.parametrize("col", ["o_orderdate"])
 def test_orders_date_column_usable_under_ntz(spark, col):
     """date_trunc/year/date_format — the operations our queries apply
