@@ -340,21 +340,37 @@ def q_tfevents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _image(2, "viz/frame", 4, 5, png),
         _tensor(3, "emb/vec", [0.5, 0.25, 0.75]),
     ]
-    # Keyed by PID so concurrent sessions never clobber each other.
+    # Fixture lives in a PID-keyed temp dir for the DURATION OF THE SCAN
+    # only, then is removed — no litter across runs. The distributed
+    # ``binaryFile`` read requires executors to share the driver
+    # filesystem (true in local mode and on any cluster whose event-log
+    # dir is shared storage — the real deployment shape for TensorBoard
+    # logs); the scan is forced eagerly below so cleanup can't race it.
     evdir = os.path.join(
         tempfile.gettempdir(), f"oarphpy_spark_tfevents_{os.getpid()}"
     )
     os.makedirs(evdir, exist_ok=True)
     evpath = os.path.join(evdir, "events.out.tfevents.1.fixture")
-    with open(evpath, "wb") as fobj:
-        write_tfrecords(fobj, events)
+    try:
+        with open(evpath, "wb") as fobj:
+            write_tfrecords(fobj, events)
 
-    df = tf_summary_df(spark, evpath, full=True)
-    return df.select(
-        "step",
-        "tag",
-        F.round("simple_value", 6).alias("simple_value"),
-        "image_height",
-        "image_width",
-        F.size("tensor_values").cast("long").alias("tensor_n"),
-    ).where(F.col("tag").isNotNull())
+        df = tf_summary_df(spark, evpath, full=True)
+        out = df.select(
+            "step",
+            "tag",
+            F.round("simple_value", 6).alias("simple_value"),
+            "image_height",
+            "image_width",
+            F.size("tensor_values").cast("long").alias("tensor_n"),
+        ).where(F.col("tag").isNotNull())
+        # Materialize the (4-row-by-construction) decode now so the
+        # fixture file can be deleted before returning; the heavy
+        # lifting — TFRecord framing + protobuf walk + PNG decode —
+        # already ran distributed above.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(evdir, ignore_errors=True)

@@ -287,16 +287,44 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
 
-@query("q_approx_count_distinct")  # rows-only: approximate result by design
+@query(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS within_5pct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the scale path for COUNT(DISTINCT)
-    over 100 TB (single pass, mergeable sketches, no shuffle of raw keys)."""
+    over 100 TB (single pass, mergeable sketches, no shuffle of raw keys).
+
+    Sketch estimates can't hash-match across engines, so the query is
+    SELF-CERTIFYING: it returns the exact distinct count (which the
+    oracle reproduces) plus a ``within_5pct`` flag asserting the HLL
+    estimate (rsd=0.02) lands within 5% of it — deterministic for a
+    given dataset, so the oracle states literal ``true``. A broken
+    sketch shows up as a hash mismatch on the flag column."""
+    est = F.approx_count_distinct("l_orderkey", 0.02)
+    exact = F.countDistinct("l_orderkey")
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            exact.alias("exact_orders"),
+            est.alias("approx_orders"),
             F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("within_5pct"),
+            "n_rows",
         )
     )
 

@@ -223,19 +223,29 @@ def q_grouped_apply_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. segment mean/stddev via a plain partial-aggregable ``groupBy``
        (5 output rows), broadcast-joined back onto the table;
     2. ``applyInPandas`` on the SALTED key ``(c_mktsegment,
-       c_custkey % SALT)`` — max group size is O(rows / (5·SALT)) and
-       SALT is a knob that grows with data, so no single group ever
-       exceeds executor memory. Each group already carries its
-       segment stats as columns, so the pandas fn is pure per-row
-       math (the shape real users need for model scoring / scipy
-       fits, where per-group logic is NOT window-expressible).
+       c_custkey % SALT)`` — max group size is O(rows / (5·SALT)),
+       and SALT is DERIVED from the table's parquet-footer row count
+       (util/scale.py, floor 16) so the bound actually tightens as
+       the data grows; no single group ever exceeds executor memory.
+       Each group already carries its segment stats as columns, so
+       the pandas fn is pure per-row math (the shape real users need
+       for model scoring / scipy fits, where per-group logic is NOT
+       window-expressible).
 
     The declared semantics stay window-expressible on purpose — that
     is what lets a SQL oracle certify the grouped-map transport
     (group integrity, column mapping, dtype fidelity)."""
+    import os as _os
+
     import numpy as np
 
-    SALT = 16  # scale knob: pick ~rows / (n_segments * target_group_rows)
+    from oarphpy_spark.util.scale import derive_subkey_count, parquet_row_count
+
+    SALT = derive_subkey_count(
+        parquet_row_count(_os.path.join(sf_dir, "customer.parquet")),
+        n_groups=5,
+        floor=16,
+    )
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["c_acctbal"].to_numpy(dtype=np.float64)
@@ -297,11 +307,11 @@ def q_explode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            arg_min(o_orderkey,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
-                   + o_orderkey) AS cheapest_order,
+                   CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                   * 18446744073709551616 + o_orderkey) AS cheapest_order,
            arg_max(o_orderkey,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
-                   + o_orderkey) AS priciest_order,
+                   CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                   * 18446744073709551616 + o_orderkey) AS priciest_order,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -311,14 +321,18 @@ def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``min_by``/``max_by``: argmin/argmax as a single partial-
     aggregable pass — the shuffle-light replacement for the
     window-rank-then-filter idiom when only the extreme row's key is
-    needed. Ties on price are broken deterministically by folding the
-    unique order key into the ordering value (price-in-cents ×1e9 +
-    orderkey fits int64 with headroom), so Spark and the oracle agree
-    bit-for-bit — bare min_by ties are engine-nondeterministic."""
+    needed. Ties on price are broken deterministically by ordering on
+    the STRUCT (price_cents, o_orderkey) — lexicographic struct
+    comparison is overflow-free at any scale factor (a previous int64
+    fold of price×1e9+orderkey silently corrupted ordering once
+    orderkeys crossed 1e9, around SF≈42). The oracle states the same
+    total order as a HUGEINT (int128) fold: price_cents·2^64 +
+    orderkey, exactly the struct's lexicographic order since both
+    fields are non-negative and orderkey < 2^64."""
     orders = table(spark, sf_dir, "orders")
-    ordv = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(1000000000)
-        + F.col("o_orderkey")
+    ordv = F.struct(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.col("o_orderkey").alias("o_orderkey"),
     )
     return orders.groupBy("o_custkey").agg(
         F.min_by("o_orderkey", ordv).alias("cheapest_order"),
@@ -331,12 +345,12 @@ def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_regexp_extract_all",
     oracle="""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[a-z]*ing')) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '[a-z]*er')) AS BIGINT)
                AS n_matches,
-           array_to_string(regexp_extract_all(text, '[a-z]*ing'), ',')
+           array_to_string(regexp_extract_all(text, '[a-z]*er'), ',')
                AS matches
     FROM documents
-    WHERE len(regexp_extract_all(text, '[a-z]*ing')) > 0
+    WHERE len(regexp_extract_all(text, '[a-z]*er')) > 0
     """,
 )
 def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +359,7 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the oracle hash so array-representation differences between
     engines can't mask value differences."""
     docs = table(spark, sf_dir, "documents")
-    matches = F.regexp_extract_all("text", F.lit("[a-z]*ing"), 0)
+    matches = F.regexp_extract_all("text", F.lit("[a-z]*er"), 0)
     return (
         docs.select("doc_id", matches.alias("m"))
         .filter(F.size("m") > 0)

@@ -459,25 +459,39 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment size ``n``):
 
     1. per-segment ``percentile_approx`` edges split the value domain
-       into B range-buckets (edges table is 5 rows — broadcast);
+       into B range-buckets, where B is DERIVED from the table's
+       footer row count (util/scale.py) so the per-task bound holds at
+       any SF; the edges table (5 rows) is collected and RE-INJECTED
+       AS LITERALS — both consumers of the bucketing (counts→offsets
+       vs ranked) provably share one bucket assignment, instead of
+       relying on ReuseExchange to dedup two lineage branches of a
+       percentile_approx whose partial-merge is not order-
+       deterministic;
     2. ``row_number`` windows partition by (segment, bucket) — max
-       partition is O(rows / (5·B)) and B is a knob that grows with
-       data;
-    3. per-bucket counts (80 rows) turn into rank offsets with a
+       partition is O(rows / (5·B));
+    3. per-bucket counts (5·B rows) turn into rank offsets with a
        window over the tiny counts table; global rn = offset +
        local rn, and n comes back via the same broadcast.
 
     One fact shuffle total (the bounded-key window), same as the
     naive plan, but no task ever holds more than a bucket."""
-    B = 16  # scale knob: pick ~rows / (n_segments * target_task_rows)
+    from oarphpy_spark.util.scale import derive_subkey_count, parquet_row_count
+
+    import os as _os
+
+    n_rows = parquet_row_count(_os.path.join(sf_dir, "customer.parquet"))
+    B = derive_subkey_count(n_rows, n_groups=5, floor=16)
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    edges = cust.groupBy("c_mktsegment").agg(
+    edges_df = cust.groupBy("c_mktsegment").agg(
         F.percentile_approx(
             "c_acctbal", [i / B for i in range(1, B)], 10000
         ).alias("edges")
     )
+    # Bounded collect (one row per segment); re-created as a literal
+    # LocalRelation so every downstream branch sees identical edges.
+    edges = spark.createDataFrame(edges_df.collect(), edges_df.schema)
     bucketed = (
         cust.join(F.broadcast(edges), "c_mktsegment")
         .withColumn(

@@ -60,7 +60,19 @@ def stream_events(
         # Unlike the batch path (which restores the conf after read()),
         # a stream re-plans every microbatch, so the legacy conf must
         # stay set for the query's lifetime. Only the genuinely-ns case
-        # pays that session-wide contract.
+        # pays that session-wide contract — and because it also changes
+        # how UNRELATED batch reads of ns-parquet on this session are
+        # schematized (they'll now see bigint nanos, not an error), the
+        # switch is announced loudly rather than flipped silently.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "stream_events: enabling spark.sql.legacy.parquet.nanosAsLong "
+            "session-wide for the lifetime of this streaming query (source "
+            "%s stores int64-nanosecond timestamps); unrelated batch reads "
+            "of ns-parquet on this session will scan ts as bigint nanos",
+            source_dir,
+        )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_type = "bigint"
     elif kind == "ntz":

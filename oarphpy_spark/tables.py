@@ -17,21 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 _TS_KIND_CACHE: dict[tuple[str, int, int], str] = {}
 
 
-def _events_ts_kind(path: str) -> str:
-    """Classify the physical form of ``events.ts`` from the parquet
-    footer only (no row groups read): 'ns' (INT64 nanos — unscannable
-    by Spark as a timestamp), 'ntz' (µs/ms with isAdjustedToUTC=false →
-    Spark infers TIMESTAMP_NTZ), 'utc' (µs/ms UTC-adjusted → TIMESTAMP),
-    or 'none' (no ts column / not a timestamp)."""
-    probe = path
-    if os.path.isdir(path):
-        parts = sorted(
-            n for n in os.listdir(path)
-            if n.endswith(".parquet") and not n.startswith((".", "_"))
-        )
-        if not parts:
-            return "none"
-        probe = os.path.join(path, parts[0])
+def _probe_ts_kind_one(probe: str) -> str:
+    """Footer-only ts classification of ONE parquet file (cached on
+    (path, mtime, size) so steady-state calls never re-read)."""
     st = os.stat(probe)
     key = (probe, st.st_mtime_ns, st.st_size)
     kind = _TS_KIND_CACHE.get(key)
@@ -53,6 +41,36 @@ def _events_ts_kind(path: str) -> str:
             kind = "utc"
         _TS_KIND_CACHE[key] = kind
     return kind
+
+
+def _events_ts_kind(path: str) -> str:
+    """Classify the physical form of ``events.ts`` from parquet footers
+    only (no row groups read): 'ns' (INT64 nanos — unscannable by Spark
+    as a timestamp), 'ntz' (µs/ms with isAdjustedToUTC=false → Spark
+    infers TIMESTAMP_NTZ), 'utc' (µs/ms UTC-adjusted → TIMESTAMP), or
+    'none' (no ts column / not a timestamp).
+
+    EVERY part file of a directory is probed (footers are a few KB
+    each, and the per-file cache makes repeat calls free): a directory
+    holding mixed physical forms — e.g. one ns part beside a µs part
+    after a partial fixture regeneration — cannot be classified by any
+    single kind and would either mis-schema the reader or die with
+    PARQUET_TYPE_ILLEGAL mid-scan, so it raises loudly here instead."""
+    probes = [path]
+    if os.path.isdir(path):
+        probes = sorted(
+            os.path.join(path, n) for n in os.listdir(path)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+        if not probes:
+            return "none"
+    kinds = {_probe_ts_kind_one(p) for p in probes}
+    if len(kinds) > 1:
+        raise ValueError(
+            f"mixed physical timestamp forms {sorted(kinds)} across part "
+            f"files of {path}; regenerate the fixture so all parts agree"
+        )
+    return kinds.pop()
 
 TABLE_NAMES = (
     "region",

@@ -227,3 +227,37 @@ def test_range_join_left_keeps_unmatched_points(spark):
     got = range_join(pts, ivs, "t", "lo", "hi", on=["k"], chunk=8, how="left").collect()
     by_t = {r["t"]: r["name"] for r in got}
     assert by_t == {5: "a", 1000: None}
+
+
+def test_min_max_by_tiebreak_survives_huge_orderkeys(spark, tmp_path):
+    """Regression: q_min_max_by once folded its tie-break as
+    price_cents*1e9 + orderkey in int64, which silently corrupts the
+    ordering when orderkeys cross 1e9 (TPC-H SF≈42). With orderkey
+    5e9: old fold ranks the $1.00 order (100e9+5e9 = 105e9) ABOVE the
+    $1.01 order (101e9+1), flipping argmin. The struct ordering must
+    pick the genuinely cheapest order regardless of key magnitude."""
+    from oarphpy_spark.registry import queries
+
+    rows = [
+        (1, 5_000_000_000, 1.00),   # cheapest, but huge orderkey
+        (1, 1, 1.01),
+        (1, 2, 2.50),
+        (2, 7_000_000_000, 9.99),   # priciest for custkey 2
+        (2, 3, 5.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderkey bigint, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    # prove the OLD encoding would have flipped the answer
+    old_fold = lambda price, key: int(round(price * 100)) * 10**9 + key
+    assert old_fold(1.00, 5_000_000_000) > old_fold(1.01, 1)
+
+    got = {
+        r["o_custkey"]: r
+        for r in queries()["q_min_max_by"](spark, str(tmp_path)).collect()
+    }
+    assert got[1]["cheapest_order"] == 5_000_000_000
+    assert got[1]["priciest_order"] == 2
+    assert got[2]["cheapest_order"] == 3
+    assert got[2]["priciest_order"] == 7_000_000_000

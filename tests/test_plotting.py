@@ -62,11 +62,23 @@ def test_render_interactive_golden(spark):
     """Golden-file compare — the same artifact-regression strategy as
     the reference's PNG-compare test (oarphpy_test/test_plotting.py:
     74-100), on a deterministic HTML artifact instead of pixels.
-    Regenerate with: python -c "see docstring" after intentional
-    renderer changes (delete the golden file and re-run pytest)."""
+
+    A MISSING golden is a hard failure (a silently regenerated golden
+    would make the test vacuously pass). After an intentional renderer
+    change, regenerate with::
+
+        OARPHPY_SPARK_REGEN_GOLDENS=1 python -m pytest \
+            tests/test_plotting.py::test_render_interactive_golden
+    """
+    import os
+
     html = _interactive_fixture(spark)
     golden = GOLDEN_DIR / "hist_interactive_golden.html"
-    if not golden.exists():
+    if os.environ.get("OARPHPY_SPARK_REGEN_GOLDENS") == "1":
         GOLDEN_DIR.mkdir(exist_ok=True)
         golden.write_text(html)
+    assert golden.exists(), (
+        f"golden file missing: {golden} — regenerate with "
+        "OARPHPY_SPARK_REGEN_GOLDENS=1 pytest tests/test_plotting.py"
+    )
     assert html == golden.read_text()

@@ -172,3 +172,31 @@ def test_orders_date_column_usable_under_ntz(spark, col):
         F.date_format(col, "yyyy-MM").alias("ym"),
     ).first()
     assert out["y"] >= 1990 and out["ym"].startswith(str(out["y"]))
+
+
+def test_mixed_physical_forms_in_one_directory_raise(tmp_path):
+    """A directory mixing ns and µs part files (e.g. after a partial
+    fixture regeneration) cannot be classified by one kind — the
+    footer probe must refuse loudly instead of mis-schematizing the
+    scan (ADVICE r04: the old probe looked only at the first part)."""
+    from oarphpy_spark.tables import _events_ts_kind
+
+    d = tmp_path / "events.parquet"
+    os.makedirs(d)
+    tbl_ns = pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))})
+    tbl_us = pa.table({"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))})
+    pq.write_table(tbl_ns, d / "part-0.parquet")
+    pq.write_table(tbl_us, d / "part-1.parquet")
+    with pytest.raises(ValueError, match="mixed physical timestamp forms"):
+        _events_ts_kind(str(d))
+
+
+def test_homogeneous_directory_probes_all_parts(tmp_path):
+    from oarphpy_spark.tables import _events_ts_kind
+
+    d = tmp_path / "events.parquet"
+    os.makedirs(d)
+    tbl_us = pa.table({"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))})
+    pq.write_table(tbl_us, d / "part-0.parquet")
+    pq.write_table(tbl_us, d / "part-1.parquet")
+    assert _events_ts_kind(str(d)) == "ntz"

@@ -196,3 +196,44 @@ def test_wrap_generator_times_production_not_consumption():
     for _ in obs2.wrap_generator(fast_producer()):
         _t.sleep(0.05)  # slow consumer must NOT be attributed
     assert all(dt < 0.04 for dt in obs2.latencies_sec), obs2.latencies_sec
+
+
+def test_derive_subkey_count_monotone_and_floored():
+    """Scale knobs must GROW with the data (the 100×-scale contract)
+    and never collapse below the parallelism floor on tiny inputs."""
+    from oarphpy_spark.util.scale import derive_subkey_count
+
+    # floor wins on small inputs
+    assert derive_subkey_count(1_500, n_groups=5) == 16
+    assert derive_subkey_count(0, n_groups=5) == 16
+    # beyond the floor the knob scales linearly with rows
+    big = derive_subkey_count(5 * 16 * 1_000_000 * 4, n_groups=5)
+    assert big == 64
+    # monotone in n_rows
+    prev = 0
+    for n in [10**3, 10**6, 10**8, 10**10, 10**12]:
+        cur = derive_subkey_count(n, n_groups=5)
+        assert cur >= prev
+        prev = cur
+    # tighter per-task budget -> more subkeys
+    assert derive_subkey_count(10**9, 5, target_rows_per_task=10**5) > \
+        derive_subkey_count(10**9, 5, target_rows_per_task=10**6)
+
+
+def test_parquet_row_count_footer_only(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oarphpy_spark.util.scale import parquet_row_count
+
+    t = pa.Table.from_pandas(pd.DataFrame({"x": range(1234)}))
+    f = tmp_path / "t.parquet"
+    pq.write_table(t, f)
+    assert parquet_row_count(str(f)) == 1234
+    # directory of parts sums across footers
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet")
+    pq.write_table(t, d / "part-1.parquet")
+    assert parquet_row_count(str(d)) == 2468
