@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""sf1.0-scale smoke: build a 10×-replicated copy of sf0.1 (~6M
+lineitem rows, ~5k docs), run the headline queries once each with task
+metrics captured, and gate on BOTH completion and per-stage task skew.
+
+Rationale (VERDICT r04 item 8): the bounded-key rewrites of rounds 3-4
+(salted grouped-map, percentile-bucketed ranking, LSH banding) exist so
+no task's work grows with the data. Timing at one SF can't see a
+violation; a second scale point with a task-skew gate can — a
+partition-hogging task shows up as max-duration >> p95 long before it
+OOMs.
+
+Replication keeps join semantics: fact keys (orderkey, custkey,
+doc_id, vec_id, event_id, user_id) are offset per replica by 10^9·i so
+replicas never collide; dimension tables (region/nation/supplier/part)
+are copied once — dims don't scale with fact data, which is exactly
+why the star joins broadcast them. Document text is Caesar-rotated per
+replica so the dedup/LSH paths see genuinely distinct corpora (a
+verbatim ×10 copy would make every doc a 10-way near-dup and
+quadratically inflate candidate pairs — a different workload, not a
+bigger one).
+
+Usage: python scripts/scale_smoke.py [--replicas 10] [--out SCALE_SMOKE.json]
+Writes ONE JSON line to stdout (and --out): queries, total wall, and
+the per-stage skew audit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import string
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFF = 10**9  # per-replica key offset; far above any sf0.1 key
+
+DIM_TABLES = ("region", "nation", "supplier", "part")
+FACT_OFFSETS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_scaled(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in DIM_TABLES:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        spark.read.parquet(src).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+    alpha = string.ascii_lowercase
+    for name, key_cols in FACT_OFFSETS.items():
+        src = os.path.join(src_dir, f"{name}.parquet")
+        base = spark.read.parquet(src)
+        parts = []
+        for i in range(replicas):
+            df = base
+            for k in key_cols:
+                df = df.withColumn(k, F.col(k) + F.lit(i * OFF))
+            if name == "documents" and i > 0:
+                rot = alpha[i % 26:] + alpha[: i % 26]
+                df = df.withColumn("text", F.translate("text", alpha, rot))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+
+
+def skew_audit(eventlog_dir: str) -> dict:
+    """Parse Spark event logs for per-stage task durations; for every
+    stage with enough tasks to make percentiles meaningful, compare the
+    slowest task to the stage p95."""
+    stages: dict[tuple, list[float]] = {}
+    paths = [
+        os.path.join(root, name)
+        for root, _dirs, files in os.walk(eventlog_dir)
+        for name in files
+        if name.startswith("events_")
+    ]
+    for path in paths:
+        with open(path, "r", errors="replace") as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                ti = ev.get("Task Info") or {}
+                if ti.get("Failed"):
+                    continue
+                dur = (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) / 1000.0
+                key = (ev.get("Stage ID"), ev.get("Stage Attempt ID"))
+                stages.setdefault(key, []).append(dur)
+
+    checked, violations, worst = 0, [], 0.0
+    for (sid, att), durs in stages.items():
+        # Skew is only diagnosable where a long pole could hide: enough
+        # tasks for a p95 and a nontrivial max (sub-second stages are
+        # scheduler noise, not data skew).
+        if len(durs) < 20:
+            continue
+        durs.sort()
+        mx = durs[-1]
+        if mx < 1.0:
+            continue
+        p95 = durs[int(0.95 * (len(durs) - 1))]
+        checked += 1
+        ratio = mx / max(p95, 1e-9)
+        worst = max(worst, ratio)
+        if ratio > 10.0:
+            violations.append(
+                {"stage": sid, "attempt": att, "n_tasks": len(durs),
+                 "p95_sec": round(p95, 3), "max_sec": round(mx, 3),
+                 "ratio": round(ratio, 2)}
+            )
+    return {
+        "stages_total": len(stages),
+        "stages_checked": checked,
+        "worst_max_over_p95": round(worst, 2),
+        "violations": violations,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--keep-data", action="store_true")
+    args = ap.parse_args()
+
+    import bench
+    from oarphpy_spark import registry
+    from oarphpy_spark.session import SessionFactory
+
+    work = tempfile.mkdtemp(prefix="oarphpy_spark_scale_")
+    data_dir = os.path.join(work, f"sf{args.replicas / 10:g}")
+    evlog = os.path.join(work, "eventlog")
+    os.makedirs(evlog, exist_ok=True)
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    class ScaleSession(SessionFactory):
+        APP_NAME = "oarphpy_spark_scale_smoke"
+        CONF_KV = dict(
+            SessionFactory.CONF_KV,
+            **{
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": f"file://{evlog}",
+                "spark.eventLog.compress": "false",
+                "spark.sql.shuffle.partitions": str(cpus * 2),
+                # Keep scan splits small enough that the 10× tables
+                # still fan out across every core.
+                "spark.sql.files.maxPartitionBytes": str(16 << 20),
+            },
+        )
+
+    spark = ScaleSession.getOrCreate()
+    try:
+        t0 = time.perf_counter()
+        build_scaled(spark, args.src, data_dir, args.replicas)
+        build_sec = round(time.perf_counter() - t0, 2)
+
+        qs = registry.queries()
+        names = [n for n in bench.HEADLINE if n in qs]
+        timings: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, data_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+    finally:
+        spark.stop()
+
+    audit = skew_audit(evlog)
+    out = {
+        "metric": "scale_smoke_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": args.replicas / 10.0,
+        "build_sec": build_sec,
+        "skew": audit,
+        "ok": len(audit["violations"]) == 0,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    if not args.keep_data:
+        shutil.rmtree(work, ignore_errors=True)
+    if audit["violations"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -159,3 +159,71 @@ def test_tfrecords_df_source(spark, tmp_path):
     rows = df.collect()
     assert {bytes(r["record"]) for r in rows} == {b"r1", b"r2", b"r3"}
     assert all(r["record_idx"] in (0, 1) for r in rows)
+
+
+def test_shard_iterator_element_equality(spark):
+    """iter_shard_batches must yield exactly the rows of collect(),
+    shard-interleaved (reference analog: element-equality check in
+    oarphpy_test/test_spark.py:350-406)."""
+    from oarphpy_spark.bridges import iter_shard_batches
+
+    df = spark.range(1000).select(
+        "id",
+        (F.col("id") % 4).alias("shard"),
+        (F.col("id") * 3).cast("double").alias("v"),
+    )
+    expected = {(r["id"], r["shard"], r["v"]) for r in df.collect()}
+    got = set()
+    shards_seen = []
+    for batch in iter_shard_batches(
+        df, "shard", num_reader_threads=2, batch_size=64,
+        on_shard_start=shards_seen.append,
+    ):
+        got.update(zip(batch["id"], batch["shard"], batch["v"]))
+    assert got == expected
+    assert sorted(shards_seen) == [0, 1, 2, 3]
+
+
+def test_shard_iterator_reads_concurrently(spark):
+    """≥2 shards must be in flight at once: both reader threads rendezvous
+    at a barrier in on_shard_start — a serial implementation would leave
+    one party waiting forever (BrokenBarrierError after timeout)."""
+    import threading
+
+    from oarphpy_spark.bridges import iter_shard_batches
+
+    barrier = threading.Barrier(2, timeout=60)
+    overlap = []
+
+    def on_start(sid):
+        overlap.append(barrier.wait())  # both workers must arrive
+
+    df = spark.range(400).select("id", (F.col("id") % 2).alias("shard"))
+    total = sum(
+        len(b["id"])
+        for b in iter_shard_batches(
+            df, "shard", num_reader_threads=2, batch_size=50,
+            on_shard_start=on_start,
+        )
+    )
+    assert total == 400
+    assert len(overlap) == 2  # both threads passed the rendezvous
+
+
+def test_shard_iterator_propagates_worker_errors(spark):
+    from oarphpy_spark.bridges import iter_shard_batches
+
+    df = spark.range(100).select("id", (F.col("id") % 2).alias("shard"))
+
+    def boom(sid):
+        raise RuntimeError("reader died")
+
+    with pytest.raises(RuntimeError, match="reader died"):
+        list(iter_shard_batches(df, "shard", on_shard_start=boom))
+
+
+def test_shard_iterator_empty_df(spark):
+    from oarphpy_spark.bridges import iter_shard_batches
+
+    df = spark.range(10).filter("id < 0").withColumn("shard", F.col("id") % 2)
+    assert list(iter_shard_batches(df, "shard")) == []

@@ -237,3 +237,30 @@ def test_parquet_row_count_footer_only(tmp_path):
     pq.write_table(t, d / "part-0.parquet")
     pq.write_table(t, d / "part-1.parquet")
     assert parquet_row_count(str(d)) == 2468
+
+
+def test_run_cmd_collect_and_check():
+    import subprocess
+
+    import pytest as _pytest
+
+    from oarphpy_spark.util.misc import run_cmd
+
+    assert run_cmd("echo hi", collect=True, nolog=True) == b"hi\n"
+    assert run_cmd("true", nolog=True) is None
+    with _pytest.raises(subprocess.CalledProcessError):
+        run_cmd("false", nolog=True)
+    # newlines collapse to spaces (reference behavior: one-line shell cmd)
+    assert run_cmd("echo a\nb", collect=True, nolog=True) == b"a b\n"
+
+
+def test_get_sys_info_shape():
+    from oarphpy_spark.util.misc import get_sys_info
+
+    info = get_sys_info()
+    assert info["n_cpus"] >= 1
+    assert info["hostname"]
+    assert "PYTHONPATH" in info and "filepath" in info
+    # fault-tolerant probes: strings even when the binary is missing
+    for k in ("nvidia_smi", "cpuinfo", "disk_free", "memory", "ifconfig"):
+        assert isinstance(info[k], str)
