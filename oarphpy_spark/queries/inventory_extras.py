@@ -178,3 +178,41 @@ def q_row_of_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
              shard_count=consts["SHARD_COUNT"])],
         "name string, sample_rate double, shard_count int",
     )
+
+
+@query(
+    "q_bridge_shard_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+)
+def q_bridge_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ML-feed bridge (T1) under the exact-oracle gate: stream the
+    customer table through ``iter_shard_batches`` — distinct shard
+    listing, two concurrent per-shard Arrow reads, bounded queue — and
+    rebuild a DataFrame from the consumed batches. A hash match
+    against plain SQL proves the shard-parallel transport loses,
+    duplicates, and mangles nothing (the reference checked its TF
+    bridge the same way, by element equality:
+    oarphpy_test/test_spark.py:350-406). The localize step is what's
+    under test here; real feeds consume the iterator directly."""
+    from oarphpy_spark.bridges import iter_shard_batches
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    rows = []
+    for batch in iter_shard_batches(
+        cust, "c_mktsegment", num_reader_threads=2, batch_size=256
+    ):
+        rows.extend(
+            zip(
+                (int(v) for v in batch["c_custkey"]),
+                (str(v) for v in batch["c_mktsegment"]),
+                (float(v) for v in batch["acctbal"]),
+            )
+        )
+    return spark.createDataFrame(rows, schema=cust.schema)
