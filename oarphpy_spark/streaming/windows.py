@@ -152,15 +152,19 @@ def sessionized_stream(
 
 
 def run_to_memory_sink(
-    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (availableNow trigger), landing results in an in-memory table —
-    the batch-equivalence test harness."""
+    the batch-equivalence test harness. Stream-stream joins require
+    ``output_mode='append'``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

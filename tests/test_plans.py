@@ -245,3 +245,34 @@ def test_partition_prune_reads_one_partition(spark):
     sel = [ln for ln in plan.splitlines() if "partitions read" in ln.lower()]
     if sel:  # formatted plans report "Partitions read: 1 of 5"-style counts
         assert "1" in sel[0]
+
+
+def test_tpch_q4_exists_compiles_to_semi_join(spark):
+    """Correlated EXISTS must become a LeftSemi (never a row-
+    duplicating inner join + distinct); the date predicate prunes the
+    orders scan below the join."""
+    plan = _plan(spark, "q_sql_tpch_q4", "simple")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_tpch_q16_not_in_is_null_aware_anti(spark):
+    plan = _plan(spark, "q_sql_tpch_q16", "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_tpch_q14_single_scan_conditional_agg(spark):
+    """Promo/total ratio from ONE lineitem scan: two conditional sums
+    in the same aggregate, not two plans unioned."""
+    plan = _plan(spark, "q_sql_tpch_q14", "simple")
+    assert plan.count("Scan parquet") <= 2  # lineitem + part, once each
+    assert "Union" not in plan
+    pushed = _plan(spark, "q_sql_tpch_q14")
+    assert "l_shipdate" in pushed.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_tpch_q19_disjunction_stays_on_broadcast_join(spark):
+    plan = _plan(spark, "q_sql_tpch_q19", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

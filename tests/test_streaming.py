@@ -100,3 +100,46 @@ def test_stream_static_join_equals_batch(spark):
     want = enriched_counts_stream(batch_events, dim)
     cols = ["segment", "n", "sum_value"]
     assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Stream-stream inner join with watermarks + time-interval
+    condition: append-mode result over availableNow must equal the
+    SAME join expressions run in batch (the interval condition is what
+    makes click-state evictable — without it Spark rejects the plan)."""
+    from oarphpy_spark.streaming.joins import purchase_click_attribution_stream
+    from oarphpy_spark.tables import table
+
+    events_s = stream_events(spark, f"{SF_SMALL}/events.parquet")
+    got = run_to_memory_sink(
+        purchase_click_attribution_stream(events_s),
+        "t_ss_join_test",
+        output_mode="append",
+    )
+    events_b = table(spark, SF_SMALL, "events")
+    want = purchase_click_attribution_stream(events_b)
+    cols = [
+        "event_id", "user_id", "purchase_ts_us", "click_ts_us",
+        "click_event_id",
+    ]
+    got_set, want_set = _rows_set(got, cols), _rows_set(want, cols)
+    assert got_set == want_set
+    assert len(want_set) > 0  # fixture must actually exercise the join
+
+
+def test_stream_stream_join_interval_bounds_state(spark):
+    """The time-interval condition is what lets the state store evict
+    old click rows. Spark ACCEPTS an unconstrained stream-stream inner
+    join (state simply grows forever), so the guard is on the plan:
+    the interval join must carry watermark metadata on both sides and
+    a range condition tying the two event times together."""
+    from oarphpy_spark.streaming.joins import purchase_click_attribution_stream
+
+    events = stream_events(spark, f"{SF_SMALL}/events.parquet")
+    plan = purchase_click_attribution_stream(
+        events
+    )._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") >= 2
+    # both event-time columns carry the watermark delay tag (-T...ms)
+    assert plan.count("-T7200000ms") >= 2
+    assert "ts_r" in plan and ">=" in plan
