@@ -94,6 +94,7 @@ def iter_shard_batches(
     queue_maxsize: int | None = None,
     on_shard_start=None,
     on_shard_end=None,
+    observer=None,
 ) -> Iterator[dict[str, Any]]:
     """Shard-parallel feed: the reference's interleave semantics
     (``oarphpy/spark.py:1257-1380`` — distinct shard ids, a reader
@@ -118,10 +119,15 @@ def iter_shard_batches(
     feed). Worker exceptions propagate to the consumer. The optional
     ``on_shard_start``/``on_shard_end`` callbacks (called with the
     shard id, from the worker thread) exist for instrumentation and
-    for tests proving genuine concurrency.
+    for tests proving genuine concurrency. Pass a ``ThruputObserver``
+    (``util/thruput.py``) as ``observer`` to meter rows/bytes/chunk
+    latency of the feed, the same metrology the reference wrapped
+    around its TF bridge (``oarphpy/spark.py:1325-1357``).
     """
     import queue as _queue
+    import sys as _sys
     import threading
+    import time as _time
 
     from pyspark.sql import functions as F
 
@@ -165,12 +171,23 @@ def iter_shard_batches(
     done = 0
     try:
         while done < n_workers:
+            t0 = _time.perf_counter()
             item = out.get()
             if item is _DONE:
                 done += 1
             elif isinstance(item, tuple) and len(item) == 2 and item[0] is _ERROR:
                 raise item[1]
             else:
+                if observer is not None:
+                    n = len(next(iter(item.values()))) if item else 0
+                    nbytes = sum(
+                        getattr(v, "nbytes", _sys.getsizeof(v))
+                        for v in item.values()
+                    )
+                    observer.observe(
+                        n=n, num_bytes=int(nbytes),
+                        dt_sec=_time.perf_counter() - t0,
+                    )
                 yield item
     finally:
         # Consumer abandoned early: drain so blocked readers can exit.

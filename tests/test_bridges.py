@@ -227,3 +227,22 @@ def test_shard_iterator_empty_df(spark):
 
     df = spark.range(10).filter("id < 0").withColumn("shard", F.col("id") % 2)
     assert list(iter_shard_batches(df, "shard")) == []
+
+
+def test_shard_iterator_thruput_observer(spark):
+    """Observer parity with the reference's instrumented TF bridge
+    (oarphpy/spark.py:1325-1357): rows/bytes/chunk latencies metered
+    on the consumer side."""
+    from oarphpy_spark.bridges import iter_shard_batches
+    from oarphpy_spark.util.thruput import ThruputObserver
+
+    obs = ThruputObserver(name="feed")
+    df = spark.range(500).select("id", (F.col("id") % 2).alias("shard"))
+    total = sum(
+        len(b["id"])
+        for b in iter_shard_batches(df, "shard", batch_size=100, observer=obs)
+    )
+    assert total == 500
+    assert obs.n == 500
+    assert obs.num_bytes > 0
+    assert len(obs.latencies_sec) >= 5  # one observation per batch

@@ -276,3 +276,53 @@ def test_tpch_q19_disjunction_stays_on_broadcast_join(spark):
     plan = _plan(spark, "q_sql_tpch_q19", "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Scale evidence: a hot key that dwarfs every other partition must
+    be split by AQE's skew-join handling (OptimizeSkewedJoin marks the
+    SMJ skew=true), not serialized through one straggler task. This is
+    the runtime backstop behind every equi-join in the repo — salting
+    handles the skew we can predict, AQE the skew we can't."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.sha1(F.col("id").cast("string")).alias("name")
+        )
+        # NB: no downstream operator may require the join's hash
+        # partitioning (a groupBy on k would make AQE decline the
+        # split, since splitting breaks the partitioning guarantee)
+        joined = left.join(right, "k").agg(F.sum("payload").alias("s"))
+        joined.collect()  # AQE finalizes the plan only on execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
