@@ -150,9 +150,19 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     shifts = np.array([(16 - p) * 4 + 3 for p in range(1, 17)], dtype=np.uint64)
     weights = np.array([1 << (p - 1) for p in range(1, 17)], dtype=np.int64)
 
+    # Token-hash memo, persistent across batches within a Python
+    # worker: token frequencies are Zipfian, so the hot vocabulary
+    # covers almost every occurrence and each md5 is paid once per
+    # DISTINCT token per worker, not once per occurrence. Capped so an
+    # adversarial unique-token corpus can't grow worker memory
+    # unboundedly (2^20 entries x ~100 B ≈ 100 MB worst case).
+    _tok_cache: dict[str, int] = {}
+    _TOK_CACHE_MAX = 1 << 20
+
     @pandas_udf("int")
     def simhash_of(text: pd.Series) -> pd.Series:
         md5 = hashlib.md5
+        cache = _tok_cache
         doc_idx, hashes, n_toks = [], [], []
         for i, t in enumerate(text):
             if t is None:
@@ -166,10 +176,13 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             toks = t.lower().split(" ")
             n_toks.append(len(toks))
             doc_idx.extend([i] * len(toks))
-            hashes.extend(
-                int.from_bytes(md5(tok.encode()).digest()[:8], "big")
-                for tok in toks
-            )
+            for tok in toks:
+                h = cache.get(tok)
+                if h is None:
+                    h = int.from_bytes(md5(tok.encode()).digest()[:8], "big")
+                    if len(cache) < _TOK_CACHE_MAX:
+                        cache[tok] = h
+                hashes.append(h)
         H = np.array(hashes, dtype=np.uint64)
         bits = ((H[:, None] >> shifts[None, :]) & 1).astype(np.int64)
         votes = np.zeros((len(text), 16), dtype=np.int64)

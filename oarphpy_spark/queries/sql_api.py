@@ -478,3 +478,34 @@ def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates stream-side with zero extra shuffles."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_Q19_SQL)
+
+
+_CORR_SCALAR_SQL = """
+SELECT p.p_partkey, p.p_brand,
+       ROUND(p.p_retailprice, 2) AS retailprice
+FROM part p
+WHERE p.p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
+@query(
+    "q_sql_correlated_scalar",
+    oracle="""
+    SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS retailprice
+    FROM part p
+    WHERE p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def q_sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (TPC-H Q2's shape: each row compared
+    to a per-group minimum computed over the same table): Catalyst
+    de-correlates it into a per-brand MIN aggregate joined back on the
+    correlation key — one extra aggregate and one equi-join, never a
+    per-row re-scan. The de-correlation IS the scale story: a naive
+    nested evaluation would be O(rows x groups) scans."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_CORR_SCALAR_SQL)
