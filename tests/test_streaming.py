@@ -143,3 +143,51 @@ def test_stream_stream_join_interval_bounds_state(spark):
     # both event-time columns carry the watermark delay tag (-T...ms)
     assert plan.count("-T7200000ms") >= 2
     assert "ts_r" in plan and ">=" in plan
+
+
+def test_idempotent_sink_exactly_once(spark, tmp_path):
+    """foreachBatch sink must be replay-safe: re-delivering a committed
+    batch (Spark's at-least-once contract after crash recovery) adds
+    zero duplicate rows."""
+    from oarphpy_spark.streaming.sinks import (
+        committed_batches,
+        idempotent_parquet_sink,
+    )
+
+    root = str(tmp_path / "sink")
+    import os
+    os.makedirs(root)
+    write = idempotent_parquet_sink(root)
+
+    b0 = spark.range(10).toDF("id")
+    b1 = spark.range(10, 25).toDF("id")
+    write(b0, 0)
+    write(b1, 1)
+    write(b0, 0)  # crash-recovery replay of a committed batch
+    assert committed_batches(root) == [0, 1]
+    got = spark.read.parquet(root)
+    assert got.count() == 25  # no duplicates
+    # partition pruning on batch_id works for readers
+    assert got.filter("batch_id = 1").count() == 15
+
+
+def test_idempotent_sink_end_to_end_stream(spark, tmp_path):
+    """The sink wired to a real availableNow stream: all input rows
+    land exactly once."""
+    from oarphpy_spark.streaming.sinks import idempotent_parquet_sink
+    from oarphpy_spark.tables import table
+
+    import os
+    root = str(tmp_path / "sink2")
+    os.makedirs(root)
+    events = stream_events(spark, f"{SF_SMALL}/events.parquet")
+    q = (
+        events.select("event_id", "event_type")
+        .writeStream.foreachBatch(idempotent_parquet_sink(root))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_batch = table(spark, SF_SMALL, "events").count()
+    assert spark.read.parquet(root).count() == n_batch
