@@ -595,3 +595,41 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           ROUND(l_quantity, 4) AS value
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           ROUND(l_extendedprice, 4)
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 4)
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 4)
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measure columns to long (measure, value)
+    rows via ``DataFrame.unpivot`` — a Generate-style row expansion in
+    one codegen'd pass over one scan (the oracle's UNION-ALL form
+    states the same relation but would scan four times if executed
+    naively; Spark's Expand node is the single-scan physical shape).
+    The key filter pushes to the scan BEFORE the 4x expansion."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    melted = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return melted.select(
+        "l_orderkey", "l_linenumber", "measure",
+        F.round("v", 4).alias("value"),
+    )

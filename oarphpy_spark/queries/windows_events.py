@@ -720,3 +720,42 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``first_value``/``last_value``/``nth_value`` with an explicit
+    full-partition frame (default frames make last_value the CURRENT
+    row — the classic silent bug; both engines get the explicit frame).
+    Partitioned by o_custkey: key cardinality GROWS with the data and
+    per-customer order counts stay O(10), so the window is scale-safe —
+    unlike a low-cardinality segment window, which this repo rewrites
+    via bucketed ranking (see q_window_distribution)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .distinct()
+    )

@@ -326,3 +326,12 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_unpivot_is_single_scan_expand(spark):
+    """DataFrame.unpivot must compile to one scan + Expand (the oracle's
+    UNION-ALL statement of the same relation would scan 4x)."""
+    plan = _plan(spark, "q_unpivot", "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan or "Generate" in plan
+    assert "Union" not in plan
