@@ -229,3 +229,39 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame, corpus_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus without
+    touching corpus rows: each new doc is flagged if its normalized
+    content hash already exists in the corpus (plus its within-batch
+    copy count). The corpus side reduces to DISTINCT 32-byte hashes
+    before the join — one shuffle of hashes, never of documents; at
+    100 TB the corpus hash set is a persisted table (or a Bloom filter
+    for a lossy pre-filter) that each nightly crawl joins against,
+    which is exactly how production crawl pipelines avoid
+    re-clustering the world per batch."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    new_fp = new_df.select(
+        F.col(id_col), md5_str(norm).alias("fingerprint")
+    )
+    corpus_fp = (
+        corpus_df.select(md5_str(norm).alias("fingerprint")).distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    flagged = new_fp.join(corpus_fp, "fingerprint", "left")
+    w_copies = (
+        flagged.groupBy("fingerprint")
+        .agg(F.count("*").alias("batch_copies"))
+    )
+    return (
+        flagged.join(w_copies, "fingerprint")
+        .select(
+            F.col(id_col),
+            "fingerprint",
+            F.coalesce("in_corpus", F.lit(False)).alias("dup_of_corpus"),
+            "batch_copies",
+        )
+    )

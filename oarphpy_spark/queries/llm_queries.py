@@ -1570,3 +1570,42 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ), new_docs AS (
+      SELECT * FROM fp WHERE doc_id % 5 = 0
+    ), corpus AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0
+    ), cnt AS (
+      SELECT fingerprint, COUNT(*) AS batch_copies
+      FROM new_docs GROUP BY fingerprint
+    )
+    SELECT n.doc_id, n.fingerprint,
+           (c.fingerprint IS NOT NULL) AS dup_of_corpus,
+           cnt.batch_copies
+    FROM new_docs n
+    LEFT JOIN corpus c ON n.fingerprint = c.fingerprint
+    JOIN cnt ON n.fingerprint = cnt.fingerprint
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup: the nightly-crawl shape —
+    flag each incoming doc whose content already exists in the corpus,
+    without re-clustering the corpus. Docs with doc_id % 5 == 0 play
+    the incoming batch; the rest are the standing corpus. The corpus
+    collapses to distinct 32-byte hashes before the join (at scale: a
+    persisted hash table or Bloom pre-filter), so the cost is one
+    hash-key shuffle independent of document sizes."""
+    from oarphpy_spark.llm.dedup import incremental_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(new_docs, corpus, "text", "doc_id")

@@ -264,3 +264,49 @@ def test_get_sys_info_shape():
     # fault-tolerant probes: strings even when the binary is missing
     for k in ("nvidia_smi", "cpuinfo", "disk_free", "memory", "ifconfig"):
         assert isinstance(info[k], str)
+
+
+def test_scale_smoke_skew_audit_parses_and_flags(tmp_path):
+    """skew_audit must read rolling event-log layouts and flag a stage
+    whose slowest task dwarfs its p95 (and only such stages)."""
+    import importlib.util
+    import json as _json
+    import pathlib
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_smoke",
+        pathlib.Path(__file__).parent.parent / "scripts" / "scale_smoke.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    logdir = tmp_path / "eventlog_v2_app1"
+    logdir.mkdir()
+
+    def task_end(stage, launch, finish):
+        return _json.dumps({
+            "Event": "SparkListenerTaskEnd",
+            "Stage ID": stage, "Stage Attempt ID": 0,
+            "Task Info": {"Launch Time": launch, "Finish Time": finish,
+                          "Failed": False},
+        })
+
+    lines = []
+    # stage 0: 30 uniform 2s tasks + one 30s straggler -> violation
+    for i in range(30):
+        lines.append(task_end(0, 0, 2000))
+    lines.append(task_end(0, 0, 30000))
+    # stage 1: 30 uniform tasks, no straggler -> clean
+    for i in range(30):
+        lines.append(task_end(1, 0, 2000))
+    # stage 2: too few tasks to judge -> skipped
+    lines.append(task_end(2, 0, 50000))
+    (logdir / "events_1_app1").write_text("\n".join(lines))
+
+    audit = mod.skew_audit(str(tmp_path))
+    assert audit["stages_total"] == 3
+    assert audit["stages_checked"] == 2
+    assert len(audit["violations"]) == 1
+    assert audit["violations"][0]["stage"] == 0
+    assert audit["violations"][0]["ratio"] > 10
