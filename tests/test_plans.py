@@ -335,3 +335,46 @@ def test_unpivot_is_single_scan_expand(spark):
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan or "Generate" in plan
     assert "Union" not in plan
+
+
+def test_zscore_salt_grows_with_input(spark, monkeypatch):
+    """The salted grouped-map key count must DERIVE from the data: with
+    the footer row count patched to a 100x-scale table, the plan's salt
+    modulus grows past the floor (16 -> 64). This is the 'knob grows
+    when the input does' guarantee, visible in the physical plan."""
+    import oarphpy_spark.util.scale as scale
+
+    plan_small = _plan(spark, "q_grouped_apply_zscore", "simple")
+    assert "% 16" in plan_small  # floor at test scale
+
+    monkeypatch.setattr(
+        scale, "parquet_row_count", lambda path: 5 * 16 * 1_000_000 * 4
+    )
+    plan_big = _plan(spark, "q_grouped_apply_zscore", "simple")
+    assert "% 64" in plan_big and "% 16" not in plan_big
+
+
+def test_window_distribution_bucket_count_grows_with_input(spark, monkeypatch):
+    """Same guarantee for the percentile range-bucket count B: a
+    100x-scale footer row count must request more percentile edges
+    (B-1 = 63 instead of 15)."""
+    import oarphpy_spark.util.scale as scale
+
+    recorded = []
+    real = scale.derive_subkey_count
+
+    def spy(n_rows, n_groups, **kw):
+        out = real(n_rows, n_groups, **kw)
+        recorded.append(out)
+        return out
+
+    monkeypatch.setattr(scale, "derive_subkey_count", spy)
+    _plan(spark, "q_window_distribution", "simple")
+    assert recorded[-1] == 16  # floor at test scale
+
+    monkeypatch.setattr(
+        scale, "parquet_row_count", lambda path: 5 * 16 * 1_000_000 * 4
+    )
+    plan = _plan(spark, "q_window_distribution", "simple")
+    assert recorded[-1] == 64
+    assert plan  # query still builds (edges literal re-injected)
