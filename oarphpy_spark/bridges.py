@@ -142,10 +142,11 @@ def iter_shard_batches(
         maxsize=queue_maxsize or max(4, 2 * n_workers)
     )
     _DONE, _ERROR = object(), object()
+    stop = threading.Event()
 
     def reader():
         try:
-            while True:
+            while not stop.is_set():
                 try:
                     sid = work.get_nowait()
                 except _queue.Empty:
@@ -154,8 +155,10 @@ def iter_shard_batches(
                     on_shard_start(sid)
                 shard_df = df.filter(F.col(shard_col) == F.lit(sid))
                 for batch in iter_row_batches(shard_df, batch_size):
+                    if stop.is_set():
+                        break  # consumer gone: stop mid-shard too
                     out.put(batch)
-                if on_shard_end is not None:
+                if on_shard_end is not None and not stop.is_set():
                     on_shard_end(sid)
         except BaseException as ex:  # propagate to the consumer
             out.put((_ERROR, ex))
@@ -190,7 +193,10 @@ def iter_shard_batches(
                     )
                 yield item
     finally:
-        # Consumer abandoned early: drain so blocked readers can exit.
+        # Consumer abandoned early: signal readers (they quit before
+        # claiming another shard and between batches — unclaimed shard
+        # jobs never launch), then drain so blocked put()s unwedge.
+        stop.set()
         for t in threads:
             while t.is_alive():
                 try:

@@ -246,3 +246,25 @@ def test_shard_iterator_thruput_observer(spark):
     assert obs.n == 500
     assert obs.num_bytes > 0
     assert len(obs.latencies_sec) >= 5  # one observation per batch
+
+
+def test_shard_iterator_early_abandon_stops_readers(spark):
+    """A consumer that stops early must not pay for the remaining
+    shards: the stop flag keeps unclaimed shard jobs from launching
+    and reader threads exit promptly."""
+    import time
+
+    from oarphpy_spark.bridges import iter_shard_batches
+
+    started = []
+    df = spark.range(4000).select("id", (F.col("id") % 8).alias("shard"))
+    it = iter_shard_batches(
+        df, "shard", num_reader_threads=2, batch_size=50,
+        on_shard_start=started.append,
+    )
+    next(it)
+    it.close()  # abandon after one batch
+    time.sleep(1.0)  # let any wrongly-continuing readers claim shards
+    # at most the shards already in flight when we closed (2 workers
+    # + a possible race on one more claim each) — never all 8
+    assert len(started) <= 4, started
