@@ -205,3 +205,118 @@ def resize_blob(data: bytes, target_bytes: int):
         return data
     stride = len(data) / target_bytes
     return bytes(data[int(i * stride)] for i in range(target_bytes))
+
+
+# -- audio ------------------------------------------------------------------
+
+_WAV_SR = 1000  # fixture sample rate (tiny on purpose; format is real)
+
+
+def _wav_bytes(samples, sample_rate: int = _WAV_SR) -> bytes:
+    """Minimal PCM16 mono WAV (RIFF) encoder — dependency-free, same
+    spirit as the pure-python PNG codec in util/images.py."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    data = b"data" + struct.pack("<I", len(pcm))
+    return hdr + fmt + data + pcm
+
+
+def _wav_samples(data: bytes):
+    """Parse PCM16 mono WAV produced by :func:`_wav_bytes` (header is
+    fixed-layout for canonical RIFF; raises on anything else)."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE" or data[36:40] != b"data":
+        raise ValueError("not a canonical PCM16 mono WAV")
+    sample_rate = struct.unpack("<I", data[24:28])[0]
+    n_bytes = struct.unpack("<I", data[40:44])[0]
+    return sample_rate, np.frombuffer(data, dtype="<i2", offset=44,
+                                      count=n_bytes // 2)
+
+
+def synth_audio_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic audio blobs: an INTEGER waveform (no float sin, so
+    any engine recomputes samples bit-exactly) packed as real PCM16
+    WAV bytes in an Arrow-batched mapInPandas — the same opaque-binary
+    + typed-metadata column shape as images/video. Frequency and
+    length derive from (doc_id, n_chars)."""
+    import numpy as np
+
+    ids = docs.select(F.col(id_col).alias("doc_id"), "n_chars")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                f = 1 + doc_id % 20
+                n = 50 + n_chars % 100
+                k = np.arange(n, dtype=np.int64)
+                wave = ((k * f * 37) % 1001) - 500  # int16-safe
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "data": _wav_bytes(wave),
+                        "meta": {
+                            "sample_rate": _WAV_SR,
+                            "n_samples": n,
+                            "format": "wav",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, data binary, "
+            "meta struct<sample_rate:bigint, n_samples:bigint, format:string>"
+        ),
+    )
+
+
+def audio_features(blobs: DataFrame) -> DataFrame:
+    """Decode WAV blobs and extract classic audio features — peak
+    amplitude, zero crossings, total energy — vectorized per Arrow
+    batch. All integer math over the decoded samples, so the numbers
+    are engine-independent (the oracle recomputes them from first
+    principles)."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                sr, s = _wav_samples(data)
+                s64 = s.astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": int(sr),
+                        "n_samples": int(len(s)),
+                        "max_amp": int(np.abs(s64).max()) if len(s) else 0,
+                        "zero_crossings": int(
+                            np.count_nonzero(s64[1:] * s64[:-1] < 0)
+                        ),
+                        "energy": int(np.sum(s64 * s64)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.select("doc_id", "data").mapInPandas(
+        feats,
+        schema=(
+            "doc_id bigint, sample_rate bigint, n_samples bigint, "
+            "max_amp bigint, zero_crossings bigint, energy bigint"
+        ),
+    )

@@ -1609,3 +1609,47 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return incremental_dedup(new_docs, corpus, "text", "doc_id")
+
+
+@query(
+    "q_multimodal_audio",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             1 + doc_id % 20 AS f,
+             50 + n_chars % 100 AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0, n - 1)) AS k,
+             ((unnest(generate_series(0, n - 1)) * f * 37) % 1001) - 500 AS v
+      FROM d
+    ), lagged AS (
+      SELECT doc_id, n, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(1000 AS BIGINT) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(abs(v)) AS BIGINT) AS max_amp,
+           CAST(COUNT(*) FILTER (WHERE v * pv < 0) AS BIGINT)
+               AS zero_crossings,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end: deterministic integer waveforms
+    packed as REAL PCM16 WAV bytes (RIFF header + frames, no audio
+    libs), then decoded and feature-extracted (peak, zero crossings,
+    energy) in a second Arrow-batched pass. The oracle recomputes
+    every feature from the waveform definition — so blob encode,
+    binary transport, WAV parse, and the vectorized feature math are
+    ALL under the exact-hash gate. Same opaque-binary + typed-metadata
+    column shape as the image/video ops; at scale the synth stage is
+    replaced by reading real files via binaryFile."""
+    from oarphpy_spark.llm.multimodal import audio_features, synth_audio_table
+
+    docs = table(spark, sf_dir, "documents")
+    return audio_features(synth_audio_table(docs))

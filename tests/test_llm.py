@@ -319,3 +319,19 @@ def test_byte_histogram_n_bins(spark):
         assert all(abs(f - 1.0 / n_bins) < 1e-9 for f in r["features"])
     with pytest.raises(ValueError):
         extract_byte_histogram_features(blobs, n_bins=10)
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from oarphpy_spark.llm.multimodal import _wav_bytes, _wav_samples
+
+    wave = np.array([0, 500, -500, 32767, -32768, 7], dtype=np.int16)
+    data = _wav_bytes(wave, sample_rate=8000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    sr, back = _wav_samples(data)
+    assert sr == 8000
+    assert np.array_equal(back, wave)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _wav_samples(b"nonsense-bytes" * 10)
