@@ -759,3 +759,39 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), first_seen AS (
+      SELECT user_id, MIN(d) AS cohort FROM act GROUP BY user_id
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS days_since,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each subsequent active day. Two partial-aggregable
+    shuffles on user_id (distinct activity days, then first-seen) and
+    one on the tiny (cohort, offset) key — the first-seen table is
+    users-cardinality and joins back broadcast-or-shuffle as Catalyst
+    sizes it; nothing is ever per-event after the first distinct."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("long").alias("days_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -48,6 +48,28 @@ def idempotent_parquet_sink(root: str):
     return write_batch
 
 
+def foreach_batch_parquet(stream_df: DataFrame, out_dir: str, query_name: str):
+    """Start a foreachBatch parquet writer: batch N overwrites
+    ``{out_dir}/epoch={N}`` — idempotence by OVERWRITE (a replayed
+    epoch rewrites its own directory rather than duplicating rows).
+    Returns the StreamingQuery. For skip-if-committed semantics with
+    an atomic rename commit, use :func:`idempotent_parquet_sink`."""
+    import os as _os
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def committed_batches(root: str) -> list[int]:
     """Batch ids already committed under ``root``."""
     if not os.path.isdir(root):
