@@ -251,17 +251,16 @@ def incremental_dedup(
         corpus_df.select(md5_str(norm).alias("fingerprint")).distinct()
         .withColumn("in_corpus", F.lit(True))
     )
+    from pyspark.sql import Window
+
     flagged = new_fp.join(corpus_fp, "fingerprint", "left")
-    w_copies = (
-        flagged.groupBy("fingerprint")
-        .agg(F.count("*").alias("batch_copies"))
-    )
-    return (
-        flagged.join(w_copies, "fingerprint")
-        .select(
-            F.col(id_col),
-            "fingerprint",
-            F.coalesce("in_corpus", F.lit(False)).alias("dup_of_corpus"),
-            "batch_copies",
-        )
+    # Window over fingerprint: ONE shuffle serves both the copy count
+    # and the output rows (a groupBy + join-back would shuffle the
+    # fingerprints twice for the same partitioning).
+    w = Window.partitionBy("fingerprint")
+    return flagged.select(
+        F.col(id_col),
+        "fingerprint",
+        F.coalesce("in_corpus", F.lit(False)).alias("dup_of_corpus"),
+        F.count("*").over(w).alias("batch_copies"),
     )
