@@ -1,0 +1,688 @@
+"""TPC-H completion: the 12 queries rounds 1-4 had not yet declared
+(Q1, Q2, Q7, Q8, Q9, Q11, Q13, Q15, Q17, Q20, Q21, Q22), adapted to
+the fixture star schema (no ``partsupp`` table; supplier-part
+relationships come from DISTINCT ``lineitem`` pairs, and
+``ps_supplycost`` stand-ins are noted per query). Together with
+sql_api.py's Q3/Q4/Q5/Q6/Q10/Q12/Q14/Q16/Q18/Q19 this covers the full
+22-query suite.
+
+Surface split is deliberate: half run as ANSI SQL strings through
+``spark.sql`` (the front door a BI tool would use), half as DataFrame
+chains with explicit ``broadcast()`` on dimension tables — both
+compile to the same Catalyst plans, and the pair demonstrates the
+engine is equally drivable from either API.
+
+Scale notes baked into each plan:
+* every dimension join (nation, region, supplier, part at these
+  cardinalities) broadcasts — the only data-sized shuffles are on
+  lineitem/orders fact keys;
+* correlated scalar subqueries (Q17's per-part avg, Q22's global avg)
+  de-correlate into one aggregate + one join, never a per-row re-scan;
+* EXISTS/NOT EXISTS (Q21, Q22) compile to hash semi/anti joins keyed
+  on the equality conjunct with the non-equi residual as a join filter
+  — no nested-loop fallback;
+* scalar thresholds (Q11's 0.001 x total, Q15's max revenue) are
+  1-row broadcasts, not driver round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import register_temp_views, table
+
+
+# --------------------------------------------------------------------
+# Q1 — pricing summary report (straight TPC-H; all columns exist)
+# --------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-08-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "q_sql_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-08-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): THE canonical scan-heavy aggregate.
+    Eight aggregates over one filtered pass; the shipdate predicate
+    pushes into the parquet scan, partial aggregation reduces map
+    output to |flag x status| = 6 rows per task before the single
+    6-row shuffle. At 100 TB this is bandwidth-bound by design — the
+    plan moves no data except 6-row partials."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
+
+
+# --------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted: no partsupp; supplier-part
+# pairs from DISTINCT lineitem, s_acctbal stands in for supplycost)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q_sql_tpch_q2",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    ),
+    eu AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p_partkey, p_name, s_acctbal, s_name, n_name,
+             MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part JOIN sp ON p_partkey = sp.partkey
+      JOIN eu ON eu.s_suppkey = sp.suppkey
+      WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+    )
+    SELECT ROUND(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey, p_name
+    FROM cand WHERE s_acctbal = min_bal
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (best supplier per part, adapted — the fixture
+    has no partsupp so DISTINCT (l_partkey, l_suppkey) provides the
+    supply relationship and s_acctbal stands in for ps_supplycost).
+
+    Plan: the part filter prunes FIRST (a handful of parts survive),
+    then the pruned part set broadcasts into the pair join, so the
+    per-part MIN window runs over a dimension-sized frame — the
+    classic decorrelated "row = group minimum" shape, one window over
+    a tiny partition key instead of a correlated re-scan per row. At
+    100 TB the only fact-sized work is the DISTINCT pair projection
+    of lineitem (two int64 columns, partial-agg'd)."""
+    li = table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    parts = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    cand = (
+        sp.join(F.broadcast(parts), sp.partkey == F.col("p_partkey"))
+        .join(F.broadcast(eu), sp.suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "q_sql_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): 6-table join where the nation-pair
+    disjunction can only be applied after BOTH nation joins — Catalyst
+    still broadcasts supplier/customer/nation (dims) so the only
+    fact-sized shuffle is lineitem x orders on orderkey; the shipdate
+    range prunes the lineitem scan."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+# --------------------------------------------------------------------
+# Q8 — national market share
+# --------------------------------------------------------------------
+
+_Q8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query(
+    "q_sql_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (market share): 8-table join, conditional-sum ratio.
+    The part-type and region filters prune their dims BEFORE
+    broadcasting, so the lineitem scan is filtered by a broadcast hash
+    lookup on partkey (effectively a semi-join pushdown); the
+    two-branch SUM computes the share in one aggregate pass — no
+    second scan for the numerator."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+# --------------------------------------------------------------------
+# Q9 — product-type profit (adapted: retailprice cost stand-in)
+# --------------------------------------------------------------------
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(SIGN(SUM(amt_e4)) AS BIGINT)
+         * ((ABS(SUM(amt_e4)) + 5000) DIV 10000) / 100.0 AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+           - 10 * CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT) AS amt_e4
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query(
+    "q_sql_tpch_q9",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SIGN(SUM(amt_e4)) AS BIGINT)
+             * ((ABS(SUM(amt_e4)) + 5000) // 10000) / 100.0 AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               - 10 * CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT) AS amt_e4
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product profit, adapted — no ps_supplycost in the
+    fixture, so cost = 0.1 x p_retailprice x quantity keeps the
+    arithmetic shape). The contains-LIKE on p_name cannot push to a
+    dictionary filter but runs on the broadcast part side (2k rows at
+    any SF — parts are a dimension); lineitem x orders on orderkey is
+    again the only fact shuffle.
+
+    Profit mixes signs, so a double SUM is order-sensitive exactly at
+    the cent-rounding boundary (observed: two groups off by 0.01
+    between engines). All money columns are exact 2-decimal values and
+    quantity is integral, so the amount is computed in integer 1e-4
+    currency units — both engines sum EXACT integers in any order —
+    and the final cent rounding is integer half-away-from-zero
+    arithmetic (abs/sign + integral division; ROUND can't be used —
+    Spark's 10000.0 literal is decimal (exact) while DuckDB's decimal
+    division yields a double, and 0.xx5 halves land on opposite sides
+    of the representation error). The single cents/100.0 division maps
+    the same integer to the same IEEE double in both engines."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+# --------------------------------------------------------------------
+# Q11 — important stock identification (adapted: lineitem as the
+# supply fact, l_extendedprice as the position value)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q_sql_tpch_q11",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey, SUM(l_extendedprice) AS raw_value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(raw_value, 2) AS value
+    FROM pv
+    WHERE raw_value > (SELECT SUM(raw_value) * 0.001 FROM pv)
+    """,
+)
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (positions worth more than a fraction of the
+    national total; lineitem stands in for partsupp). The per-part
+    aggregate is computed ONCE and reused for both the rows and the
+    global threshold — the total is a 1-row aggregate broadcast back
+    as a non-equi join condition, not a driver round-trip, and not a
+    second scan of the fact table."""
+    nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    pv = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+    )
+    total = pv.agg((F.sum("raw_value") * 0.001).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total), F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", F.round("raw_value", 2).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------
+# Q13 — customer order-count distribution
+# --------------------------------------------------------------------
+
+
+@query(
+    "q_sql_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT JOIN with the filter in
+    the JOIN CONDITION (not WHERE — moving it would drop order-less
+    customers), then a two-level aggregate: per-customer count, then a
+    histogram of counts. The second groupBy keys on a small int domain
+    so the final shuffle is bounded regardless of SF."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------
+# Q15 — top supplier
+# --------------------------------------------------------------------
+
+
+@query(
+    "q_sql_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the max. The revenue aggregate is built once; the MAX threshold is
+    a 1-row aggregate of the SAME DataFrame joined back as a broadcast
+    equality — Catalyst reuses the exchange for both branches, so the
+    fact table is scanned once. Revenue is rounded to cents BEFORE the
+    max comparison so the equality is exact in both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue")
+        )
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------
+# Q17 — small-quantity-order revenue
+# --------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size < 10
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@query(
+    "q_sql_tpch_q17",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 10
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity revenue): correlated scalar AVG per
+    part. Catalyst de-correlates into a per-partkey aggregate joined
+    back on the correlation key — one extra aggregate over the fact
+    table instead of a re-scan per outer row. The comparison is
+    deterministic across engines because l_quantity is integer-valued:
+    integer-valued doubles sum exactly, so AVG is one exact division.
+    (Fixture has no l_container; p_size < 10 stands in.)"""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+# --------------------------------------------------------------------
+# Q20 — potential part promotion (adapted)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q_sql_tpch_q20",
+    oracle="""
+    SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8','NATION_9')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 40
+      )
+    ORDER BY s_name
+    """,
+)
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess supply of promoted
+    parts; lineitem shipment volume stands in for ps_availqty). The
+    inner block aggregates lineitem per (supplier, part) — partial
+    aggregation shrinks it map-side — and the IN compiles to a LEFT
+    SEMI hash join on suppkey, so supplier rows are never duplicated
+    by multi-part matches. Dims (part filter, nation) broadcast."""
+    parts = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(parts.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    nat = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_5", "NATION_6", "NATION_7", "NATION_8", "NATION_9"
+        )
+    )
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted lateness predicate)
+# --------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_9'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@query(
+    "q_sql_tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_9'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (waiting suppliers; lateness adapted to shipdate >
+    orderdate + 100 days since the fixture has no commit/receipt
+    dates): the sole EXISTS + NOT EXISTS pair in the suite. Both
+    compile to hash SEMI/ANTI joins keyed on the l_orderkey equality
+    with the suppkey-inequality (and lateness, for the anti side) as
+    residual join filters — never a nested loop. Three passes over
+    lineitem but each is a projection of 3 columns; at 100 TB the
+    orderkey-partitioned exchanges all share one partitioning."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+# --------------------------------------------------------------------
+# Q22 — global sales opportunity (adapted)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q_sql_tpch_q22",
+    oracle="""
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        AND c_acctbal > (
+          SELECT AVG(c_acctbal) FROM customer
+          WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9)
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    ) custsale
+    GROUP BY cntrycode
+    """,
+)
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (rich customers with no recent engagement;
+    nationkey stands in for the phone country code, "no URGENT
+    orders" for "no orders" — every fixture customer has orders). The
+    global AVG threshold is a 1-row broadcast; the NOT EXISTS is a
+    hash ANTI join of customers against the filtered orders
+    projection. Both fact scans push their filters down."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
