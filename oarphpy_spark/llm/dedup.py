@@ -99,28 +99,34 @@ def minhash_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bh")
     ).select("doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    # The self-join below references this subtree twice and Catalyst
-    # does not dedupe differently-aliased subplans — persist so the
-    # shingle+hash pipeline (the expensive part) runs once. Bucket rows
-    # are bands x (id + 32-byte hash): tiny relative to the corpus.
-    # No explicit unpersist (the result is lazy); Spark's ContextCleaner
-    # drops the cached blocks once the DataFrame is driver-GC'd.
-    buckets = buckets.persist()
+    # Pair generation: ONE shuffle on (band, h) collecting each bucket
+    # into a sorted array, then an i<j pair expansion inside the row.
+    # This replaces an earlier self-join formulation which needed the
+    # bucket subtree twice (forcing a persist of the whole shingle+hash
+    # pipeline) plus a second shuffle for the join's build side. The
+    # per-bucket m^2 expansion lands in one task either way — an
+    # equi-join on (band, h) co-locates equal keys identically — so
+    # the array form does the same work with one less shuffle and no
+    # cache; ``max_bucket`` caps pathological boilerplate buckets
+    # BEFORE the quadratic expansion. Docs are unique within a bucket
+    # (one hash per band per doc) and the array is sorted, so pair
+    # output (doc_a < doc_b) is deterministic.
+    grouped = buckets.groupBy("band", "h").agg(
+        F.array_sort(F.collect_list("doc")).alias("docs")
+    ).filter(F.size("docs") >= 2)  # singleton buckets (the vast
+    # majority) can't produce pairs — drop them before any expansion.
     if max_bucket is not None:
-        # Cap pathological buckets (boilerplate content) before the join.
-        sizes = buckets.groupBy("band", "h").agg(F.count("*").alias("__n"))
-        buckets = buckets.join(
-            sizes.filter(F.col("__n") <= max_bucket), ["band", "h"]
-        ).drop("__n")
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h")))
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_shared_bands"))
+        grouped = grouped.filter(F.size("docs") <= max_bucket)
+    # i<j expansion as two Generate nodes (posexplode + explode of the
+    # tail slice) — plain codegen, no lambda interpretation.
+    pairs = grouped.select(
+        F.col("docs"), F.posexplode("docs").alias("i", "doc_a")
+    ).select(
+        "doc_a",
+        F.explode(F.expr("slice(docs, i + 2, size(docs))")).alias("doc_b"),
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_shared_bands")
     )
 
 
