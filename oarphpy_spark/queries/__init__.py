@@ -60,6 +60,7 @@ _ROUND_PRIORITY = [
     "q_sql_tpch_q20",
     "q_sql_tpch_q21",
     "q_sql_tpch_q22",
+    "q_zorder_layout",
     # --- implementations changed since their last green row ---
     "q_regexp_extract_all",
     "q_min_max_by",

@@ -143,6 +143,50 @@ def q_sink_parquet_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sink_roundtrip(spark, sf_dir, "lz4")
 
 
+@query(
+    "q_zorder_layout",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)  AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey <= 250 AND l_suppkey <= 12
+    GROUP BY l_returnflag
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout sink + stats-pruned re-scan: write
+    lineitem along the interleaved-bit curve of (l_partkey, l_suppkey),
+    then answer a 2-D range predicate from the laid-out copy. Layout
+    must never change content, so the oracle is the same predicate over
+    the raw table. The scale story is in the WRITE: each output file
+    owns a disjoint z-range (repartitionByRange on the z-key), so the
+    2-D predicate's footer-stats pruning touches only the files whose
+    z-region intersects the query box — the property
+    tests/test_zorder.py measures against a linear-sort layout.
+    Normalization min/max is one broadcast aggregate row; the z-key is
+    pure shift/mask/OR inside codegen."""
+    from oarphpy_spark.operators.zorder import write_zordered
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oarphpy_spark_zorder_{os.path.basename(sf_dir)}_{os.getpid()}",
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], num_files=8, bits=10)
+    return (
+        spark.read.parquet(out)
+        .filter((F.col("l_partkey") <= 250) & (F.col("l_suppkey") <= 12))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # (b) Projections / filters / predicates
 # ---------------------------------------------------------------------------
