@@ -56,13 +56,18 @@ def minhash_signatures(
     j-th 4-hex-char slice of md5(shingle). md5 bits are independent, so
     disjoint slices of one digest act as ``num_hashes`` independent
     min-wise hash functions — ONE md5 per shingle total (the
-    hash-per-permutation formulation costs k×; and an array-expression
-    formulation re-computes the shingle array per hash after Catalyst's
-    CollapseProject — measured ~20x slower at sf0.1).
+    hash-per-permutation formulation costs k×; and array-expression
+    formulations lose to Catalyst's CollapseProject, which re-inlines
+    the whole fold into EVERY downstream reference of the signature
+    columns — a single nested ``aggregate``/``zip_with`` fold measured
+    fine in isolation and ~5x slower once the band projection consumed
+    it).
 
     Plan shape: explode shingles → one md5 → ``num_hashes`` parallel
     ``min`` aggregates in one pass; partial aggregation shrinks map
-    output to one row per doc. Requires num_hashes*4 <= 32 hex chars.
+    output to one row per doc before the only shuffle, and every
+    expression is whole-stage codegen'd. Requires num_hashes*4 <= 32
+    hex chars.
     """
     if num_hashes * 4 > 32:
         raise ValueError("md5 supplies at most 8 4-hex-char minhash slices")
