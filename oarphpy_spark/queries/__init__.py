@@ -61,6 +61,9 @@ _ROUND_PRIORITY = [
     "q_sql_tpch_q21",
     "q_sql_tpch_q22",
     "q_zorder_layout",
+    "q_approx_quantile_cert",
+    "q_mview_merge",
+    "q_group_sample_k",
     # --- implementations changed since their last green row ---
     "q_regexp_extract_all",
     "q_min_max_by",

@@ -275,3 +275,38 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "q_group_sample_k",
+    oracle="""
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: the md5 of the id is a
+    reproducible 'random' sort key, so every run (and every engine)
+    picks the SAME k docs per language — the auditable alternative to
+    rand()-based sampling for eyeball sets and per-domain training
+    subsamples. Plan: rank-over-window with the rn<=3 predicate, which
+    Spark rewrites to WindowGroupLimit — each task keeps a running
+    top-3 per group BEFORE the shuffle, so the exchange carries
+    O(groups x k), not the corpus."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )

@@ -374,6 +374,94 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_approx_quantile_cert",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           true AS within_rank_1pct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_quantile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (mergeable single-pass quantile sketch) —
+    the scale path for medians over 100 TB, certified the same way as
+    the HLL query: the exact interpolated median (oracle-reproducible)
+    plus a flag asserting the sketch median lands inside the exact
+    [p49, p51] value band (rank error 1% ≫ the sketch's 1e-4 at
+    accuracy=10000). Deterministic for a given dataset, so the oracle
+    states literal ``true``; a broken sketch flips the flag and fails
+    the hash."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("__exact"),
+            F.percentile("l_extendedprice", F.lit(0.49)).alias("__lo"),
+            F.percentile("l_extendedprice", F.lit(0.51)).alias("__hi"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "__approx"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("__exact", 4).alias("exact_p50"),
+            (
+                (F.col("__approx") >= F.col("__lo"))
+                & (F.col("__approx") <= F.col("__hi"))
+            ).alias("within_rank_1pct"),
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "q_mview_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(SUM(o_totalprice) / COUNT(*), 6) AS avg_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_mview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a precomputed
+    aggregate state with a new-data delta instead of re-aggregating
+    history. The base partition (orders before 1999) and the delta
+    (1999-on) are each reduced to PARTIAL states (count, sum, max —
+    all mergeable; avg is DERIVED from merged sum/count, never
+    averaged-of-averages), then merged by one bounded-key aggregate
+    over the union of state rows. At 100 TB the base states are a
+    stored table a nightly job merges deltas into — history is never
+    re-scanned; the oracle proves merge == full recompute."""
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("pn"),
+            F.sum("o_totalprice").alias("psum"),
+            F.max("o_totalprice").alias("pmax"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.round(F.sum("psum"), 2).alias("total"),
+            F.round(F.sum("psum") / F.sum("pn"), 6).alias("avg_price"),
+            F.round(F.max("pmax"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
