@@ -374,6 +374,51 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_manifest_prune",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)  AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 0 AND 250 AND l_suppkey BETWEEN 0 AND 12
+    GROUP BY l_returnflag
+    """,
+)
+def q_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven file skipping over a z-ordered layout — the
+    full lakehouse data-skipping loop under the oracle gate: write the
+    layout, build the footer manifest (one distributed footer-only
+    pass, one manifest row per file), answer a 2-D predicate by
+    opening ONLY manifest-surviving files, and prove the result equals
+    the raw-table filter. Stats admit false positives and never false
+    negatives, so the exact predicate is re-applied after the pruned
+    read; tests/test_manifest.py asserts <=half the files survive
+    pruning."""
+    from oarphpy_spark.operators.zorder import write_zordered
+    from oarphpy_spark.sources.manifest import build_manifest, pruned_read
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oarphpy_spark_manifest_{os.path.basename(sf_dir)}_{os.getpid()}",
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], num_files=8, bits=10)
+    man = build_manifest(spark, out, ["l_partkey", "l_suppkey"])
+    return (
+        pruned_read(
+            spark, man, {"l_partkey": (0, 250), "l_suppkey": (0, 12)}
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
     "q_approx_quantile_cert",
     oracle="""
     SELECT l_returnflag,
