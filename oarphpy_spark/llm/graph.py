@@ -119,3 +119,63 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return e.select(F.col(_SRC).alias("node"), F.col(_DST).alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank as repeated join+aggregate — the
+    Pregel message-passing shape expressed declaratively.
+
+    Per iteration: contribution = rank(src)/outdeg(src) flows along
+    each edge; rank'(node) = (1-d) + d * sum(incoming contributions)
+    (the un-normalized 'every node holds at least 1-d' formulation, so
+    dangling mass needs no global redistribution step and the result
+    is oracle-checkable by unrolling the same recurrence in SQL).
+
+    Scale shape: outdeg is computed ONCE and joined by key; each
+    iteration is one equi-join on src plus one groupBy on dst — both
+    hash-partitioned on node id, so a cluster reuses the same
+    partitioning across iterations. ``localCheckpoint`` every
+    iteration truncates the lineage (without it, iteration k replans
+    and recomputes 1..k-1, which is quadratic; at production scale use
+    a reliable checkpoint dir instead). Nodes with no inbound edges
+    settle at 1-d; nodes absent from ``edges`` do not appear.
+
+    Output: (node, rank) — rank unrounded; round at the call site.
+    """
+    out_edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        out_edges.select(F.col("src").alias("node"))
+        .unionByName(out_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = out_edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            out_edges.join(ranks, out_edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

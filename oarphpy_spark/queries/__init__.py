@@ -65,6 +65,7 @@ _ROUND_PRIORITY = [
     "q_mview_merge",
     "q_group_sample_k",
     "q_manifest_prune",
+    "q_pagerank",
     # --- implementations changed since their last green row ---
     "q_regexp_extract_all",
     "q_min_max_by",

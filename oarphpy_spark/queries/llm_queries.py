@@ -1653,3 +1653,65 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return audio_features(synth_audio_table(docs))
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled PageRank recurrence: standard SQL forbids aggregates
+    in a recursive CTE member, so the fixed iteration count is
+    unrolled as chained CTEs r1..rN — each states exactly one
+    join+aggregate round of the same recurrence the engine runs."""
+    step = """
+    r{i} AS (
+      SELECT n.node, 0.15 + 0.85 * COALESCE(s.inflow, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / od.outdeg) AS inflow
+        FROM e JOIN r{prev} r ON e.src = r.node JOIN od ON e.src = od.src
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )"""
+    steps = ",".join(
+        step.format(i=i, prev=i - 1) for i in range(1, iterations + 1)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT l_partkey + 10000000 AS src, l_suppkey AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    {steps}
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}
+    """
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, d=0.85) over the bipartite
+    supplier<->part shipment graph — the iterative join+aggregate
+    workload class (label propagation, embedding smoothing, influence
+    scoring) expressed declaratively, complementing the
+    connected-components closure.
+
+    Each iteration is one equi-join on src + one groupBy on dst, both
+    hash-partitioned on node id so a cluster reuses the partitioning
+    across rounds; lineage is truncated per round (see
+    llm/graph.py:pagerank). The graph is symmetric (both edge
+    directions), so every node has outdegree and no dangling-mass
+    correction is needed. The oracle unrolls the identical recurrence
+    as chained SQL CTEs."""
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 10_000_000).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    from oarphpy_spark.llm.graph import pagerank
+
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

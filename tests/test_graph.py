@@ -79,3 +79,51 @@ def test_cc_random_graphs(spark):
             for _ in range(int(n * 0.7))
         ]
         _run(spark, n, edges)
+
+
+def _numpy_pagerank(n, edges, iterations=5, d=0.85):
+    import numpy as np
+
+    outdeg = np.zeros(n)
+    for s, _t in edges:
+        outdeg[s] += 1
+    rank = np.ones(n)
+    for _ in range(iterations):
+        inflow = np.zeros(n)
+        for s, t in edges:
+            inflow[t] += rank[s] / outdeg[s]
+        rank = (1 - d) + d * inflow
+    return rank
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from oarphpy_spark.llm.graph import pagerank
+
+    rng = random.Random(11)
+    n = 30
+    edges = list(
+        {(rng.randrange(n), rng.randrange(n)) for _ in range(120)}
+    )
+    # every node needs outdegree in the un-normalized formulation;
+    # close sinks with a self-loop (mirrors the symmetric-graph use)
+    srcs = {s for s, _ in edges}
+    edges += [(v, v) for v in range(n) if v not in srcs]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.node: r.rank for r in pagerank(df, iterations=5).collect()
+    }
+    want = _numpy_pagerank(n, edges)
+    seen_nodes = {s for e in edges for s in e}
+    assert set(got) == seen_nodes
+    for v in seen_nodes:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_pagerank_star_center_dominates(spark):
+    from oarphpy_spark.llm.graph import pagerank
+
+    # undirected star: center 0, leaves 1..9
+    edges = [(0, i) for i in range(1, 10)] + [(i, 0) for i in range(1, 10)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    ranks = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    assert ranks[0] > max(ranks[i] for i in range(1, 10)) * 3
