@@ -378,3 +378,57 @@ def test_window_distribution_bucket_count_grows_with_input(spark, monkeypatch):
     plan = _plan(spark, "q_window_distribution", "simple")
     assert recorded[-1] == 64
     assert plan  # query still builds (edges literal re-injected)
+
+
+# --- round-5 TPC-H completion: the plan shapes that matter at scale ---
+
+
+def test_tpch_q21_exists_compiles_to_hash_semi_anti(spark):
+    """EXISTS / NOT EXISTS must become hash semi/anti joins keyed on
+    the orderkey equality (residual predicates as join filters), never
+    a nested-loop fallback."""
+    plan = _plan(spark, "q_sql_tpch_q21", "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_decorrelates_scalar_subquery(spark):
+    """The correlated per-part AVG must de-correlate into one
+    aggregate joined back on partkey — a plan with one extra agg, not
+    a per-row re-scan (which would appear as a subquery node)."""
+    plan = _plan(spark, "q_sql_tpch_q17", "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Subquery" not in plan  # fully decorrelated into joins
+
+
+def test_tpch_q2_broadcasts_pruned_dims(spark):
+    """Part filter and EU supplier set broadcast; the only data-sized
+    work is the DISTINCT pair projection of lineitem."""
+    plan = _plan(spark, "q_sql_tpch_q2", "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q9_reads_only_needed_lineitem_columns(spark):
+    plan = _plan(spark, "q_sql_tpch_q9")
+    # find the lineitem scan's ReadSchema and check pruning
+    for chunk in plan.split("ReadSchema:")[1:]:
+        line = chunk.splitlines()[0]
+        if "l_extendedprice" in line:
+            assert "l_shipdate" not in line and "l_returnflag" not in line
+            break
+    else:
+        raise AssertionError("no lineitem ReadSchema found")
+
+
+def test_tpch_q15_threshold_is_broadcast_not_collect(spark):
+    """The max-revenue threshold must enter the plan as a broadcast
+    join of a 1-row aggregate (no driver round-trip in the lineage)."""
+    plan = _plan(spark, "q_sql_tpch_q15", "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_group_sample_k_uses_window_group_limit(spark):
+    plan = _plan(spark, "q_group_sample_k", "simple")
+    assert "WindowGroupLimit" in plan
