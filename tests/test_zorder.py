@@ -88,3 +88,49 @@ def test_zorder_bits_guard(spark):
 
     with pytest.raises(ValueError):
         with_zorder_key(_lineitem(spark), ["l_partkey"] * 8, bits=10)
+
+
+# --- property: pruning is lossless for ANY data/box combination ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oarphpy_spark.sources.manifest import build_manifest, pruned_read
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+    min_size=1,
+    max_size=60,
+)
+box_strategy = st.tuples(
+    st.integers(-50, 1050), st.integers(0, 500),  # a lo, a width
+    st.integers(-50, 1050), st.integers(0, 500),  # b lo, b width
+)
+
+
+@given(rows_strategy, box_strategy)
+@settings(max_examples=8, deadline=None)
+def test_manifest_prune_lossless_property(spark, tmp_path_factory, rows, box):
+    """For random integer points and a random (possibly empty /
+    out-of-domain) predicate box, the manifest-pruned read over a
+    z-ordered layout returns EXACTLY the rows a plain filter does —
+    stats pruning may keep extra files, never drop matching rows."""
+    alo, aw, blo, bw = box
+    pred = {"a": (alo, alo + aw), "b": (blo, blo + bw)}
+    df = spark.createDataFrame(
+        [(a, b, i) for i, (a, b) in enumerate(rows)], "a long, b long, rid long"
+    )
+    out = str(tmp_path_factory.mktemp("zprop"))
+    write_zordered(df, out, ["a", "b"], num_files=4, bits=8)
+    man = build_manifest(spark, out, ["a", "b"])
+    got = {
+        r.rid
+        for r in pruned_read(spark, man, pred).select("rid").collect()
+    }
+    want = {
+        i
+        for i, (a, b) in enumerate(rows)
+        if pred["a"][0] <= a <= pred["a"][1]
+        and pred["b"][0] <= b <= pred["b"][1]
+    }
+    assert got == want
