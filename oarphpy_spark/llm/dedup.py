@@ -112,16 +112,24 @@ def minhash_candidate_pairs(
     # per-bucket m^2 expansion lands in one task either way — an
     # equi-join on (band, h) co-locates equal keys identically — so
     # the array form does the same work with one less shuffle and no
-    # cache; ``max_bucket`` caps pathological boilerplate buckets
-    # BEFORE the quadratic expansion. Docs are unique within a bucket
-    # (one hash per band per doc) and the array is sorted, so pair
-    # output (doc_a < doc_b) is deterministic.
+    # cache. Docs are unique within a bucket (one hash per band per
+    # doc) and the array is sorted, so pair output (doc_a < doc_b) is
+    # deterministic.
+    if max_bucket is not None:
+        # Cap pathological boilerplate buckets BEFORE collect_list
+        # materializes them: a million-doc bucket must never reach an
+        # aggregation buffer as one array. Costs one extra count
+        # shuffle — the right trade at the 100 TB setting where the
+        # cap is in play; leave max_bucket None to stay one-shuffle.
+        sizes = buckets.groupBy("band", "h").agg(F.count("*").alias("__n"))
+        buckets = buckets.join(
+            sizes.filter(F.col("__n") <= max_bucket).select("band", "h"),
+            ["band", "h"],
+        )
     grouped = buckets.groupBy("band", "h").agg(
         F.array_sort(F.collect_list("doc")).alias("docs")
     ).filter(F.size("docs") >= 2)  # singleton buckets (the vast
     # majority) can't produce pairs — drop them before any expansion.
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("docs") <= max_bucket)
     # i<j expansion as two Generate nodes (posexplode + explode of the
     # tail slice) — plain codegen, no lambda interpretation.
     pairs = grouped.select(

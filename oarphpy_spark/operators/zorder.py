@@ -121,40 +121,19 @@ def file_prune_stats(
 ) -> tuple[int, int]:
     """Footer-only skipping measurement: (total data files, files a
     stats-aware reader must actually open) for a conjunction of
-    closed-interval predicates {col: (lo, hi)}.
+    closed-interval predicates {col: (lo, hi)} — the same keep/skip
+    test Spark's parquet reader (and any lakehouse file index)
+    applies. Delegates the stats fold and overlap test to
+    sources/manifest.py so this measurement path can never diverge
+    from the manifest read path."""
+    from oarphpy_spark.sources.manifest import file_stats, stats_overlap
 
-    A file survives only if EVERY predicate interval overlaps the
-    file's [min, max] for that column — the same test Spark's parquet
-    reader (and any lakehouse file-index) applies. Footers are a few
-    KB regardless of file size, so this is cheap even over thousands
-    of files."""
-    import pyarrow.parquet as pq
-
+    cols = list(predicates)
     total, kept = 0, 0
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
             continue
         total += 1
-        md = pq.ParquetFile(os.path.join(path, name)).metadata
-        schema_names = {
-            md.schema.column(i).name: i for i in range(len(md.schema))
-        }
-        overlaps = True
-        for col, (lo, hi) in predicates.items():
-            ci = schema_names[col]
-            cmin, cmax = None, None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    cmin = None
-                    break
-                cmin = st.min if cmin is None else min(cmin, st.min)
-                cmax = st.max if cmax is None else max(cmax, st.max)
-            if cmin is None:  # no stats -> must read
-                continue
-            if cmax < lo or cmin > hi:
-                overlaps = False
-                break
-        if overlaps:
+        if stats_overlap(file_stats(os.path.join(path, name), cols), predicates):
             kept += 1
     return total, kept

@@ -67,6 +67,9 @@ _ROUND_PRIORITY = [
     "q_manifest_prune",
     "q_pagerank",
     # --- implementations changed since their last green row ---
+    "q_dedup_minhash",
+    "q_dedup_minhash_verified",
+    "q_dedup_clusters",
     "q_regexp_extract_all",
     "q_min_max_by",
     "q_approx_count_distinct",

@@ -29,35 +29,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def file_stats(path: str, cols: list[str]) -> dict:
+    """Footer-only stats for ONE parquet file: file/n_rows/n_bytes plus
+    min_/max_ per requested column, folded across row groups; a column
+    with any statless row group reports None (conservatively
+    un-prunable). THE single implementation of the stats fold — the
+    distributed manifest build and any driver-side measurement (e.g.
+    operators/zorder.file_prune_stats) both call it, so the
+    measurement path can never diverge from the read path."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+    row = {
+        "file": path,
+        "n_rows": md.num_rows,
+        "n_bytes": os.path.getsize(path),
+    }
+    for c in cols:
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo, hi = None, None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        row[f"min_{c}"] = lo
+        row[f"max_{c}"] = hi
+    return row
+
+
+def stats_overlap(
+    stats: dict, predicates: dict[str, tuple[float, float]]
+) -> bool:
+    """Keep/skip test for one file's stats row against a conjunction of
+    closed-interval predicates — missing stats conservatively keep."""
+    for c, (lo, hi) in predicates.items():
+        cmin, cmax = stats.get(f"min_{c}"), stats.get(f"max_{c}")
+        if cmin is None:
+            continue
+        if cmax < lo or cmin > hi:
+            return False
+    return True
+
+
 def _footer_stats(cols: list[str]):
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
         for pdf in batches:
-            out = []
-            for path in pdf["path"]:
-                md = pq.ParquetFile(path).metadata
-                idx = {
-                    md.schema.column(i).name: i for i in range(len(md.schema))
-                }
-                row = {
-                    "file": path,
-                    "n_rows": md.num_rows,
-                    "n_bytes": os.path.getsize(path),
-                }
-                for c in cols:
-                    lo, hi = None, None
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx[c]).statistics
-                        if st is None or not st.has_min_max:
-                            lo, hi = None, None
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                    row[f"min_{c}"] = lo
-                    row[f"max_{c}"] = hi
-                out.append(row)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame([file_stats(p, cols) for p in pdf["path"]])
 
     return read_footers
 
@@ -76,6 +96,8 @@ def build_manifest(
         for f in os.listdir(path)
         if f.endswith(".parquet")
     )
+    if not files:
+        raise ValueError(f"no parquet data files under {path!r}")
     listing = spark.createDataFrame([(f,) for f in files], "path string")
     stat_cols = ", ".join(
         f"min_{c} {col_type}, max_{c} {col_type}" for c in cols
@@ -121,6 +143,9 @@ def pruned_read(
     for c, (lo, hi) in predicates.items():
         cond = cond & F.col(c).between(lo, hi)
     if not files:
-        all_files = [r.file for r in manifest.select("file").collect()]
-        return spark.read.parquet(*all_files).filter(F.lit(False))
+        # Everything pruned: recover the schema from ONE file (footer
+        # read only — the filter is statically false) instead of
+        # handing the reader the whole directory.
+        one = manifest.select("file").limit(1).collect()
+        return spark.read.parquet(one[0].file).filter(F.lit(False))
     return spark.read.parquet(*files).filter(cond)

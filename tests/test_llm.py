@@ -335,3 +335,24 @@ def test_wav_codec_roundtrip():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         _wav_samples(b"nonsense-bytes" * 10)
+
+
+def test_minhash_max_bucket_excludes_boilerplate(spark):
+    """Identical boilerplate docs all collide into the same LSH
+    buckets; with max_bucket below the clone count those buckets are
+    excluded BEFORE any bucket materialization, so the clones yield no
+    candidate pairs while a distinct near-dup pair elsewhere
+    survives."""
+    boiler = [(i, "terms of service apply to all pages here") for i in range(10)]
+    pair = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id bigint, text string")
+    capped = minhash_candidate_pairs(
+        df, "text", "doc_id", max_bucket=5
+    ).collect()
+    docs_in_pairs = {r.doc_a for r in capped} | {r.doc_b for r in capped}
+    assert all(d >= 100 for d in docs_in_pairs), capped
+    uncapped = minhash_candidate_pairs(df, "text", "doc_id").collect()
+    assert len(uncapped) > len(capped)  # boilerplate pairs reappear
