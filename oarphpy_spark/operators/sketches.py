@@ -107,3 +107,89 @@ def approx_heavy_hitters(
                 del merged[key]
     top = sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
     return top
+
+
+def count_min_counts(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch as a (depth x width) counter table DataFrame.
+
+    Each key maps to one bucket per hash row — row r's hash is the
+    r-th 4-hex-char slice of md5(key), mod width (independent slices
+    of one digest, the same trick the MinHash pipeline uses; portable
+    so an oracle can replicate it). Building the table is one explode
+    (x depth) + one bounded-key groupBy — the counter table has AT
+    MOST depth*width rows no matter the corpus size, which is the
+    whole point: it's the mergeable, fixed-size summary to store,
+    while exact per-key counts need a corpus-sized shuffle.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col(key_col).cast("string").cast("binary")),
+                            r * 4 + 1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("b"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, width: int = 256
+) -> DataFrame:
+    """Estimate each probe key's frequency from a count_min_counts
+    table: min over depth rows of the key's bucket counter. The probe
+    side re-derives the same md5-slice hashes; the join is
+    probes x depth against the <= depth*width counter table
+    (broadcast), so estimation never touches the original corpus.
+    Output: (key, est) — est >= true count always (CMS one-sided
+    error), within eps*N with the standard (depth, width) guarantees.
+    """
+    depth = [r.r for r in sketch.select("r").distinct().collect()]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col(key_col).cast("string").cast("binary")),
+                            r * 4 + 1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("b"),
+            )
+            for r in sorted(depth)
+        ]
+    )
+    probe_rows = probes.select(
+        F.col(key_col).alias("key"), F.explode(rows).alias("rb")
+    ).select("key", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        probe_rows.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

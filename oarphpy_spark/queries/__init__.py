@@ -66,6 +66,7 @@ _ROUND_PRIORITY = [
     "q_group_sample_k",
     "q_manifest_prune",
     "q_pagerank",
+    "q_count_min_cert",
     # --- implementations changed since their last green row ---
     "q_dedup_minhash",
     "q_dedup_minhash_verified",

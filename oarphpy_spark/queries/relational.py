@@ -462,6 +462,59 @@ def q_approx_quantile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_count_min_cert",
+    oracle="""
+    SELECT l_suppkey AS key,
+           CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           true AS ge_exact,
+           true AS within_eps
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_count_min_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates, self-certified like the
+    HLL/quantile sketches: per probe key the exact count (oracle-
+    reproducible) plus CMS's two guarantees as flags — the estimate
+    never undercounts (one-sided error) and overcounts by at most
+    eps*N with eps = e/width. The sketch itself is a bounded
+    depth x width counter table (<= 1024 rows here) built in one
+    explode + bounded-key groupBy; estimation joins probes against the
+    BROADCAST counter table and never rescans the corpus — the
+    fixed-size, mergeable summary shape that survives 100 TB. Hashes
+    are md5 slices (operators/sketches.py) so both engines could
+    replicate the full table; the oracle needs only the exact side."""
+    import math
+
+    from oarphpy_spark.operators.sketches import (
+        count_min_counts,
+        count_min_estimate,
+    )
+
+    depth, width = 4, 256
+    li = table(spark, sf_dir, "lineitem")
+    sketch = count_min_counts(li, "l_suppkey", depth, width)
+    probes = li.select("l_suppkey").distinct()
+    est = count_min_estimate(sketch, probes, "l_suppkey", width)
+    exact = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("exact_cnt")
+    )
+    total = li.agg(F.count("*").alias("n_total"))
+    eps = math.e / width
+    return (
+        exact.join(est, "key")
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("ge_exact"),
+            (F.col("est") <= F.col("exact_cnt") + eps * F.col("n_total")).alias(
+                "within_eps"
+            ),
+        )
+    )
+
+
+@query(
     "q_mview_merge",
     oracle="""
     SELECT o_orderstatus,

@@ -156,3 +156,35 @@ def test_misra_gries_heavy_hitters(spark):
     # nothing from the 120-count tail can outrank the dominants
     top3 = sorted(got, key=lambda v: -got[v])[:3]
     assert set(top3) == {0, 1, 2}
+
+
+def test_count_min_never_undercounts_and_bounds_overcount(spark):
+    """CMS guarantees on a skewed synthetic stream: est >= exact for
+    every key, and narrow (256-wide) rows keep the overcount within
+    eps*N. Uses a tiny width to FORCE collisions so the test exercises
+    the min-over-rows recovery, not a collision-free accident."""
+    import math
+
+    from oarphpy_spark.operators.sketches import (
+        count_min_counts,
+        count_min_estimate,
+    )
+
+    rows = []
+    for k in range(50):
+        rows += [(k,)] * (1 + (k % 7) * 10)  # skewed frequencies
+    df = spark.createDataFrame(rows, "key bigint")
+    width = 32  # deliberately tiny -> collisions guaranteed
+    sketch = count_min_counts(df, "key", depth=4, width=width)
+    # counter table is bounded by depth*width regardless of stream size
+    assert sketch.count() <= 4 * width
+    probes = df.select("key").distinct()
+    est = {r.key: r.est for r in count_min_estimate(sketch, probes, "key", width).collect()}
+    exact = {}
+    for (k,) in rows:
+        exact[k] = exact.get(k, 0) + 1
+    n = len(rows)
+    eps = math.e / width
+    for k, c in exact.items():
+        assert est[k] >= c, (k, est[k], c)
+        assert est[k] <= c + eps * n, (k, est[k], c, eps * n)
