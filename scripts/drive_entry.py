@@ -41,6 +41,7 @@ def main() -> int:
     print(f"declared: {len(qs)} queries, {len(oracles)} with oracles")
     conn = duckdb_connection(sf_dir)
     n_fail = 0
+    n_vacuous = 0
     for name in sorted(qs):
         try:
             spdf = qs[name](spark, sf_dir).toPandas()
@@ -61,9 +62,17 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems[:3]))
             n_fail += 1
+        elif len(spdf) == 0:
+            # 0 == 0 proves nothing about the operator's semantics —
+            # the q_regexp_extract_all lesson. Surface it loudly.
+            print(f"VACUOUS {name}: oracle matched on ZERO rows")
+            n_vacuous += 1
         else:
             print(f"PASS {name}: rows={len(spdf)}")
-    print(f"RESULT: {len(qs) - n_fail}/{len(qs)} pass")
+    print(
+        f"RESULT: {len(qs) - n_fail}/{len(qs)} pass"
+        + (f" ({n_vacuous} VACUOUS zero-row matches)" if n_vacuous else "")
+    )
     return 1 if n_fail else 0
 
 

@@ -41,6 +41,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OFF = 10**9  # per-replica key offset; far above any sf0.1 key
 
+# Non-headline queries with genuinely different scale shapes, run at
+# the sf1.0 point only (see main()).
+EXTRA_SCALE = [
+    "q_sql_tpch_q9",   # 5-table fact-fact join chain
+    "q_sql_tpch_q21",  # hash semi/anti joins over lineitem x3
+    "q_pagerank",      # 5-iteration join+aggregate
+    "q_dedup_clusters",  # alternating-star transitive closure
+]
+
 DIM_TABLES = ("region", "nation", "supplier", "part")
 FACT_OFFSETS = {
     "customer": ["c_custkey"],
@@ -185,6 +194,18 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, data_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.perf_counter() - t0, 4)
+        # Heavy non-headline paths whose scale behavior the smoke
+        # should witness too (kept OUT of bench.HEADLINE so the bench
+        # total stays comparable to the recorded baseline): the
+        # fact-fact TPC-H joins, the iterative PageRank, and the
+        # transitive-closure clustering.
+        extra_timings: dict[str, float] = {}
+        for name in EXTRA_SCALE:
+            if name not in qs:
+                continue
+            t0 = time.perf_counter()
+            qs[name](spark, data_dir).write.mode("overwrite").format("noop").save()
+            extra_timings[name] = round(time.perf_counter() - t0, 4)
     finally:
         spark.stop()
 
@@ -194,6 +215,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra_timings,
         "sf": args.replicas / 10.0,
         "build_sec": build_sec,
         "skew": audit,
