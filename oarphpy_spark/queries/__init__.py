@@ -19,7 +19,9 @@ all rounds' evidence covers every declared query.
 """
 
 import oarphpy_spark.queries.codec_queries  # noqa: F401
+import oarphpy_spark.queries.corpus_extras  # noqa: F401
 import oarphpy_spark.queries.curation  # noqa: F401
+import oarphpy_spark.queries.engineering  # noqa: F401
 import oarphpy_spark.queries.fidelity  # noqa: F401
 import oarphpy_spark.queries.inventory_extras  # noqa: F401
 import oarphpy_spark.queries.joins  # noqa: F401
@@ -34,6 +36,13 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
+    # --- declared latest in round 5: never seen by any driver window ---
+    "q_dup_span_detect",
+    "q_unigram_lm_score",
+    "q_table_diff",
+    "q_scd2_intervals",
+    "q_outlier_mad",
+    "q_sink_orc",
     # --- queries with no r01-r04 driver correctness row ---
     "q_bridge_shard_roundtrip",
     "q_dedup_incremental",

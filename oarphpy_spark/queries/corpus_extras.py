@@ -1,0 +1,202 @@
+"""Corpus-level curation operators beyond per-document signals:
+exact-substring (span) duplication detection and statistical
+language-model quality scoring.
+
+These complete the dedup/quality family (SURVEY §2.C) with the two
+classic corpus passes the per-doc queries cannot express:
+
+* ``q_dup_span_detect`` — the ExactSubstr pass of Lee et al. 2022
+  ("Deduplicating Training Data Makes Language Models Better",
+  arXiv:2107.06499): find fixed-length token spans that occur in more
+  than one document and report, per document, how much of it is
+  corpus-duplicated text. MinHash (``q_dedup_minhash``) answers "which
+  *documents* are near-copies"; this answers "which *passages* are
+  copied", which catches boilerplate and quotations MinHash misses.
+* ``q_unigram_lm_score`` — the CCNet-style (Wenzek et al. 2020)
+  statistical-LM quality filter, reduced to a unigram model so the
+  score is exactly restatable in SQL: corpus token frequencies become
+  a vocabulary, each document is scored by its mean per-token code
+  length (bits/token), and out-of-vocabulary tokens pay the flat
+  1/N floor. Real pipelines swap in a KenLM 5-gram; the Spark shape
+  (bounded broadcast vocab + scan-side scoring) is identical.
+
+Both are pure DataFrame plans: the only Python is plan construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oarphpy_spark.functions.text import norm_tokens, shingles
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import table
+
+# Span width for the exact-substring pass. Lee et al. use 50 BPE
+# tokens; the synthetic fixture documents average ~60 words, so 8-word
+# spans keep the check meaningfully strict while still firing on the
+# fixture's injected near-duplicates.
+_SPAN_TOKENS = 8
+
+# Vocabulary cap for the unigram LM. At 100 TB the vocabulary of raw
+# tokens is unbounded (typos, ids, urls), so a production scorer keeps
+# the top-V tokens and routes the tail through an OOV floor — the cap
+# is what keeps the broadcast side bounded no matter the corpus size.
+# 30 deliberately undershoots the fixture's 31-token vocabulary so the
+# OOV path is exercised (exactly one token scores at the floor).
+_VOCAB_TOP_V = 30
+
+
+@query(
+    "q_dup_span_detect",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) - {_SPAN_TOKENS - 1} >= 1
+                    THEN list_transform(
+                           generate_series(1, len(t) - {_SPAN_TOKENS - 1}),
+                           i -> array_to_string(t[i:i+{_SPAN_TOKENS - 1}], ' '))
+                    ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks
+    ), h AS (
+      SELECT doc_id, substring(md5(g), 1, 16) AS h FROM spans
+    ), dup AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY h
+      ) WHERE nd >= 2
+    ), perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_dup_spans FROM h JOIN dup USING (h)
+      GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM h GROUP BY doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           ROUND(CAST(COALESCE(n_dup_spans, 0) AS DOUBLE)
+                 / CAST(n_spans AS DOUBLE), 6) AS dup_span_frac
+    FROM tot LEFT JOIN perdoc ON tot.doc_id = perdoc.doc_id
+    """,
+)
+def q_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2022's ExactSubstr,
+    arXiv:2107.06499, re-expressed relationally): every 8-token span is
+    hashed to a 16-hex-char key; a span hash seen in >= 2 distinct
+    documents is corpus-duplicated, and each document reports the
+    fraction of its spans that are. Plan shape: one Generate (span
+    explode) feeding two aggregations that both key on the SPAN HASH —
+    a fixed-width 16-byte key, so the exchange carries hash+doc_id and
+    never the span text. The duplicated-hash set grows with the corpus
+    (it is the output of an aggregation, not a dimension), so the
+    join back is deliberately left to AQE rather than broadcast — at
+    100 TB the dup-span table can itself be TBs. countDistinct uses a
+    partial-aggregable two-level groupBy, so map-side combine strips
+    same-doc repeats before the wire."""
+    docs = table(spark, sf_dir, "documents")
+    toks = norm_tokens(F.col("text"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(shingles(toks, _SPAN_TOKENS)).alias("g"),
+    ).select(
+        "doc_id",
+        F.substring(F.md5(F.col("g").cast("binary")), 1, 16).alias("h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    perdoc = (
+        spans.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    tot = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return tot.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_spans"),
+        F.round(
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("double")
+            / F.col("n_spans").cast("double"),
+            6,
+        ).alias("dup_span_frac"),
+    )
+
+
+@query(
+    "q_unigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ), total AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM counts
+    ), vocab AS (
+      SELECT token, cnt FROM counts
+      ORDER BY cnt DESC, token LIMIT {_VOCAB_TOP_V}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(ROUND(-CAST(SUM(CAST(ROUND(
+               log2(CAST(COALESCE(v.cnt, 1) AS DOUBLE) / n) * 1000000
+             ) AS BIGINT)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS microbits_per_token
+    FROM toks LEFT JOIN vocab v USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet filter, Wenzek et al.
+    2020, with a unigram model so DuckDB can restate it exactly): train
+    token frequencies over the corpus, keep the top-V as the
+    vocabulary, score each document by its mean per-token code length
+    -avg(log2 p(t)) in bits/token; out-of-vocabulary tokens pay the
+    1/N floor. Low bits/token = predictable, natural text; high =
+    noise/garbage — downstream pipelines cut on it like CCNet's
+    perplexity buckets. Scale shape: the vocabulary is top-V of an
+    aggregation (TakeOrderedAndProject — each task keeps a V-row heap,
+    the driver merges V rows per task), so the scoring join is a
+    BROADCAST of a fixed-V table against the token scan no matter the
+    corpus size; the total-count is one broadcast row; per-token
+    log-probs are quantized to integer micro-bits before summation and
+    the per-doc mean is reported as integer micro-bits/token, so the
+    whole aggregate is exact long arithmetic in both engines — a float
+    mean flipped its 4th decimal across engines when a doc landed on a
+    decimal-representation boundary (Java's shortest-repr HALF_UP vs
+    C's scaled nearbyint)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(norm_tokens(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("__n"))
+    vocab = counts.orderBy(F.col("cnt").desc(), "token").limit(_VOCAB_TOP_V)
+    # Per-token log-prob in integer MICRO-BITS: partial sums of longs
+    # are exact and order-independent, so the cross-engine hash cannot
+    # drift on aggregation order (a float AVG of the same values flips
+    # the 4th decimal when a doc lands exactly on a rounding boundary).
+    logp_u = F.round(
+        F.log2(
+            F.coalesce(F.col("cnt"), F.lit(1)).cast("double") / F.col("__n")
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(-F.sum(logp_u).cast("double") / F.count("*"))
+            .cast("long")
+            .alias("microbits_per_token"),
+        )
+    )

@@ -1,0 +1,288 @@
+"""Data-engineering lifecycle operators: snapshot diff, SCD2 history
+build, robust (median/MAD) outlier detection, and the ORC sink.
+
+These are the table-maintenance passes a pipeline runs around the
+analytical queries — "what changed between yesterday's and today's
+snapshot", "compress an event stream into validity intervals",
+"flag anomalous measurements without letting the anomalies move the
+threshold" — each a pure DataFrame plan with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import table
+
+# The "new snapshot" for the diff is derived deterministically from the
+# orders table so the oracle can re-derive it verbatim: every 19th key
+# deleted, every 7th surviving key's price bumped one dollar, every
+# 13th key cloned under a disjoint key range (the insert set). A real
+# pipeline reads two physical snapshots instead — the diff plan is
+# unchanged.
+_DIFF_INSERT_OFFSET = 10**12  # > any real orderkey (24M x SF needs SF > 4e4)
+
+
+@query(
+    "q_table_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_custkey, o_orderstatus,
+                           CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                           o_orderpriority)) AS h
+      FROM orders
+    ), new AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_custkey, o_orderstatus,
+                           CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             + CASE WHEN o_orderkey % 7 = 0
+                                    THEN 100 ELSE 0 END,
+                           o_orderpriority)) AS h
+      FROM orders WHERE o_orderkey % 19 <> 0
+      UNION ALL
+      SELECT o_orderkey + {_DIFF_INSERT_OFFSET} AS k,
+             md5(concat_ws('|', o_custkey, o_orderstatus,
+                           CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                           o_orderpriority)) AS h
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(old.k, new.k) AS o_orderkey,
+           CASE WHEN old.k IS NULL THEN 'added'
+                WHEN new.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    WHERE old.k IS NULL OR new.k IS NULL OR old.h <> new.h
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed
+    between two table versions, dropping the (overwhelmingly common)
+    unchanged rows. The scale shape is the whole point: each side
+    reduces to (key, 16-byte row-hash) AT THE SCAN — column pruning
+    keeps only the hashed columns, so the full-outer sort-merge join
+    exchanges ~24 bytes/row instead of whole rows, and the unchanged
+    filter discards matches before anything else happens. Diffing two
+    100 TB snapshots is then two scans plus one co-partitioned SMJ on
+    the key — no driver state, no collect. The row hash folds price to
+    integer cents so float formatting can't produce phantom diffs."""
+    orders = table(spark, sf_dir, "orders")
+
+    def hashed(price_bump_mod7: bool) -> DataFrame:
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        if price_bump_mod7:
+            cents = cents + F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit(100)
+            ).otherwise(F.lit(0))
+        return orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey"),
+                    F.col("o_orderstatus"),
+                    cents,
+                    F.col("o_orderpriority"),
+                ).cast("binary")
+            ).alias("h"),
+        )
+
+    old = hashed(price_bump_mod7=False)
+    new = hashed(price_bump_mod7=True).filter(
+        F.col("k") % 19 != 0
+    ).unionAll(
+        hashed(price_bump_mod7=False)
+        .filter(F.col("k") % 13 == 0)
+        .select((F.col("k") + _DIFF_INSERT_OFFSET).alias("k"), "h")
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    return joined.filter(
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.h") != F.col("n.h"))
+    ).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
+        F.when(F.col("o.k").isNull(), F.lit("added"))
+        .when(F.col("n.k").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
+
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "q_scd2_intervals",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(lead(ts) OVER w2, '{_TS_FMT_DUCK}') AS valid_to,
+           CASE WHEN lead(ts) OVER w2
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: compress a per-user event stream into
+    validity intervals [valid_from, valid_to) — one row per *change* of
+    event_type, with the open interval marked current. This is the
+    standard dimension-history pattern (Kimball SCD2) built from two
+    window passes: lag() finds change points, lead() closes each
+    interval with the next change's timestamp. Both windows partition
+    on user_id, so there is exactly ONE exchange (hash by user) and the
+    per-user sort is reused by both window operators; state per key is
+    one row of look-behind/ahead, never the full history in memory.
+    Ties on ts break by event_id so the result is total-ordered and
+    engine-independent. Timestamps leave as formatted strings so the
+    cross-engine hash can't trip on timezone/precision rendering."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT_SPARK).alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+@query(
+    "q_outlier_mad",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type, ROUND(value, 3) AS v FROM events
+    ), med AS (
+      SELECT event_type, ROUND(median(v), 6) AS med FROM q GROUP BY event_type
+    ), mad AS (
+      SELECT q.event_type,
+             ROUND(median(ABS(q.v - med.med)), 6) AS mad
+      FROM q JOIN med ON q.event_type = med.event_type
+      GROUP BY q.event_type
+    )
+    SELECT q.event_id, q.event_type,
+           ROUND((q.v - med.med) / (1.4826 * mad.mad), 4) AS robust_z,
+           CASE WHEN ABS((q.v - med.med) / (1.4826 * mad.mad)) > 3.5
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM q
+    JOIN med ON q.event_type = med.event_type
+    JOIN mad ON q.event_type = mad.event_type
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-group median/MAD z-scores
+    (|z| > 3.5 flags, the Iglewicz-Hoaglin rule), which unlike
+    mean/stddev cannot be dragged by the outliers themselves. Exact
+    distributed medians are normally a scale trap (percentile buffers
+    per-group values); here values are QUANTIZED first (round to 3 dp),
+    which bounds percentile's value->count map by the VALUE RANGE
+    (range x 1000 entries) instead of the row count — exact medians
+    with O(range) memory at any number of rows. Group stats are a
+    few rows, so both join-backs broadcast; the data table is scanned
+    twice (once per median pass), the price of exactness — an
+    approx_percentile single-pass is the swap-in when +-epsilon is
+    acceptable. MAD of a continuous-valued group is nonzero by
+    construction; a zero MAD (constant group) would need a guard."""
+    events = table(spark, sf_dir, "events")
+    q = events.select(
+        "event_id", "event_type", F.round("value", 3).alias("v")
+    )
+    med = q.groupBy("event_type").agg(
+        F.round(F.expr("percentile(v, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        q.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(v - med), 0.5)"), 6
+            ).alias("mad")
+        )
+    )
+    z = (F.col("v") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        q.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 4).alias("robust_z"),
+            F.when(F.abs(z) > 3.5, F.lit(1)).otherwise(F.lit(0)).alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+@query(
+    "q_sink_orc",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                     AS n_orders,
+           ROUND(SUM(o_totalprice), 2)  AS sum_price
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + re-scan: write filtered orders as ORC (Spark's
+    second columnar native format — same pushdown/pruning machinery as
+    parquet via the vectorized OrcFileFormat), read it back, aggregate.
+    Proves the engine round-trips through ORC losslessly — the oracle
+    is the same aggregate over the raw table. Predicate applied BEFORE
+    the write so the sink test also witnesses filter pushdown into the
+    producing scan."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oarphpy_spark_sink_orc_{os.path.basename(sf_dir)}_{os.getpid()}",
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .orc(out, compression="zlib")
+    )
+    return (
+        spark.read.orc(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
