@@ -37,6 +37,8 @@ from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
     # --- declared latest in round 5: never seen by any driver window ---
+    "q_cdc_apply",
+    "q_compact_files",
     "q_dup_span_detect",
     "q_unigram_lm_score",
     "q_table_diff",

@@ -115,6 +115,128 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH snap AS (
+      SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ), upd AS (
+      SELECT k, CASE WHEN k % 35 = 0 THEN 2000 ELSE 1000 END AS bump
+      FROM snap WHERE k % 5 = 0
+    ), merged AS (
+      SELECT s.k, s.o_custkey, s.o_orderstatus,
+             s.price_cents + COALESCE(u.bump, 0) AS price_cents
+      FROM snap s LEFT JOIN upd u ON s.k = u.k
+      WHERE s.k % 11 <> 0
+      UNION ALL
+      SELECT k + {_DIFF_INSERT_OFFSET}, o_custkey, o_orderstatus, price_cents
+      FROM snap WHERE k % 13 = 0
+    )
+    SELECT k AS o_orderkey, o_custkey, o_orderstatus, price_cents
+    FROM merged
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a CDC feed into a snapshot (operators/upsert.py): the
+    change stream carries updates for every 5th key (with a SECOND,
+    later update on every 35th — latest-wins must pick it), deletes
+    for every 11th (sequenced after the updates, so on keys divisible
+    by 55 the delete wins), and inserts cloned under a disjoint key
+    range. The operator compacts the stream to one winning change per
+    key with a partial-aggregable max_by(struct(seq, ...)) — a key
+    changed a million times still ships one row per input partition —
+    then applies with ONE full-outer join on the key. The oracle states
+    the post-merge table closed-form (surviving keys left-joined to
+    their final bump, plus the inserts)."""
+    from oarphpy_spark.operators.upsert import apply_cdc
+
+    snap = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    k = F.col("o_orderkey")
+
+    def change(rows: DataFrame, seq: int, op: str, **overrides) -> DataFrame:
+        cols = [
+            (F.col(c) if c not in overrides else overrides[c]).alias(c)
+            for c in snap.columns
+        ]
+        return rows.select(
+            *cols, F.lit(seq).alias("seq"), F.lit(op).alias("op")
+        )
+
+    nul = F.lit(None)
+    changes = (
+        change(snap.filter(k % 5 == 0), 1, "U",
+               price_cents=F.col("price_cents") + 1000)
+        .unionAll(change(snap.filter(k % 35 == 0), 2, "U",
+                         price_cents=F.col("price_cents") + 2000))
+        .unionAll(change(snap.filter(k % 11 == 0), 3, "D",
+                         o_custkey=nul.cast("long"),
+                         o_orderstatus=nul.cast("string"),
+                         price_cents=nul.cast("long")))
+        .unionAll(change(snap.filter(k % 13 == 0), 1, "I",
+                         o_orderkey=k + _DIFF_INSERT_OFFSET))
+    )
+    return apply_cdc(snap, changes, "o_orderkey", seq_col="seq", op_col="op")
+
+
+@query(
+    "q_compact_files",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)   AS n_rows,
+           ROUND(SUM(l_quantity), 2)  AS sum_qty,
+           true                       AS fewer_files
+    FROM lineitem
+    """,
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/compaction.py) under the
+    oracle gate: fragment lineitem into 64 tiny files, compact to
+    ~quarter-of-total target size with the shuffle-free coalesce path,
+    and prove (a) content is untouched — the aggregate over the
+    compacted copy must hash-match the raw table — and (b) the file
+    count actually dropped (self-certified boolean the oracle states
+    as literal true). Sizing comes from the directory listing only; no
+    data is read to plan the rewrite."""
+    import math
+
+    from oarphpy_spark.operators.compaction import compact, plan_compaction
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"oarphpy_spark_compact_{os.path.basename(sf_dir)}_{os.getpid()}",
+    )
+    frag, comp = base + "_frag", base + "_comp"
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(frag)
+    )
+    n_files, _ = plan_compaction(frag, 1 << 60)
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    stats = compact(spark, frag, comp, target_bytes=max(1, math.ceil(total / 4)))
+    return spark.read.parquet(comp).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.lit(
+            stats["files_after"] < stats["files_before"]
+        ).alias("fewer_files"),
+    )
+
+
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 

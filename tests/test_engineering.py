@@ -114,6 +114,57 @@ def test_table_diff_classes_complete(spark):
     assert all(k % 7 == 0 and k % 19 != 0 for k in by_class["changed"])
 
 
+def test_apply_cdc_semantics(spark):
+    """Unit semantics on a toy table: latest-wins per key, delete of a
+    nonexistent key is a no-op, insert creates, update replaces."""
+    from oarphpy_spark.operators.upsert import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),  # superseded by seq 2
+            (1, "a3", 2, "U"),  # wins
+            (2, None, 1, "D"),  # delete existing
+            (9, None, 5, "D"),  # delete nonexistent: no-op
+            (4, "d", 1, "I"),  # insert new key
+        ],
+        "k long, v string, seq long, op string",
+    )
+    got = {
+        r.k: r.v for r in apply_cdc(snap, changes, "k").collect()
+    }
+    assert got == {1: "a3", 3: "c", 4: "d"}
+
+
+def test_cdc_apply_compacts_before_join(spark):
+    """The change stream must compact via partial aggregation (a
+    partial_max below the exchange — max(struct) with a string member
+    compiles to SortAggregate) and apply with a single full-outer
+    SMJ."""
+    plan = _plan(spark, "q_cdc_apply", "simple")
+    assert "FullOuter" in plan
+    assert "partial_max" in plan
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from oarphpy_spark.operators.compaction import compact
+
+    frag = str(tmp_path / "frag")
+    comp = str(tmp_path / "comp")
+    df = spark.range(10000).selectExpr("id", "id % 7 AS g")
+    df.repartition(32).write.parquet(frag)
+    stats = compact(spark, frag, comp, target_bytes=1 << 30)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(comp)
+    assert back.count() == 10000
+    assert back.selectExpr("sum(id) s").first().s == df.selectExpr(
+        "sum(id) s"
+    ).first().s
+
+
 def test_outlier_mad_flags_are_rare_and_extreme(spark):
     """MAD outliers must be a small tail, and every flagged row's
     |robust_z| must exceed every unflagged row's within its group."""
