@@ -26,6 +26,7 @@ import oarphpy_spark.queries.fidelity  # noqa: F401
 import oarphpy_spark.queries.inventory_extras  # noqa: F401
 import oarphpy_spark.queries.joins  # noqa: F401
 import oarphpy_spark.queries.llm_queries  # noqa: F401
+import oarphpy_spark.queries.ml_eval  # noqa: F401
 import oarphpy_spark.queries.profiling  # noqa: F401
 import oarphpy_spark.queries.relational  # noqa: F401
 import oarphpy_spark.queries.scalar_fns  # noqa: F401
@@ -39,6 +40,11 @@ _ROUND_PRIORITY = [
     # --- declared latest in round 5: never seen by any driver window ---
     "q_cdc_apply",
     "q_compact_files",
+    "q_attribution_last_touch",
+    "q_event_debounce",
+    "q_entity_resolution",
+    "q_binary_auc",
+    "q_score_calibration",
     "q_dup_span_detect",
     "q_unigram_lm_score",
     "q_table_diff",

@@ -371,6 +371,95 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_mktsegment, c_name FROM customer
+    ), pairs AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM c a JOIN c b
+        ON a.c_mktsegment = b.c_mktsegment
+       AND substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ), edges AS (
+      SELECT ka AS s, kb AS d FROM pairs
+      UNION
+      SELECT kb AS s, ka AS d FROM pairs
+    ), reach(node, comp) AS (
+      SELECT c_custkey, c_custkey FROM c
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ), cc AS (
+      SELECT node AS c_custkey, MIN(comp) AS entity_id
+      FROM reach GROUP BY node
+    )
+    SELECT c_custkey, entity_id,
+           COUNT(*) OVER (PARTITION BY entity_id) AS entity_size,
+           CASE WHEN c_custkey = entity_id THEN 1 ELSE 0 END
+             AS is_canonical
+    FROM cc
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocking → pairwise match →
+    transitive clustering → survivorship. Candidate pairs come from
+    the blocked fuzzy join (equi-join on (segment, 16-char name
+    prefix), levenshtein <= 2 verify — bounded blocks, never
+    all-pairs, see q_join_fuzzy); matches close transitively via the
+    alternating large-star/small-star connected-components rounds
+    (llm/graph.py — shuffle-bounded, the distributed-CC algorithm);
+    the surviving canonical record per entity is the minimum key
+    (is_canonical marks it). This is the full MDM/dedupe pipeline
+    shape — the same three stages Dedupe.io/Zingg run — composed
+    entirely from engine operators. The oracle restates the closure
+    as a recursive CTE (fine at oracle scale; quadratic at corpus
+    scale, which is why the engine iterates star rounds instead).
+    Fixture note: TPC-H names are sequential, so near-key neighbors
+    legitimately match the edit-distance rule — clusters are chains
+    of adjacent keys sharing a block; deterministic in both engines."""
+    from oarphpy_spark.llm.graph import connected_components
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", 1, 16).alias("blk"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", 1, 16).alias("blk"),
+        F.col("c_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["seg", "blk"])
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("ka", "kb")
+    )
+    cc = connected_components(pairs, "ka", "kb")
+    labeled = cust.select("c_custkey").join(
+        cc, F.col("c_custkey") == F.col("node"), "left"
+    ).select(
+        "c_custkey",
+        F.coalesce("component", "c_custkey").alias("entity_id"),
+    )
+    w = Window.partitionBy("entity_id")
+    return labeled.select(
+        "c_custkey",
+        "entity_id",
+        F.count("*").over(w).alias("entity_size"),
+        F.when(F.col("c_custkey") == F.col("entity_id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_canonical"),
+    )
+
+
+@query(
     "q_sink_orc",
     oracle="""
     SELECT o_orderstatus,

@@ -1,0 +1,148 @@
+"""Distributed model-evaluation metrics: ROC-AUC and score
+calibration over an engine-resident scores table.
+
+Evaluating a classifier over billions of scored rows is itself a
+scale problem: the textbook AUC formulation ranks EVERY row in one
+global sort (a single task at 100 TB), and a naive pos x neg pair
+count is quadratic. Both queries here avoid the per-row global sort
+the same way the engine's other rank statistics do — quantize the
+score, roll up to one row per DISTINCT score first, and run the
+ordered pass over that bounded table (size is capped by the score
+range x quantum, independent of row count).
+
+The "model" under evaluation is deterministic so the oracle can
+restate it: score = first embedding component, label = class parity —
+the metric machinery is the artifact under test, same stance as the
+synthesized multimodal blobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import table
+
+_SCORED = """
+      SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS s,
+             label % 2 AS y
+      FROM embeddings
+"""
+
+
+@query(
+    "q_binary_auc",
+    oracle=f"""
+    WITH s AS ({_SCORED}
+    ), tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS np,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+      FROM s
+    ), g AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0
+      FROM s GROUP BY s
+    ), acc AS (
+      SELECT n1, n0,
+             COALESCE(SUM(n0) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS c0
+      FROM g
+    )
+    SELECT CAST(ROUND(CAST(SUM(2 * n1 * c0 + n1 * n0) AS DOUBLE)
+                 * 1000000 / (2.0 * tot.np * tot.nn)) AS BIGINT)
+             AS auc_ppm,
+           tot.np AS n_pos, tot.nn AS n_neg
+    FROM acc CROSS JOIN tot
+    GROUP BY tot.np, tot.nn
+    """,
+)
+def q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney U statistic, tie-corrected,
+    WITHOUT ranking individual rows: scores quantize to 6 dp, roll up
+    to (score, n_pos, n_neg) — one partial-aggregable shuffle whose key
+    space is bounded by the score range, not the row count — then a
+    running negatives-below count over that small table gives
+    U = sum(n1*c0 + n1*n0/2). Doubled to stay in exact integer
+    arithmetic until the single final division, and reported as
+    integer parts-per-million: scale-0 rounding is the only rounding
+    engines agree on bitwise (fractional-digit ROUND diverges between
+    Java's shortest-repr HALF_UP and C's scaled nearbyint on
+    representation boundaries). The ordered pass runs on per-score
+    rollup rows, so the single-partition window is over thousands of
+    rows at ANY corpus size — the global per-row sort the textbook
+    formulation needs is exactly what this avoids."""
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("s"),
+        (F.col("label") % 2).alias("y"),
+    )
+    g = scored.groupBy("s").agg(
+        F.sum("y").cast("long").alias("n1"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n0"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    acc = g.select(
+        "n1", "n0", F.coalesce(F.sum("n0").over(w), F.lit(0)).alias("c0")
+    )
+    return acc.agg(
+        F.sum(2 * F.col("n1") * F.col("c0") + F.col("n1") * F.col("n0"))
+        .alias("num2"),
+        F.sum("n1").alias("np"),
+        F.sum("n0").alias("nn"),
+    ).select(
+        F.round(
+            F.col("num2").cast("double")
+            * 1_000_000
+            / (2.0 * F.col("np") * F.col("nn"))
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+    )
+
+
+@query(
+    "q_score_calibration",
+    oracle=f"""
+    WITH s AS ({_SCORED}
+    )
+    SELECT CAST(LEAST(GREATEST(FLOOR((s + 0.5) * 10), 0), 9) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(y) AS DOUBLE) * 1000000 / COUNT(*))
+                AS BIGINT) AS pos_rate_ppm,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(s * 1000000) AS BIGINT))
+                           AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS mean_score_micro
+    FROM s GROUP BY 1
+    """,
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table: scores bucketed into 10 fixed
+    bins over [-0.5, 0.5) (clamped outside), each reporting observed
+    positive rate vs mean score — the input to a reliability diagram /
+    ECE computation. One partial-aggregable shuffle on a 10-value key;
+    mean score sums integer micro-units (exact, order-independent) and
+    both rates leave as scale-0-rounded integers per million — the
+    only rounding engines agree on bitwise. Fixed bin edges (not
+    data-dependent quantiles) are the production choice for
+    monitoring: bins stay comparable across days/models."""
+    emb = table(spark, sf_dir, "embeddings")
+    s = F.round(F.col("embedding")[0].cast("double"), 6)
+    scored = emb.select(s.alias("s"), (F.col("label") % 2).alias("y"))
+    bucket = F.least(
+        F.greatest(F.floor((F.col("s") + 0.5) * 10), F.lit(0)), F.lit(9)
+    ).cast("long")
+    s_u = F.round(F.col("s") * 1_000_000).cast("long")
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("y").cast("double") * 1_000_000 / F.count("*"))
+        .cast("long")
+        .alias("pos_rate_ppm"),
+        F.round(F.sum(s_u).cast("double") / F.count("*"))
+        .cast("long")
+        .alias("mean_score_micro"),
+    )

@@ -795,3 +795,109 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    SELECT event_id, user_id, attrib_id,
+           CASE WHEN attrib_id IS NOT NULL THEN 1 ELSE 0 END AS attributed
+    FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attrib_id
+      FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent STRICTLY-EARLIER click/view (NULL when the
+    purchase had no preceding touchpoint). The engine idiom is
+    last-non-null carry-forward — ``last(expr, ignorenulls=True)`` over
+    an UNBOUNDED-PRECEDING-to-1-PRECEDING running frame — which scans
+    each user's history exactly once: one exchange on user_id, one
+    sort, O(1) window state per row. The join-free shape matters at
+    100 TB: the naive formulation (self-join purchases x touches with
+    a MAX(ts) subquery) shuffles the event log twice and rebuilds each
+    user's touch list per purchase."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_id")
+    )
+    attributed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("attrib_id"),
+    ).filter(F.col("event_type") == "purchase")
+    return attributed.select(
+        "event_id",
+        "user_id",
+        "attrib_id",
+        F.when(F.col("attrib_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("attributed"),
+    )
+
+
+@query(
+    "q_event_debounce",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    WHERE prev_ts IS NULL
+       OR date_diff('microsecond', prev_ts, ts) > 600000000
+    """,
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed event dedup (debounce): keep an event only if the
+    same user did not emit the same event_type within the preceding 10
+    minutes — the standard guard against double-clicks, retry storms,
+    and at-least-once ingestion duplicates. One lag() window per
+    (user_id, event_type): a single exchange, per-row O(1) state, and
+    unlike a self-join-within-interval formulation it never expands
+    pairs. Note the chain semantics are deliberate: each KEPT-OR-
+    DROPPED event still resets the clock for the next one (lag is over
+    the raw stream), matching how debounce works in event pipelines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            prev.alias("prev_ts"),
+        )
+        .filter(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > 600_000_000
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "ts_str"
+            ),
+        )
+    )

@@ -165,6 +165,52 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     ).first().s
 
 
+def test_attribution_is_join_free_single_exchange(spark):
+    """Last-touch attribution must be the carry-forward window — one
+    exchange on user_id, no join anywhere (the naive self-join
+    formulation shuffles the event log twice)."""
+    plan = _plan(spark, "q_attribution_last_touch", "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_debounce_single_exchange_no_join(spark):
+    plan = _plan(spark, "q_event_debounce", "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_debounce_resets_clock_on_kept_events(spark):
+    """Toy stream: events at t=0, 5, 9, 20 minutes for one (user,
+    type). With a 10-minute debounce over the RAW stream, t=0 keeps,
+    t=5 drops (5 < 10 after t=0), t=9 drops (4 after t=5 — the DROPPED
+    event still reset the clock), t=20 keeps (11 after t=9)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, "click", base + dt.timedelta(minutes=m))
+        for i, m in enumerate([0, 5, 9, 20])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    kept = (
+        df.select("event_id", prev.alias("p"), "ts")
+        .filter(
+            F.col("p").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("p") > 600_000_000)
+        )
+        .select("event_id")
+        .collect()
+    )
+    assert sorted(r.event_id for r in kept) == [0, 3]
+
+
 def test_outlier_mad_flags_are_rare_and_extreme(spark):
     """MAD outliers must be a small tail, and every flagged row's
     |robust_z| must exceed every unflagged row's within its group."""
