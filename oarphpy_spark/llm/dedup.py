@@ -131,7 +131,7 @@ def minhash_candidate_pairs(
     buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -141,6 +141,23 @@ def minhash_candidate_pairs(
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
+    # Deterministic cache release: the persisted bucket table rides on
+    # the result as `_oarphpy_persisted`; long-lived sessions that call
+    # this repeatedly should `release_cached(pairs)` after
+    # materializing, instead of waiting for driver GC + ContextCleaner
+    # to notice the reference is gone.
+    pairs._oarphpy_persisted = buckets
+    return pairs
+
+
+def release_cached(result: DataFrame) -> None:
+    """Unpersist intermediates an operator cached on behalf of
+    ``result`` (see ``minhash_candidate_pairs``). Call AFTER the result
+    has been materialized (written/collected); a later re-computation
+    of ``result`` still works — it just re-builds the bucket table."""
+    cached = getattr(result, "_oarphpy_persisted", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -38,13 +38,19 @@ def latest_changes(
 ) -> DataFrame:
     """One winning change per key: the row with the highest
     ``(seq_col, op)`` wins (op breaks exact-seq ties deterministically).
-    Partial-aggregable — never materializes a key's full history."""
-    win = F.max(
+    Partial-aggregable — never materializes a key's full history.
+
+    The payload rides along via ``max_by`` keyed ONLY on
+    ``(seq_col, op)`` — payload columns do not participate in the
+    ordering, so ties resolve on (seq, op) alone and non-orderable
+    payload types (e.g. MapType) are carried without breaking
+    analysis."""
+    win = F.max_by(
         F.struct(
-            F.col(seq_col).alias("__seq"),
             F.col(op_col).alias("__op"),
             *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-        )
+        ),
+        F.struct(F.col(seq_col), F.col(op_col)),
     ).alias("__w")
     agg = changes.groupBy(key).agg(win)
     return agg.select(

@@ -317,8 +317,10 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY q.event_type
     )
     SELECT q.event_id, q.event_type,
-           ROUND((q.v - med.med) / (1.4826 * mad.mad), 4) AS robust_z,
-           CASE WHEN ABS((q.v - med.med) / (1.4826 * mad.mad)) > 3.5
+           ROUND((q.v - med.med) / (1.4826 * NULLIF(mad.mad, 0)), 4)
+             AS robust_z,
+           CASE WHEN ABS((q.v - med.med) / (1.4826 * NULLIF(mad.mad, 0)))
+                  > 3.5
                 THEN 1 ELSE 0 END AS is_outlier
     FROM q
     JOIN med ON q.event_type = med.event_type
@@ -337,8 +339,9 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     few rows, so both join-backs broadcast; the data table is scanned
     twice (once per median pass), the price of exactness — an
     approx_percentile single-pass is the swap-in when +-epsilon is
-    acceptable. MAD of a continuous-valued group is nonzero by
-    construction; a zero MAD (constant group) would need a guard."""
+    acceptable. A zero MAD (constant-valued group) yields NULL z
+    (guarded on both engines: when(mad != 0) here, NULLIF in the
+    oracle) rather than Spark-NULL-vs-DuckDB-inf divergence."""
     events = table(spark, sf_dir, "events")
     q = events.select(
         "event_id", "event_type", F.round("value", 3).alias("v")
@@ -355,7 +358,10 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad")
         )
     )
-    z = (F.col("v") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    z = F.when(
+        F.col("mad") != 0,
+        (F.col("v") - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
+    )
     return (
         q.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")

@@ -284,8 +284,8 @@ def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_SQL = """
 SELECT nation, o_year,
-       CAST(SIGN(SUM(amt_e4)) AS BIGINT)
-         * ((ABS(SUM(amt_e4)) + 5000) DIV 10000) / 100.0 AS sum_profit
+       CAST(CAST(SIGN(SUM(amt_e4)) AS BIGINT)
+         * ((ABS(SUM(amt_e4)) + 5000) DIV 10000) / 100.0 AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          CAST(ROUND(l_extendedprice * 100) AS BIGINT)

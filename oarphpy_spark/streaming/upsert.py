@@ -46,6 +46,18 @@ def _current_gen(root: str) -> str | None:
     return os.path.join(root, gen) if gen else None
 
 
+def _committed_batch_id(root: str) -> int | None:
+    """Batch id of the generation CURRENT points at, or None."""
+    gen = _current_gen(root)
+    if gen is None:
+        return None
+    name = os.path.basename(gen)
+    try:
+        return int(name.split("=", 1)[1])
+    except (IndexError, ValueError):
+        return None
+
+
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
     """The current consistent snapshot, or None before the first
     commit."""
@@ -60,25 +72,49 @@ def _commit_pointer(root: str, gen_name: str) -> None:
     os.replace(tmp, os.path.join(root, _CURRENT))  # atomic on POSIX
 
 
+def _prune_generations(root: str, committed: int, keep: int) -> None:
+    """Drop generations older than the committed pointer minus
+    ``keep`` — each gen is a full copy-on-write snapshot, so without
+    retention storage grows as batches x snapshot size."""
+    floor = committed - keep
+    for name in os.listdir(root):
+        if not name.startswith("gen="):
+            continue
+        try:
+            gen_id = int(name.split("=", 1)[1])
+        except (IndexError, ValueError):
+            continue
+        if gen_id < floor:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def upsert_snapshot_sink(
     root: str,
     key: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    keep_generations: int = 2,
 ):
     """Build the ``foreachBatch`` callable. Changes must carry ``key``,
     ``seq_col``, ``op_col`` in {'I','U','D'} and the snapshot payload
-    columns."""
+    columns. ``keep_generations`` prior snapshots are retained behind
+    the committed pointer; older ones are pruned after each commit."""
     os.makedirs(root, exist_ok=True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         gen_name = f"gen={batch_id}"
         final = os.path.join(root, gen_name)
         if os.path.isdir(final):
-            # replay of a committed batch: just make sure the pointer
-            # advanced before the crash; committing twice is harmless
-            # because the generation content is deterministic.
-            _commit_pointer(root, gen_name)
+            # Replay of an already-materialized batch (at-least-once
+            # foreachBatch delivery after a crash): advance the pointer
+            # only if it is BEHIND this batch — never move CURRENT
+            # backwards. Without the guard, a query restarted with a
+            # fresh checkpoint would re-see batch_id=0, find gen=0 on
+            # disk, and roll the committed snapshot back to the oldest
+            # generation while silently dropping the new changes.
+            committed = _committed_batch_id(root)
+            if committed is None or committed < batch_id:
+                _commit_pointer(root, gen_name)
             return
         spark = batch_df.sparkSession
         current = read_snapshot(spark, root)
@@ -97,6 +133,7 @@ def upsert_snapshot_sink(
         merged.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
         _commit_pointer(root, gen_name)
+        _prune_generations(root, batch_id, keep_generations)
 
     return merge_batch
 
@@ -108,14 +145,31 @@ def run_upsert_stream(
     query_name: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    checkpoint_dir: str | None = None,
+    keep_generations: int = 2,
 ):
     """Start the streaming MERGE (availableNow trigger); returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ``checkpoint_dir`` defaults to ``<root>/_checkpoint`` so batch ids
+    stay monotonic across restarts — without a durable checkpoint a
+    restarted query re-numbers from batch 0, collides with committed
+    generations, and the exactly-once replay contract breaks (new
+    changes would be mistaken for replays and dropped)."""
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(root, "_checkpoint")
     return (
         changes_stream.writeStream.foreachBatch(
-            upsert_snapshot_sink(root, key, seq_col=seq_col, op_col=op_col)
+            upsert_snapshot_sink(
+                root,
+                key,
+                seq_col=seq_col,
+                op_col=op_col,
+                keep_generations=keep_generations,
+            )
         )
         .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

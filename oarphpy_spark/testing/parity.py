@@ -10,6 +10,7 @@ CORRECTNESS_r{N}.json run.
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 from typing import Any
 
 import duckdb
@@ -75,17 +76,36 @@ def _sort_key(v: Any) -> tuple:
     return (3, str(v))
 
 
+def _type_class(v: Any) -> str:
+    """Representation class, mirroring the driver's value-hash semantics:
+    a bigint, a double, and a Decimal carrying the same value are
+    DIFFERENT representations and must not be conflated (the driver's
+    hash caught exactly this on tpch q9/q12 in round 5)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, Decimal):
+        return "decimal"
+    return type(v).__name__
+
+
 def _cells_match(a: Any, b: Any) -> bool:
     if a is None or b is None:
         return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            af, bf = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
-        return math.isclose(af, bf, rel_tol=FLOAT_RTOL, abs_tol=FLOAT_ATOL)
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_match(x, y) for x, y in zip(a, b))
+    ta, tb = _type_class(a), _type_class(b)
+    if ta != tb:
+        # Representation mismatch (e.g. Spark DECIMAL vs DuckDB double,
+        # DuckDB HUGEINT-sum->float64 vs Spark int64) — the driver's
+        # hash treats these as failures, so we must too.
+        return False
+    if ta == "float":
+        # Both genuinely double: allow last-ulp engine divergence only.
+        return math.isclose(a, b, rel_tol=FLOAT_RTOL, abs_tol=FLOAT_ATOL)
     return a == b
 
 

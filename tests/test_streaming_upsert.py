@@ -58,3 +58,55 @@ def test_upsert_stream_live(spark, tmp_path):
     q = run_upsert_stream(stream, root, "k", "t_upsert_live")
     q.awaitTermination(120)
     assert _snap_dict(spark, root) == {1: "x2", 2: "y"}
+
+
+def test_upsert_replay_never_moves_pointer_backwards(spark, tmp_path):
+    """A stale low batch id (e.g. a restart with a fresh checkpoint
+    re-seeing batch 0) must not roll CURRENT back to an old
+    generation."""
+    root = str(tmp_path / "snap")
+    sink = upsert_snapshot_sink(root, "k")
+    sink(spark.createDataFrame([(1, "a", 1, "I")], _SCHEMA), 0)
+    sink(spark.createDataFrame([(1, "a2", 2, "U")], _SCHEMA), 1)
+    assert _snap_dict(spark, root) == {1: "a2"}
+    # replayed batch 0: gen=0 exists, pointer is at gen=1 — must stay
+    sink(spark.createDataFrame([(1, "a", 1, "I")], _SCHEMA), 0)
+    with open(os.path.join(root, "CURRENT")) as f:
+        assert f.read().strip() == "gen=1"
+    assert _snap_dict(spark, root) == {1: "a2"}
+
+
+def test_upsert_generation_retention(spark, tmp_path):
+    """Old generations beyond keep_generations are pruned after each
+    commit; the committed generation always survives."""
+    root = str(tmp_path / "snap")
+    sink = upsert_snapshot_sink(root, "k", keep_generations=1)
+    for i in range(4):
+        sink(spark.createDataFrame([(1, f"v{i}", i + 1, "U")], _SCHEMA), i)
+    gens = sorted(n for n in os.listdir(root) if n.startswith("gen="))
+    assert gens == ["gen=2", "gen=3"]
+    assert _snap_dict(spark, root) == {1: "v3"}
+
+
+def test_upsert_stream_restart_is_exactly_once(spark, tmp_path):
+    """Across a stop/extend/restart of the stream, the durable
+    checkpoint keeps batch ids monotonic so new changes are applied,
+    not mistaken for replays."""
+    feed = str(tmp_path / "feed")
+    root = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "x", 1, "I"), (2, "y", 1, "I")], _SCHEMA
+    ).write.parquet(feed)
+    stream = spark.readStream.schema(_SCHEMA).parquet(feed)
+    q = run_upsert_stream(stream, root, "k", "t_upsert_restart")
+    q.awaitTermination(120)
+    assert _snap_dict(spark, root) == {1: "x", 2: "y"}
+
+    # append more changes, then RESTART the query (same checkpoint)
+    spark.createDataFrame(
+        [(1, "x2", 2, "U"), (3, "z", 2, "I")], _SCHEMA
+    ).write.mode("append").parquet(feed)
+    stream2 = spark.readStream.schema(_SCHEMA).parquet(feed)
+    q2 = run_upsert_stream(stream2, root, "k", "t_upsert_restart")
+    q2.awaitTermination(120)
+    assert _snap_dict(spark, root) == {1: "x2", 2: "y", 3: "z"}
