@@ -137,13 +137,20 @@ def pagerank(
     dangling mass needs no global redistribution step and the result
     is oracle-checkable by unrolling the same recurrence in SQL).
 
-    Scale shape: outdeg is computed ONCE and joined by key; each
-    iteration is one equi-join on src plus one groupBy on dst — both
-    hash-partitioned on node id, so a cluster reuses the same
-    partitioning across iterations. ``localCheckpoint`` every
+    Scale shape: the outdeg join is LOOP-INVARIANT, so it is folded
+    into the edge table ONCE before the loop — removing one join per
+    iteration — and the weighted edge table is hash-repartitioned on
+    ``src`` and persisted, so the BIG side of the per-iteration join
+    never re-exchanges: only the small ranks relation (one row per
+    node) shuffles to meet it. ``nodes`` is likewise persisted
+    hash-partitioned on ``node``, and the contribution groupBy keyed
+    on dst(=node) emits that same partitioning, so the rank-update
+    left join needs no extra exchange. ``localCheckpoint`` every
     iteration truncates the lineage (without it, iteration k replans
     and recomputes 1..k-1, which is quadratic; at production scale use
-    a reliable checkpoint dir instead). Nodes with no inbound edges
+    a reliable checkpoint dir instead). The final result is
+    checkpointed eagerly so the persisted loop inputs can be released
+    deterministically before returning. Nodes with no inbound edges
     settle at 1-d; nodes absent from ``edges`` do not appear.
 
     Output: (node, rank) — rank unrounded; round at the call site.
@@ -153,29 +160,52 @@ def pagerank(
         out_edges.select(F.col("src").alias("node"))
         .unionByName(out_edges.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition("node")
+        .persist()
     )
     outdeg = out_edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # rank/outdeg (not a precomputed 1/outdeg weight) keeps the edge
+    # arithmetic bit-identical to the unrolled-SQL oracle recurrence.
+    edges_w = (
+        out_edges.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .repartition("src")
+        .persist()
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
-        contribs = (
-            out_edges.join(ranks, out_edges.src == ranks.node)
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("contrib"),
-            )
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("inflow"))
+        ranks = _pagerank_step(nodes, edges_w, ranks, damping).localCheckpoint(
+            eager=False
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    edges_w.unpersist()
     return ranks
+
+
+def _pagerank_step(
+    nodes: DataFrame, edges_w: DataFrame, ranks: DataFrame, damping: float
+) -> DataFrame:
+    """One PageRank round. With ``edges_w`` persisted partitioned on
+    src and ``nodes`` persisted partitioned on node, the plan carries
+    exactly two exchanges: ranks→src to meet the edges, and the
+    contribution re-key dst→node for the aggregate (the update join
+    then reuses the aggregate's partitioning) — pinned by a plan test
+    so a regression can't silently re-shuffle the big edge side every
+    iteration."""
+    contribs = (
+        edges_w.join(ranks, edges_w.src == ranks.node)
+        .select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("outdeg")).alias("contrib"),
+        )
+        .groupBy("node")
+        .agg(F.sum("contrib").alias("inflow"))
+    )
+    return nodes.join(contribs, "node", "left").select(
+        "node",
+        (
+            F.lit(1.0 - damping)
+            + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+        ).alias("rank"),
+    )

@@ -42,10 +42,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OFF = 10**9  # per-replica key offset; far above any sf0.1 key
 
 # Non-headline queries with genuinely different scale shapes, run at
-# the sf1.0 point only (see main()).
-EXTRA_SCALE = [
-    "q_sql_tpch_q9",   # 5-table fact-fact join chain
-    "q_sql_tpch_q21",  # hash semi/anti joins over lineitem x3
+# the sf1.0 point only (see main()): the FULL TPC-H 22 (so every SQL
+# surface has at-scale skew evidence, VERDICT r05 item 7) plus the two
+# iterative graph workloads.
+EXTRA_SCALE = [f"q_sql_tpch_q{i}" for i in range(1, 23)] + [
     "q_pagerank",      # 5-iteration join+aggregate
     "q_dedup_clusters",  # alternating-star transitive closure
 ]

@@ -127,3 +127,70 @@ def test_pagerank_star_center_dominates(spark):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     ranks = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
     assert ranks[0] > max(ranks[i] for i in range(1, 10)) * 3
+
+
+def test_pagerank_iteration_plan_two_exchanges(spark):
+    """The per-iteration plan must shuffle only the small ranks
+    relation and the contribution re-key — never the persisted edge
+    table or the persisted nodes table (llm/graph.py:_pagerank_step).
+    Regression gate for the round-6 pre-partitioning rewrite."""
+    from pyspark.sql import functions as F
+
+    from oarphpy_spark.llm.graph import _pagerank_step
+
+    e = spark.range(500).select(
+        (F.col("id") % 53).alias("src"), (F.col("id") % 47 + 100).alias("dst")
+    )
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_w = (
+        e.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .repartition("src")
+        .persist()
+    )
+    # Materialize the caches so the plan below sees InMemoryRelations
+    # with known partitioning (as inside pagerank()'s loop).
+    nodes.count()
+    edges_w.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    step = _pagerank_step(nodes, edges_w, ranks, 0.85)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = _count_live_exchanges(plan)
+    nodes.unpersist()
+    edges_w.unpersist()
+    assert n_exchanges <= 2, f"iteration re-shuffles a loop input:\n{plan}"
+
+
+def _count_live_exchanges(plan: str) -> int:
+    """Shuffle exchanges that would actually RUN per iteration: skip
+    subtrees under InMemoryRelation — those exchanges belong to the
+    already-materialized cache build, not the loop body."""
+    import re
+
+    n = 0
+    skip_depth = None
+    for line in plan.splitlines():
+        m = re.search(r"[A-Za-z]", line)
+        if not m:
+            continue
+        depth = m.start()
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            continue
+        if "Exchange hashpartitioning" in line:
+            n += 1
+    return n
