@@ -25,6 +25,7 @@ from oarphpy_spark.operators.union import union_dfs
 from oarphpy_spark.registry import query
 from oarphpy_spark.sources.archive import archive_df
 from oarphpy_spark.tables import table
+from oarphpy_spark.util.fs import scratch_dir
 
 
 @query(
@@ -238,9 +239,11 @@ def q_archive_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oarphpy/spark.py:457-459 + util/archive_flyweight.py). Fixture zip
     mirrors the reference's name==content members
     (oarphpy_test/test_spark.py:206-262)."""
-    # Keyed by PID so concurrent sessions never clobber each other's fixture.
+    # Keyed by PID so concurrent sessions never clobber each other's
+    # fixture; scratch_dir() honors SPARK_GRAFT_SCRATCH_DIR so a real
+    # cluster can point this at shared storage (util/fs.py).
     zpath = os.path.join(
-        tempfile.gettempdir(), f"oarphpy_spark_fixture_{os.getpid()}.zip"
+        scratch_dir(), f"oarphpy_spark_fixture_{os.getpid()}.zip"
     )
     with zipfile.ZipFile(zpath, "w") as z:
         for m in _ARCHIVE_MEMBERS:
@@ -347,7 +350,7 @@ def q_tfevents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir is shared storage — the real deployment shape for TensorBoard
     # logs); the scan is forced eagerly below so cleanup can't race it.
     evdir = os.path.join(
-        tempfile.gettempdir(), f"oarphpy_spark_tfevents_{os.getpid()}"
+        scratch_dir(), f"oarphpy_spark_tfevents_{os.getpid()}"
     )
     os.makedirs(evdir, exist_ok=True)
     evpath = os.path.join(evdir, "events.out.tfevents.1.fixture")

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import shutil
 import tarfile
+import tempfile
 import urllib.parse
 import urllib.request
 import zipfile
@@ -112,3 +113,14 @@ def missing_or_empty(path: str) -> bool:
     if os.path.isfile(path):
         return os.path.getsize(path) == 0
     return next(all_files_recursive(path), None) is None
+
+
+def scratch_dir() -> str:
+    """Directory for transient fixtures/spill that executors must be
+    able to read. Defaults to the node-local tempdir (fine in local
+    mode); on a multi-node cluster point ``SPARK_GRAFT_SCRATCH_DIR``
+    at shared storage (NFS/object-store fuse) so distributed scans of
+    driver-written fixtures resolve on every executor."""
+    d = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or tempfile.gettempdir()
+    os.makedirs(d, exist_ok=True)
+    return d
