@@ -209,3 +209,72 @@ def _pagerank_step(
             + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
         ).alias("rank"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Distributed triangle counting via degree-ordered orientation
+    (the MapReduce-classic of Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011).
+
+    Every triangle is counted exactly once at its apex — the vertex
+    that precedes both others in the (degree, node-id) total order:
+
+    1. canonicalize to undirected edges (lo, hi), distinct;
+    2. orient each edge from the (deg, id)-smaller endpoint to the
+       larger — a hub of degree d contributes wedges only through its
+       LOWER-ranked neighbors, so per-vertex wedge work is bounded by
+       O(m^1.5) total instead of d^2 at the hub (the "last reducer"
+       fix — a power-law hub never explodes);
+    3. wedges = self-join of the oriented edges on the apex;
+    4. close each wedge against the canonical undirected edge set
+       with one equi-join on (least, greatest).
+
+    Three shuffles total (degree agg, wedge self-join, closure join);
+    no adjacency list ever materializes on one task.
+
+    Returns a 1-row DataFrame: (n_triangles, n_edges).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "lo"), "lo")
+        .withColumnRenamed("deg", "deg_lo")
+        .join(
+            deg.withColumnRenamed("node", "hi").withColumnRenamed(
+                "deg", "deg_hi"
+            ),
+            "hi",
+        )
+    )
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
+    )
+    w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        und,
+        (F.least("x", "y") == F.col("lo"))
+        & (F.greatest("x", "y") == F.col("hi")),
+    )
+    return closed.agg(
+        F.count("*").alias("n_triangles")
+    ).crossJoin(und.agg(F.count("*").alias("n_edges")))

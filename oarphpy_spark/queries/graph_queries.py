@@ -1,0 +1,129 @@
+"""Relational graph analytics over the co-purchase graph.
+
+Triangle counting and k-hop reachability are the two canonical
+"graph query as relational plan" workloads (GraphFrames implements
+both the same way — joins over an edge DataFrame); they complement
+the iterative operators in ``llm/graph.py`` (connected components,
+PageRank) with bounded-depth plans Catalyst can optimize end-to-end.
+
+The graph under test is the part co-purchase graph: parts that
+appear in the same order are connected. Per-order fanout is bounded
+by order size (a handful of lines in any TPC-H-shaped feed), so the
+pair expansion is map-side bounded — never quadratic in a key's
+global frequency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import table
+
+_COPURCHASE_EDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH pr AS ({_COPURCHASE_EDGES_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_edges
+    FROM pr e1
+    JOIN pr e2 ON e1.d = e2.s
+    JOIN pr e3 ON e3.s = e1.s AND e3.d = e2.d
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph via degree-ordered
+    orientation (llm/graph.py:triangle_count — Suri & Vassilvitskii's
+    'last reducer' fix): each triangle is counted once at its
+    (deg, id)-minimal apex, so a power-law hub of degree d generates
+    wedges only through its lower-ranked neighbors instead of d^2.
+    Three shuffles; the closure check is one equi-join on the
+    canonical (least, greatest) edge key. The oracle restates the
+    count as the textbook 3-way self-join on s<m<d ordered edges —
+    fine at oracle scale, the hub-quadratic shape the engine plan
+    exists to avoid."""
+    from oarphpy_spark.llm.graph import triangle_count
+
+    return triangle_count(_copurchase_edges(spark, sf_dir), "s", "d")
+
+
+@query(
+    "q_nhop_reach",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), peer AS (
+      SELECT DISTINCT a.s AS s, b.s AS s2
+      FROM e a JOIN e b ON a.p = b.p AND a.s <> b.s
+    )
+    SELECT e.s AS supp,
+           CAST(COUNT(DISTINCT e.p) AS BIGINT) AS n_parts_1hop,
+           CAST(COALESCE(pc.n_peers, 0) AS BIGINT) AS n_peers_2hop
+    FROM e
+    LEFT JOIN (
+      SELECT s, COUNT(*) AS n_peers FROM peer GROUP BY s
+    ) pc ON e.s = pc.s
+    GROUP BY e.s, pc.n_peers
+    """,
+)
+def q_nhop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability rollup on the supplier-part bipartite graph:
+    per supplier, distinct parts shipped (1 hop) and distinct peer
+    suppliers sharing a part (2 hops). The peer expansion goes through
+    DISTINCT (s, s2) pairs BEFORE the per-supplier count — partial
+    aggregation dedups pairs map-side, so a popular part contributes
+    each peer pair once, not once per co-shipment; the pair universe
+    is bounded by |suppliers|^2 regardless of fact-row count. The
+    k-hop generalization is k-1 further self-joins with the same
+    pair-dedup between rounds."""
+    e = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    peers = (
+        a.join(b, "p")
+        .filter(F.col("a.s") != F.col("b.s"))
+        .select(F.col("a.s").alias("s"), F.col("b.s").alias("s2"))
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("n_peers"))
+    )
+    one_hop = e.groupBy("s").agg(
+        F.count_distinct("p").alias("n_parts_1hop")
+    )
+    return (
+        one_hop.join(peers, "s", "left")
+        .select(
+            F.col("s").alias("supp"),
+            "n_parts_1hop",
+            F.coalesce("n_peers", F.lit(0)).alias("n_peers_2hop"),
+        )
+    )

@@ -194,3 +194,24 @@ def _count_live_exchanges(plan: str) -> int:
         if "Exchange hashpartitioning" in line:
             n += 1
     return n
+
+
+def test_triangle_count_known_graphs(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from oarphpy_spark.llm.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        row = triangle_count(df).collect()[0]
+        return row.n_triangles, row.n_edges
+
+    # K4: 4 triangles, 6 edges
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tri(k4) == (4, 6)
+    # triangle + pendant edge: 1 triangle
+    assert tri([(1, 2), (2, 3), (3, 1), (3, 4)]) == (1, 4)
+    # duplicate / reversed / self-loop edges canonicalize away
+    assert tri([(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)]) == (1, 3)
+    # star has no triangles
+    assert tri([(0, i) for i in range(1, 6)]) == (0, 5)
