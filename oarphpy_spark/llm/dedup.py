@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oarphpy_spark.functions.text import md5_str, norm_tokens, shingles
@@ -299,4 +299,100 @@ def incremental_dedup(
         "fingerprint",
         F.coalesce("in_corpus", F.lit(False)).alias("dup_of_corpus"),
         F.count("*").over(w).alias("batch_copies"),
+    )
+
+
+def set_similarity_join(
+    tok: DataFrame,
+    id_col: str = "id",
+    token_col: str = "token",
+    tau_num: int = 4,
+    tau_den: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al., WWW 2007; Xiao et al.,
+    WWW 2008). Finds every id pair whose token-set Jaccard is
+    >= tau_num/tau_den, with NO false negatives (unlike MinHash LSH,
+    which trades recall for speed).
+
+    Prefix-filter lemma: order every set by one global total token
+    order; two sets with Jaccard >= t must share a token within each
+    other's first ``|x| - ceil(t*|x|) + 1`` tokens. So instead of the
+    all-pairs token join, candidates come from an equi-join of the
+    short PREFIXES only. The global order used is ascending document
+    frequency (ties by token string) — rare tokens first, so prefixes
+    join on the rarest tokens and bucket fanout stays small; any
+    total order is correct, this one is the fast one.
+
+    Scale shape: one df-count agg, one per-doc window to rank tokens
+    (keyed by id — partition-bounded), one prefix equi-join, then the
+    verify join expands only CANDIDATE pairs by their token lists
+    (never the full token-postings self-join the lemma exists to
+    avoid). Integer arithmetic throughout the filters
+    (ceil(t*n) = (tau_num*n + tau_den - 1) // tau_den), so the
+    threshold decisions are exact.
+
+    Returns (id_a, id_b, overlap, jaccard), id_a < id_b.
+    """
+    t = tok.select(
+        F.col(id_col).alias("id"), F.col(token_col).alias("token")
+    ).distinct()
+    sz = t.groupBy("id").agg(F.count("*").alias("n"))
+    dfreq = t.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "token")
+    ranked = (
+        t.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, "id")
+    )
+    ceil_tn = (F.lit(tau_num) * F.col("n") + F.lit(tau_den - 1)) / F.lit(
+        tau_den
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.floor(ceil_tn) + 1
+    ).select("id", "token", "n")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("a.id") < F.col("b.id"))
+        # length filter: tau*na <= nb and tau*nb <= na (integer-exact)
+        .filter(
+            (F.col("b.n") * tau_den >= F.col("a.n") * tau_num)
+            & (F.col("a.n") * tau_den >= F.col("b.n") * tau_num)
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = t.alias("ta")
+    tb = t.alias("tb")
+    overlap = (
+        cand.join(ta, F.col("id_a") == F.col("ta.id"))
+        .join(
+            tb,
+            (F.col("id_b") == F.col("tb.id"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("overlap"))
+    )
+    # Exact rational threshold: o/(na+nb-o) >= num/den iff
+    # o*den >= (na+nb-o)*num — integer compare, no float boundary.
+    union_n = F.col("na") + F.col("nb") - F.col("overlap")
+    jac = F.col("overlap") / union_n.cast("double")
+    return (
+        overlap.filter(
+            F.col("overlap") * tau_den >= union_n * tau_num
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "overlap",
+            F.round(jac, 6).alias("jaccard"),
+        )
     )

@@ -45,6 +45,7 @@ _ROUND_PRIORITY = [
     "q_markov_transitions",
     "q_feature_hashing",
     "q_weighted_sample",
+    "q_set_similarity_join",
     # --- round-6 fixes: the two red r05 rows (output-type parity) ---
     "q_sql_tpch_q9",
     "q_sql_tpch_q12",

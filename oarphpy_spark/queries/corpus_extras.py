@@ -200,3 +200,52 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("microbits_per_token"),
         )
     )
+
+
+@query(
+    "q_set_similarity_join",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, o AS overlap,
+           ROUND(o / CAST(sa.n + sb.n - o AS DOUBLE), 6) AS jaccard
+    FROM ov
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    WHERE o * 5 >= (sa.n + sb.n - o) * 4
+    """,
+)
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 document-pair join via prefix filtering
+    (llm/dedup.py:set_similarity_join — the AllPairs/PPJoin family).
+    Guarantees zero false negatives, unlike MinHash LSH: candidates
+    come from an equi-join of frequency-ordered token PREFIXES
+    (length |x| - ceil(0.8|x|) + 1), then only candidate pairs are
+    verified against their full token sets. The oracle is the
+    brute-force all-pairs token join with the same integer-exact
+    threshold (o*5 >= union*4 — no float-boundary risk) — fine at
+    oracle scale, the quadratic shape the prefix filter exists to
+    avoid. Complements q_dedup_minhash (probabilistic recall) and
+    q_dedup_ngram_jaccard (verification of given candidates) with
+    the exact self-join."""
+    from oarphpy_spark.llm.dedup import set_similarity_join
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return set_similarity_join(
+        tok, id_col="doc_id", token_col="tok", tau_num=4, tau_den=5
+    )

@@ -261,3 +261,35 @@ def test_min_max_by_tiebreak_survives_huge_orderkeys(spark, tmp_path):
     assert got[1]["priciest_order"] == 2
     assert got[2]["cheapest_order"] == 3
     assert got[2]["priciest_order"] == 7_000_000_000
+
+
+def test_set_similarity_join_no_false_negatives(spark):
+    """Prefix filtering must return EXACTLY the brute-force Jaccard
+    pairs on random token sets (the zero-false-negative guarantee that
+    distinguishes it from MinHash LSH)."""
+    import itertools
+    import random
+
+    from oarphpy_spark.llm.dedup import set_similarity_join
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(40)]
+    sets = {
+        d: set(rng.sample(vocab, rng.randint(3, 14))) for d in range(60)
+    }
+    rows = [(d, t) for d, toks in sets.items() for t in toks]
+    tok = spark.createDataFrame(rows, "id long, token string")
+    for tau_num, tau_den in ((4, 5), (1, 2), (7, 10)):
+        got = {
+            (r.id_a, r.id_b): r.overlap
+            for r in set_similarity_join(
+                tok, tau_num=tau_num, tau_den=tau_den
+            ).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            o = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if o * tau_den >= u * tau_num and o > 0:
+                want[(a, b)] = o
+        assert got == want, (tau_num, tau_den)
