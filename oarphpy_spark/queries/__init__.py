@@ -46,6 +46,8 @@ _ROUND_PRIORITY = [
     "q_feature_hashing",
     "q_weighted_sample",
     "q_set_similarity_join",
+    "q_drift_ks",
+    "q_drift_tvd",
     # --- round-6 fixes: the two red r05 rows (output-type parity) ---
     "q_sql_tpch_q9",
     "q_sql_tpch_q12",

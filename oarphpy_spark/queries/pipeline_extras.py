@@ -176,3 +176,138 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_drift_ks",
+    oracle="""
+    WITH v AS (
+      SELECT ROUND(value, 3) AS x,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'view')
+    ), tot AS (
+      SELECT CAST(SUM(is_a) AS BIGINT) AS na,
+             CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS nb
+      FROM v
+    ), g AS (
+      SELECT x, CAST(SUM(is_a) AS BIGINT) AS da,
+             CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS db
+      FROM v GROUP BY x
+    ), c AS (
+      SELECT SUM(da) OVER (ORDER BY x) AS ca,
+             SUM(db) OVER (ORDER BY x) AS cb
+      FROM g
+    )
+    SELECT ROUND(MAX(ABS(ca / CAST(tot.na AS DOUBLE)
+                         - cb / CAST(tot.nb AS DOUBLE))), 6) AS ks_stat,
+           tot.na AS n_a, tot.nb AS n_b
+    FROM c, tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the 'click' and
+    'view' value distributions — the standard train-vs-serving drift
+    detector. The textbook formulation sorts both samples globally;
+    here values are QUANTIZED (3 dp) and rolled up to one row per
+    distinct value first, so the ordered ECDF pass runs over a table
+    bounded by the value range x quantum — independent of row count,
+    the same trick as q_binary_auc. One groupBy + one bounded window;
+    ECDF differences are exact integer counts divided once at the end
+    (correctly-rounded doubles, identical in both engines)."""
+    events = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    v = events.select(
+        F.round("value", 3).alias("x"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    g = v.groupBy("x").agg(
+        F.sum("is_a").alias("da"),
+        (F.count("*") - F.sum("is_a")).alias("db"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("da").over(w).alias("ca"), F.sum("db").over(w).alias("cb")
+    )
+    tot = v.agg(
+        F.sum("is_a").alias("na"),
+        (F.count("*") - F.sum("is_a")).alias("nb"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("na").cast("double")
+                        - F.col("cb") / F.col("nb").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+        )
+    )
+
+
+@query(
+    "q_drift_tvd",
+    oracle="""
+    WITH v AS (
+      SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'view')
+    ), tot AS (
+      SELECT CAST(SUM(is_a) AS BIGINT) AS na,
+             CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS nb
+      FROM v
+    ), g AS (
+      SELECT bin, CAST(SUM(is_a) AS BIGINT) AS da,
+             CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS db
+      FROM v GROUP BY bin
+    )
+    SELECT bin,
+           ROUND(da / CAST(tot.na AS DOUBLE), 6) AS p_a,
+           ROUND(db / CAST(tot.nb AS DOUBLE), 6) AS p_b,
+           ROUND(ABS(da / CAST(tot.na AS DOUBLE)
+                     - db / CAST(tot.nb AS DOUBLE)), 6) AS abs_diff
+    FROM g, tot
+    """,
+)
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned distribution drift between 'click' and 'view' values:
+    per-bin proportions and |p_a - p_b| (summing abs_diff / 2 gives
+    the total-variation distance). Fixed-width bins make this ONE
+    partial-aggregable groupBy — the shape PSI/KL monitors use at
+    scale — and the deliberate metric choice is TVD over PSI: PSI's
+    ln(p/q) is a transcendental whose last-ulp can differ across
+    engines, while TVD is counts and one division — exactly
+    reproducible everywhere (same stance as q_unigram_lm_score's
+    integer micro-bits)."""
+    events = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    v = events.select(
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
+        ).alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    g = v.groupBy("bin").agg(
+        F.sum("is_a").alias("da"),
+        (F.count("*") - F.sum("is_a")).alias("db"),
+    )
+    tot = v.agg(
+        F.sum("is_a").alias("na"),
+        (F.count("*") - F.sum("is_a")).alias("nb"),
+    )
+    pa = F.col("da") / F.col("na").cast("double")
+    pb = F.col("db") / F.col("nb").cast("double")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(F.abs(pa - pb), 6).alias("abs_diff"),
+    )
