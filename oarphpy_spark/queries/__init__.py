@@ -33,6 +33,7 @@ import oarphpy_spark.queries.profiling  # noqa: F401
 import oarphpy_spark.queries.relational  # noqa: F401
 import oarphpy_spark.queries.scalar_fns  # noqa: F401
 import oarphpy_spark.queries.sql_api  # noqa: F401
+import oarphpy_spark.queries.streaming_queries  # noqa: F401
 import oarphpy_spark.queries.tpch  # noqa: F401
 import oarphpy_spark.queries.windows_events  # noqa: F401
 
@@ -48,6 +49,9 @@ _ROUND_PRIORITY = [
     "q_set_similarity_join",
     "q_drift_ks",
     "q_drift_tvd",
+    "q_stream_tumbling",
+    "q_stream_sessionize",
+    "q_stream_enriched",
     # --- round-6 fixes: the two red r05 rows (output-type parity) ---
     "q_sql_tpch_q9",
     "q_sql_tpch_q12",

@@ -1,0 +1,129 @@
+"""Oracle-checked Structured Streaming queries.
+
+A streaming query drained over a STATIC feed with
+``Trigger.AvailableNow`` is deterministic — the stream processes
+exactly the files on disk and emits the same aggregates the batch
+plan would — so streaming operators can sit under the same exact
+DuckDB oracle gate as every batch query, not a weaker rows-only
+check. Each query here builds the streaming plan from
+``oarphpy_spark.streaming.windows``, drains it into an in-memory
+sink, and returns the sink table; the oracle is the batch SQL
+restatement (identical to the batch twins in
+``queries/windows_events.py``, which is the point: stream == batch
+on the same input is Structured Streaming's core contract).
+
+At scale the only differences are operational, not semantic: a real
+deployment replaces the memory sink with an idempotent/transactional
+sink (see streaming/sinks.py, streaming/upsert.py), keeps the
+watermark for state eviction, and lets the same code run continuous
+micro-batches instead of one availableNow drain.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.streaming.windows import (
+    enriched_counts_stream,
+    run_to_memory_sink,
+    sessionized_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
+
+
+def _events_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts (watermarked, availableNow
+    drain) checked against the BATCH oracle — the stream==batch
+    equivalence that certifies the streaming plan's semantics
+    (streaming/windows.py:tumbling_counts_stream). State per window
+    is dropped when the watermark passes its end; on a static drain
+    nothing is late, so the emitted aggregate equals the batch
+    groupBy(window(...)) exactly."""
+    return run_to_memory_sink(
+        tumbling_counts_stream(_events_feed(spark, sf_dir)),
+        "q_stream_tumbling_sink",
+    )
+
+
+@query(
+    "q_stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute gap, per user) drained
+    availableNow and checked against the classic gaps-and-islands SQL
+    — the batch oracle of q_events_session certifying the STREAMING
+    session_window operator, whose state-merge path (sessions extend
+    and merge as events arrive) is the part batch execution never
+    exercises."""
+    return run_to_memory_sink(
+        sessionized_stream(_events_feed(spark, sf_dir), gap="30 minutes"),
+        "q_stream_sessionize_sink",
+    )
+
+
+@query(
+    "q_stream_enriched",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: each micro-batch broadcast-joins the
+    static customer dimension (re-read per batch — a refreshed dim
+    parquet is picked up automatically), then rolls up per segment.
+    The canonical 100 TB/day-feed shape: the stream never shuffles
+    for the join; only the segment rollup exchanges
+    (streaming/windows.py:enriched_counts_stream)."""
+    from oarphpy_spark.tables import table
+
+    dim = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return run_to_memory_sink(
+        enriched_counts_stream(_events_feed(spark, sf_dir), dim),
+        "q_stream_enriched_sink",
+    )
