@@ -207,9 +207,18 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT DISTINCT doc_id, tok FROM (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        SELECT doc_id,
+               unnest(CASE WHEN len(string_split(lower(text), ' ')) - 2 >= 1
+                      THEN list_transform(
+                             generate_series(1,
+                               len(string_split(lower(text), ' ')) - 2),
+                             i -> array_to_string(
+                               string_split(lower(text), ' ')[i:i+2], ' '))
+                      ELSE [array_to_string(
+                              string_split(lower(text), ' '), ' ')]
+                      END) AS tok
         FROM documents
-      ) WHERE tok <> ''
+      )
     ), sz AS (
       SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
     ), ov AS (
@@ -223,29 +232,34 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ov
     JOIN sz sa ON id_a = sa.doc_id
     JOIN sz sb ON id_b = sb.doc_id
-    WHERE o * 5 >= (sa.n + sb.n - o) * 4
+    WHERE o * 2 >= (sa.n + sb.n - o) * 1
     """,
 )
 def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard >= 0.8 document-pair join via prefix filtering
-    (llm/dedup.py:set_similarity_join — the AllPairs/PPJoin family).
-    Guarantees zero false negatives, unlike MinHash LSH: candidates
-    come from an equi-join of frequency-ordered token PREFIXES
-    (length |x| - ceil(0.8|x|) + 1), then only candidate pairs are
-    verified against their full token sets. The oracle is the
-    brute-force all-pairs token join with the same integer-exact
-    threshold (o*5 >= union*4 — no float-boundary risk) — fine at
-    oracle scale, the quadratic shape the prefix filter exists to
-    avoid. Complements q_dedup_minhash (probabilistic recall) and
-    q_dedup_ngram_jaccard (verification of given candidates) with
-    the exact self-join."""
+    """EXACT Jaccard >= 0.5 near-dup pairs over 3-word SHINGLE sets
+    via prefix filtering (llm/dedup.py:set_similarity_join — the
+    AllPairs/PPJoin family). Zero false negatives, unlike MinHash LSH:
+    candidates come from an equi-join of frequency-ordered shingle
+    PREFIXES (length |x| - ceil(t|x|) + 1), and only candidates are
+    verified against full shingle sets. Shingles, not unigram tokens,
+    are the right set universe: the fixture's (and any corpus's
+    post-normalization) token vocabulary is small enough that most
+    docs share most TOKENS — unigram Jaccard saturates and the prefix
+    filter degenerates (measured: 30k token-level pairs at tau=0.8 vs
+    25 shingle-level near-dups at tau=0.5 on the sf0.01 fixture) —
+    while the shingle universe grows with vocab^n, so real near-dups
+    separate cleanly and prefixes are selective. The oracle is the
+    brute-force all-pairs shingle join with the same integer-exact
+    threshold (o*2 >= union) — the quadratic shape the prefix filter
+    exists to avoid. Complements q_dedup_minhash (probabilistic
+    recall over the same shingles) with the exact join."""
     from oarphpy_spark.llm.dedup import set_similarity_join
 
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), " ", -1)).alias("tok"),
-    ).filter(F.col("tok") != "")
+        F.explode(shingles(norm_tokens(F.col("text")), 3)).alias("tok"),
+    )
     return set_similarity_join(
-        tok, id_col="doc_id", token_col="tok", tau_num=4, tau_den=5
+        tok, id_col="doc_id", token_col="tok", tau_num=1, tau_den=2
     )
