@@ -52,6 +52,7 @@ _ROUND_PRIORITY = [
     "q_stream_tumbling",
     "q_stream_sessionize",
     "q_stream_enriched",
+    "q_stream_upsert",
     # --- round-6 fixes: the two red r05 rows (output-type parity) ---
     "q_sql_tpch_q9",
     "q_sql_tpch_q12",

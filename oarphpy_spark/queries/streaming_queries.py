@@ -127,3 +127,68 @@ def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched_counts_stream(_events_feed(spark, sf_dir), dim),
         "q_stream_enriched_sink",
     )
+
+
+@query(
+    "q_stream_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey AS k,
+           o_orderkey AS last_order,
+           ROUND(o_totalprice, 2) AS last_total
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming MERGE under the exact oracle: the orders
+    table becomes a CDC feed (key = custkey, seq = orderkey, every
+    97th order a delete), drained through run_upsert_stream — durable
+    checkpoint, foreachBatch apply_cdc (max_by latest-wins compact +
+    ONE full-outer join), copy-on-write generation swap, retention
+    prune — and the committed snapshot is returned. The oracle is the
+    latest-wins window restatement: one row per customer whose most
+    recent change is not a delete. The snapshot is eagerly
+    checkpointed so the scratch directory (stream feed + generations
+    + checkpoint) can be removed before returning — nothing leaks."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from oarphpy_spark.streaming.upsert import (
+        read_snapshot,
+        run_upsert_stream,
+    )
+    from oarphpy_spark.tables import table
+    from oarphpy_spark.util.fs import scratch_dir
+
+    work = os.path.join(
+        scratch_dir(), f"oarphpy_spark_stream_upsert_{os.getpid()}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    feed = os.path.join(work, "feed")
+    root = os.path.join(work, "snap")
+    changes = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 97 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderkey").alias("last_order"),
+        F.round("o_totalprice", 2).alias("last_total"),
+    )
+    changes.write.parquet(feed)
+    stream = spark.readStream.schema(
+        "k bigint, seq bigint, op string, last_order bigint, "
+        "last_total double"
+    ).parquet(feed)
+    q = run_upsert_stream(stream, root, "k", f"q_stream_upsert_{os.getpid()}")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_stream_upsert drain did not finish")
+    snap = read_snapshot(spark, root).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return snap
