@@ -43,6 +43,7 @@ _ROUND_PRIORITY = [
     # --- round 6: new queries, never seen by any driver window ---
     "q_triangle_count",
     "q_nhop_reach",
+    "q_triangle_count_sampled",
     "q_markov_transitions",
     "q_feature_hashing",
     "q_weighted_sample",

@@ -127,3 +127,66 @@ def q_nhop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_peers", F.lit(0)).alias("n_peers_2hop"),
         )
     )
+
+
+@query(
+    "q_triangle_count_sampled",
+    oracle=f"""
+    WITH pr AS ({_COPURCHASE_EDGES_SQL}),
+    sam AS (
+      SELECT s, d FROM pr
+      WHERE CAST(('0x' || substring(
+              md5('tri|' || CAST(s AS VARCHAR) || '|' || CAST(d AS VARCHAR)),
+              1, 4)) AS INTEGER) % 10 < 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_triangles,
+           ROUND(COUNT(*) * 1000.0 / 27.0, 2) AS est_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sam) AS n_sampled_edges
+    FROM sam e1
+    JOIN sam e2 ON e1.d = e2.s
+    JOIN sam e3 ON e3.s = e1.s AND e3.d = e2.d
+    """,
+)
+def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sparsified triangle count (Tsourakakis et al., KDD
+    2009) — the scale path when the exact count's wedge volume is too
+    heavy: keep each edge with probability p (here 3/10), count
+    triangles on the sparsified graph, scale by 1/p^3. Work drops by
+    ~p^1.5 on the edges and ~p^3 on the wedges; the estimator is
+    unbiased with relative error shrinking as counts grow. The coin
+    flip is a salted md5 of the canonical edge key — deterministic, so
+    BOTH engines sparsify identically and the estimate itself sits
+    under the exact oracle gate (the same self-certifying stance as
+    q_approx_count_distinct). Exact companion: q_triangle_count."""
+    from oarphpy_spark.functions.text import md5_str
+    from oarphpy_spark.llm.graph import triangle_count
+
+    und = _copurchase_edges(spark, sf_dir)
+    coin = (
+        F.conv(
+            F.substring(
+                md5_str(
+                    F.concat(
+                        F.lit("tri|"),
+                        F.col("s").cast("string"),
+                        F.lit("|"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    sam = und.filter(coin < 3)
+    tri = triangle_count(sam, "s", "d")
+    return tri.select(
+        F.col("n_triangles").alias("n_sampled_triangles"),
+        F.round(F.col("n_triangles") * F.lit(1000.0) / F.lit(27.0), 2).alias(
+            "est_triangles"
+        ),
+        F.col("n_edges").alias("n_sampled_edges"),
+    )
