@@ -263,3 +263,124 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(
         tok, id_col="doc_id", token_col="tok", tau_num=1, tau_den=2
     )
+
+
+# Bigram vocabulary cap — same bounded-broadcast stance as
+# _VOCAB_TOP_V: top-B bigrams by count form the model; everything
+# else backs off to the interpolated unigram term.
+_BIGRAM_TOP_B = 200
+# Interpolation weight on the bigram term (Jelinek-Mercer smoothing),
+# expressed as an exact decimal so both engines parse the same double.
+_LAMBDA_NUM = 7
+_LAMBDA_DEN = 10
+
+
+@query(
+    "q_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS token FROM toks
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM uni GROUP BY token
+    ), total AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM counts
+    ), bi AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) - 1 >= 1
+                    THEN list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+1], ' '))
+                    ELSE [] END) AS g
+      FROM toks
+    ), bcounts AS (
+      SELECT g, COUNT(*) AS bcnt FROM bi GROUP BY g
+    ), bvocab AS (
+      SELECT g, bcnt FROM bcounts ORDER BY bcnt DESC, g
+      LIMIT {_BIGRAM_TOP_B}
+    )
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(-CAST(SUM(CAST(ROUND(log2(
+               {_LAMBDA_NUM / _LAMBDA_DEN} * COALESCE(
+                   bv.bcnt / CAST(c1.cnt AS DOUBLE), 0.0)
+               + {1 - _LAMBDA_NUM / _LAMBDA_DEN} * COALESCE(
+                   c2.cnt, 1) / total.n
+             ) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS microbits_per_bigram
+    FROM bi
+    LEFT JOIN bvocab bv ON bi.g = bv.g
+    LEFT JOIN counts c1 ON string_split(bi.g, ' ')[1] = c1.token
+    LEFT JOIN counts c2 ON string_split(bi.g, ' ')[2] = c2.token
+    CROSS JOIN total
+    GROUP BY bi.doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score with Jelinek-Mercer interpolation —
+    one step from q_unigram_lm_score toward the KenLM n-gram filter
+    real pipelines run: per bigram position,
+    p = 0.7 * cnt(w1 w2)/cnt(w1) + 0.3 * p_unigram(w2), bigrams
+    outside the top-B model back off to the unigram term alone, OOV
+    unigrams pay the 1/N floor; the doc score is mean integer
+    micro-bits per bigram (same exact-long-summation stance as the
+    unigram query — the only float op per position is one log2 of an
+    exactly-agreed rational, quantized before summing). Scale shape:
+    the MODEL is two bounded broadcasts (top-B bigrams via
+    TakeOrderedAndProject, the unigram count table) joined against
+    the position scan — corpus size never changes the broadcast
+    width, only B and V do."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", norm_tokens(F.col("text")).alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("token"))
+    counts = uni.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("__n"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") - 1 >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    )
+    bcounts = bi.groupBy("g").agg(F.count("*").alias("bcnt"))
+    bvocab = bcounts.orderBy(F.col("bcnt").desc(), "g").limit(_BIGRAM_TOP_B)
+    c1 = counts.select(
+        F.col("token").alias("__w1"), F.col("cnt").alias("__c1")
+    )
+    c2 = counts.select(
+        F.col("token").alias("__w2"), F.col("cnt").alias("__c2")
+    )
+    lam = _LAMBDA_NUM / _LAMBDA_DEN
+    p = F.lit(lam) * F.coalesce(
+        F.col("bcnt") / F.col("__c1").cast("double"), F.lit(0.0)
+    ) + F.lit(1 - lam) * F.coalesce(F.col("__c2"), F.lit(1)) / F.col("__n")
+    logp_u = F.round(F.log2(p) * 1_000_000).cast("long")
+    return (
+        bi.join(F.broadcast(bvocab), "g", "left")
+        .join(
+            F.broadcast(c1),
+            F.split(F.col("g"), " ", -1).getItem(0) == F.col("__w1"),
+            "left",
+        )
+        .join(
+            F.broadcast(c2),
+            F.split(F.col("g"), " ", -1).getItem(1) == F.col("__w2"),
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(-F.sum(logp_u).cast("double") / F.count("*"))
+            .cast("long")
+            .alias("microbits_per_bigram"),
+        )
+    )
