@@ -192,3 +192,41 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = read_snapshot(spark, root).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return snap
+
+
+@query(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the exact oracle:
+    ``applyInPandasWithState`` keeps a running (count, sum) pair per
+    user in the state store (streaming/stateful.py) — the API for
+    semantics built-in windowed aggs can't express. Drained
+    availableNow over the static feed, each user's final emission
+    equals the batch groupBy, so the Python-side state machinery
+    (Arrow batches per key per trigger, state get/update) is
+    value-hash-checked, not just pytest-asserted. total_value is
+    rounded to 4 dp on both sides — the repo-wide float-aggregate
+    convention — because the state update's pandas (pairwise) sum and
+    DuckDB's sequential sum can differ in the last ulp."""
+    from pyspark.sql import functions as F
+
+    from oarphpy_spark.streaming.stateful import running_user_totals
+
+    sink = run_to_memory_sink(
+        running_user_totals(_events_feed(spark, sf_dir)),
+        "q_stream_stateful_sink",
+        output_mode="update",
+    )
+    return sink.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
