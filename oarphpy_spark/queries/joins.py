@@ -368,3 +368,52 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 2)
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           CASE WHEN p.ts - c.ts <= INTERVAL 10 MINUTE
+                THEN epoch_us(c.ts) END AS last_click_ts_us,
+           CAST(CASE WHEN p.ts - c.ts <= INTERVAL 10 MINUTE
+                THEN 1 ELSE 0 END AS BIGINT) AS within_tolerance
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance window (pandas ``merge_asof``
+    tolerance semantics): the nearest-earlier click counts only if it
+    happened within 10 minutes of the purchase — the attribution-
+    window variant every clickstream pipeline actually runs. Same
+    single-shuffle union+window plan as q_join_asof (no inequality
+    join, no per-user explosion); the tolerance is a post-join CASE,
+    free at any scale. Oracle: DuckDB's native ASOF LEFT JOIN with
+    the same gap guard."""
+    from oarphpy_spark.operators.joins import asof_join
+
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(purchases, clicks, on="user_id")
+    in_tol = F.col("ts_asof").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("ts_asof")
+        <= F.lit(10 * 60 * 1_000_000)
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(in_tol, F.unix_micros("ts_asof")).alias("last_click_ts_us"),
+        F.when(in_tol, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "within_tolerance"
+        ),
+    )

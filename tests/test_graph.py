@@ -215,3 +215,11 @@ def test_triangle_count_known_graphs(spark):
     assert tri([(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)]) == (1, 3)
     # star has no triangles
     assert tri([(0, i) for i in range(1, 6)]) == (0, 5)
+
+
+def test_triangle_count_empty_graph(spark):
+    from oarphpy_spark.llm.graph import triangle_count
+
+    df = spark.createDataFrame([], "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_triangles, row.n_edges) == (0, 0)

@@ -293,3 +293,19 @@ def test_set_similarity_join_no_false_negatives(spark):
             if o * tau_den >= u * tau_num and o > 0:
                 want[(a, b)] = o
         assert got == want, (tau_num, tau_den)
+
+
+def test_set_similarity_join_degenerate_inputs(spark):
+    from oarphpy_spark.llm.dedup import set_similarity_join
+
+    # empty input -> empty output (no analysis errors)
+    empty = spark.createDataFrame([], "id long, token string")
+    assert set_similarity_join(empty).count() == 0
+    # identical single-token docs -> jaccard 1.0 pair
+    tok = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, token string"
+    )
+    rows = set_similarity_join(tok, tau_num=1, tau_den=1).collect()
+    assert [(r.id_a, r.id_b, r.overlap, r.jaccard) for r in rows] == [
+        (1, 2, 1, 1.0)
+    ]
