@@ -57,6 +57,8 @@ _ROUND_PRIORITY = [
     "q_bigram_lm_score",
     "q_stream_stateful_totals",
     "q_join_asof_tolerance",
+    "q_stream_sliding",
+    "q_stream_dropdup",
     # --- round-6 fixes: the two red r05 rows (output-type parity) ---
     "q_sql_tpch_q9",
     "q_sql_tpch_q12",

@@ -230,3 +230,75 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 4).alias("total_value"),
     )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT (epoch_us(ts) // 900000000 - k.k) * 900000000 AS window_start_us,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1 hour long, 15-minute slide — each
+    event in exactly 4 windows) drained availableNow against the
+    batch enumeration oracle; completes the stream==batch window trio
+    (tumbling / sliding / session) under the exact gate. Sliding
+    state is 4x tumbling's but still watermark-bounded
+    (streaming/windows.py:sliding_counts_stream)."""
+    from oarphpy_spark.streaming.windows import sliding_counts_stream
+
+    return run_to_memory_sink(
+        sliding_counts_stream(_events_feed(spark, sf_dir)),
+        "q_stream_sliding_sink",
+    )
+
+
+@query(
+    "q_stream_dropdup",
+    oracle="""
+    SELECT DISTINCT
+      md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+        AS fingerprint
+    FROM documents
+    """,
+)
+def q_stream_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time streaming dedup with the built-in
+    ``dropDuplicates``: one row per normalized-content fingerprint
+    ever seen on the stream. Only the KEY is projected — which row of
+    a duplicate group arrives first is scheduling-dependent, the key
+    set is not — so the availableNow drain is exactly the batch
+    DISTINCT and sits under the hash gate. The custom
+    transformWithState variant (streaming/dedup.py) adds TTL-bounded
+    state and deterministic winner selection; built-in dropDuplicates
+    keeps state forever — fine for a bounded backfill, the TTL form
+    is the unbounded-ingest shape."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from oarphpy_spark.streaming.windows import stream_events  # noqa: F401
+
+    feed_path = _os.path.join(sf_dir, "documents.parquet")
+    d = feed_path
+    if _os.path.isfile(d):
+        import tempfile
+
+        wrap = tempfile.mkdtemp(prefix="oarphpy_spark_docfeed_")
+        _os.symlink(d, _os.path.join(wrap, _os.path.basename(d)))
+        d = wrap
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ).parquet(d)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    keyed = stream.select(F.md5(norm.cast("binary")).alias("fingerprint"))
+    deduped = keyed.dropDuplicates(["fingerprint"])
+    return run_to_memory_sink(
+        deduped, "q_stream_dropdup_sink", output_mode="append"
+    )
