@@ -59,6 +59,8 @@ _ROUND_PRIORITY = [
     "q_join_asof_tolerance",
     "q_stream_sliding",
     "q_stream_dropdup",
+    "q_pareto_skyline",
+    "q_ts_gapfill",
     # --- round-6 fixes: the two red r05 rows (output-type parity) ---
     "q_sql_tpch_q9",
     "q_sql_tpch_q12",

@@ -311,3 +311,162 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("p_b"),
         F.round(F.abs(pa - pb), 6).alias("abs_diff"),
     )
+
+
+@query(
+    "q_pareto_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT p_size AS s,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT p.s AS p_size, p.c AS price_cents, p.n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.c <= p.c AND q.s >= p.s AND (q.c < p.c OR q.s > p.s)
+    )
+    """,
+)
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Borzsony, Kossmann &
+    Stocker's SKYLINE OF, ICDE 2001): the parts no other part
+    dominates on (bigger size, lower price). Classic two-phase
+    distributed shape: (1) LOCAL skylines per price-bucket — a
+    partitioned running-max window, fully parallel, correct because a
+    point dominated within its bucket is dominated globally; (2) the
+    GLOBAL pass runs the same window over only the local survivors,
+    which is the small set by construction (frontiers shrink data;
+    the single-task global window sees survivors, never the corpus).
+    Domination reduces to ONE running max because points are distinct
+    and ordered (price asc, size desc): any preceding point with
+    running-max size >= this size dominates it. The oracle is the
+    textbook NOT EXISTS anti-join — quadratic, oracle-scale only."""
+    parts = table(spark, sf_dir, "part")
+    pts = (
+        parts.select(
+            F.col("p_size").alias("s"),
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("s", "c")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    bucket = F.floor(F.col("c") / F.lit(5000))
+
+    def survivors(df: DataFrame, *partition) -> DataFrame:
+        w = (
+            Window.partitionBy(*partition)
+            .orderBy(F.col("c").asc(), F.col("s").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        runmax = F.max("s").over(w)
+        return df.withColumn("__m", runmax).filter(
+            F.col("__m").isNull() | (F.col("__m") < F.col("s"))
+        ).drop("__m")
+
+    local = survivors(pts.withColumn("__b", bucket), "__b").drop("__b")
+    frontier = survivors(local)
+    return frontier.select(
+        F.col("s").alias("p_size"),
+        F.col("c").alias("price_cents"),
+        "n_parts",
+    )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS t0,
+             date_trunc('hour', MAX(ts)) AS t1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gh
+      FROM bounds
+    ), obs AS (
+      SELECT user_id, gh, ROUND(value, 4) AS v FROM (
+        SELECT user_id, date_trunc('hour', ts) AS gh, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), joined AS (
+      SELECT g.user_id, g.gh, o.v,
+             CASE WHEN o.v IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.gh = o.gh
+    ), grp AS (
+      SELECT *, SUM(observed) OVER (PARTITION BY user_id ORDER BY gh)
+               AS g
+      FROM joined
+    )
+    SELECT user_id, epoch_us(gh) AS hour_us,
+           MAX(v) OVER (PARTITION BY user_id, g) AS value_filled,
+           CAST(observed AS BIGINT) AS is_observed
+    FROM grp
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with LOCF (last observation carried
+    forward — TimescaleDB's locf(), Flink's fill): per user, a dense
+    hourly grid from first to last event, missing hours carrying the
+    latest earlier hour's value. The fill avoids engine-specific
+    IGNORE NULLS by the portable group-counter trick: a running count
+    of observations partitions each user's timeline into
+    [observation, gap...] islands, and one MAX per island broadcasts
+    the observed value forward — two windows, both partitioned by
+    user (parallel, no global sort). The per-hour observation is
+    max_by(value, (ts, event_id)) — deterministic under ts ties. The
+    grid explode is sequence() per user, bounded by span-hours — at
+    100 TB, partition pruning on the time axis bounds each task's
+    grid the same way."""
+    events = table(spark, sf_dir, "events")
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("gh"),
+    )
+    obs = (
+        events.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("gh")
+        )
+        .agg(
+            F.round(
+                F.max_by(
+                    "value",
+                    F.struct(F.col("ts"), F.col("event_id")),
+                ),
+                4,
+            ).alias("v")
+        )
+    )
+    joined = grid.join(obs, ["user_id", "gh"], "left").select(
+        "user_id",
+        "gh",
+        "v",
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    wg = (
+        Window.partitionBy("user_id")
+        .orderBy("gh")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = joined.withColumn("g", F.sum("observed").over(wg))
+    wf = Window.partitionBy("user_id", "g")
+    return grp.select(
+        "user_id",
+        F.unix_micros("gh").alias("hour_us"),
+        F.max("v").over(wf).alias("value_filled"),
+        F.col("observed").cast("long").alias("is_observed"),
+    )
