@@ -302,3 +302,40 @@ def q_stream_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_sink(
         deduped, "q_stream_dropdup_sink", output_mode="append"
     )
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us,
+           c.event_id AS click_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the exact oracle: purchases
+    and clicks from the same feed joined as two live streams — every
+    purchase matched to same-user clicks in the preceding hour
+    (streaming/joins.py). Both sides carry watermarks and the join
+    condition bounds the event-time gap, so the state store evicts a
+    click once the watermark passes click_ts + lag — state is
+    O(rate x window) forever, the only admissible stream-stream join
+    shape. Drained availableNow (append mode — interval-join rows
+    finalize when the watermark passes) the output equals the batch
+    theta-join the oracle states."""
+    from oarphpy_spark.streaming.joins import (
+        purchase_click_attribution_stream,
+    )
+
+    return run_to_memory_sink(
+        purchase_click_attribution_stream(_events_feed(spark, sf_dir)),
+        "q_stream_interval_join_sink",
+        output_mode="append",
+    )
