@@ -333,17 +333,17 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto-frontier query (Borzsony, Kossmann &
     Stocker's SKYLINE OF, ICDE 2001): the parts no other part
-    dominates on (bigger size, lower price). Classic two-phase
-    distributed shape: (1) LOCAL skylines per price-bucket — a
-    partitioned running-max window, fully parallel, correct because a
-    point dominated within its bucket is dominated globally; (2) the
-    GLOBAL pass runs the same window over only the local survivors,
-    which is the small set by construction (frontiers shrink data;
-    the single-task global window sees survivors, never the corpus).
-    Domination reduces to ONE running max because points are distinct
-    and ordered (price asc, size desc): any preceding point with
-    running-max size >= this size dominates it. The oracle is the
-    textbook NOT EXISTS anti-join — quadratic, oracle-scale only."""
+    dominates on (bigger size, lower price), via the reusable
+    two-phase operator (operators/skyline.py:pareto_frontier):
+    (1) LOCAL frontiers per price-bucket — partitioned running-max
+    windows, fully parallel, correct because a point dominated within
+    its bucket is dominated globally; (2) the GLOBAL pass runs the
+    same window over only the local survivors — the small set by
+    construction. The oracle is the textbook NOT EXISTS anti-join —
+    quadratic, oracle-scale only. Property-tested against brute force
+    on random point sets (tests/test_operators.py)."""
+    from oarphpy_spark.operators.skyline import pareto_frontier
+
     parts = table(spark, sf_dir, "part")
     pts = (
         parts.select(
@@ -355,21 +355,7 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "c")
         .agg(F.count("*").alias("n_parts"))
     )
-    bucket = F.floor(F.col("c") / F.lit(5000))
-
-    def survivors(df: DataFrame, *partition) -> DataFrame:
-        w = (
-            Window.partitionBy(*partition)
-            .orderBy(F.col("c").asc(), F.col("s").desc())
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        runmax = F.max("s").over(w)
-        return df.withColumn("__m", runmax).filter(
-            F.col("__m").isNull() | (F.col("__m") < F.col("s"))
-        ).drop("__m")
-
-    local = survivors(pts.withColumn("__b", bucket), "__b").drop("__b")
-    frontier = survivors(local)
+    frontier = pareto_frontier(pts, x="c", y="s", bucket_width=5000)
     return frontier.select(
         F.col("s").alias("p_size"),
         F.col("c").alias("price_cents"),

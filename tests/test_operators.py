@@ -309,3 +309,81 @@ def test_set_similarity_join_degenerate_inputs(spark):
     assert [(r.id_a, r.id_b, r.overlap, r.jaccard) for r in rows] == [
         (1, 2, 1, 1.0)
     ]
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    """Two-phase skyline == brute-force domination filter on random
+    distinct point sets, with and without bucketing, including ties
+    on each axis."""
+    import random
+
+    from oarphpy_spark.operators.skyline import pareto_frontier
+
+    rng = random.Random(99)
+    for trial in range(4):
+        pts = {(rng.randrange(50), rng.randrange(50)) for _ in range(120)}
+        df = spark.createDataFrame(sorted(pts), "x long, y long")
+        for width in (None, 7):
+            got = {
+                (r.x, r.y)
+                for r in pareto_frontier(df, "x", "y", width).collect()
+            }
+            want = {
+                (x, y)
+                for (x, y) in pts
+                if not any(
+                    qx <= x and qy >= y and (qx < x or qy > y)
+                    for (qx, qy) in pts
+                )
+            }
+            assert got == want, (trial, width)
+
+
+def test_ts_gapfill_matches_python_locf(spark):
+    """q_ts_gapfill's island-fill == a straightforward python LOCF
+    over the same per-user hourly grid (sf0.001 fixture)."""
+    from collections import defaultdict
+
+    from oarphpy_spark import registry
+
+    from .conftest import SF_SMALL
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    rows = registry.queries()["q_ts_gapfill"](spark, SF_SMALL).collect()
+
+    # python reference
+    from oarphpy_spark.tables import table as _table
+
+    ev = (
+        _table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append(r)
+    HOUR = 3_600_000_000
+    want = {}
+    for u, rs in per_user.items():
+        by_hour = {}
+        for r in rs:
+            us = int(r.ts.timestamp() * 1_000_000)
+            h = us // HOUR * HOUR
+            cur = by_hour.get(h)
+            if cur is None or (us, r.event_id) > cur[0]:
+                by_hour[h] = ((us, r.event_id), round(r.value, 4))
+        h0, h1 = min(by_hour), max(by_hour)
+        last = None
+        h = h0
+        while h <= h1:
+            if h in by_hour:
+                last = by_hour[h][1]
+                want[(u, h)] = (last, 1)
+            else:
+                want[(u, h)] = (last, 0)
+            h += HOUR
+    got = {
+        (r.user_id, r.hour_us): (r.value_filled, r.is_observed)
+        for r in rows
+    }
+    assert got == want
