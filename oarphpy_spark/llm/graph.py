@@ -278,3 +278,68 @@ def triangle_count(
     return closed.agg(
         F.count("*").alias("n_triangles")
     ).crossJoin(und.agg(F.count("*").alias("n_edges")))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 12,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Batagelj-Zaversnik
+    made distributed): repeatedly drop nodes of degree < k and the
+    edges touching them until a fixpoint — the maximal subgraph where
+    every node keeps >= k neighbors (dense-community extraction,
+    spam/bot-ring mining, graph sparsification preprocessing).
+
+    Each round is one degree aggregation + two semi-joins keyed on
+    node id — hash-partitioned, no adjacency lists, and the edge set
+    only SHRINKS, so rounds get cheaper as peeling cascades.
+    Per-round driver work is a 1-row edge count (the convergence
+    check); ``localCheckpoint`` truncates lineage as in the other
+    iterative operators. Raises if ``max_iter`` rounds don't reach
+    the fixpoint — callers (and the unrolled SQL oracle, whose round
+    count must be >= the real one; extra unrolled rounds are no-ops
+    at the fixpoint because peeling is monotone) rely on convergence
+    being VERIFIED, not assumed.
+
+    Returns (node, core_deg): surviving nodes with their in-core
+    degree (>= k by construction); empty when no k-core exists.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = e.count()
+    for _ in range(max_iter):
+        sym = e.select(F.col("lo").alias("v")).unionByName(
+            e.select(F.col("hi").alias("v"))
+        )
+        keep = (
+            sym.groupBy("v")
+            .agg(F.count("*").alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("v")
+        )
+        e_next = (
+            e.join(keep.withColumnRenamed("v", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("v", "hi"), "hi", "left_semi")
+            .localCheckpoint()
+        )
+        n = e_next.count()
+        e = e_next
+        if n == n_prev:
+            break
+        n_prev = n
+    else:
+        raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
+    sym = e.select(F.col("lo").alias("node")).unionByName(
+        e.select(F.col("hi").alias("node"))
+    )
+    return sym.groupBy("node").agg(F.count("*").alias("core_deg"))

@@ -190,3 +190,55 @@ def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_edges").alias("n_sampled_edges"),
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel: each CTE round re-derives degrees and keeps
+    edges whose BOTH endpoints have degree >= k. Peeling is monotone
+    and idempotent at the fixpoint, so unrolling MORE rounds than the
+    data needs is a no-op — the round count here just has to be an
+    upper bound (the engine-side operator verifies convergence and
+    raises past its bound, so a too-small unroll shows up as a loud
+    parity failure, never a silent wrong answer)."""
+    step = """
+    e{i} AS MATERIALIZED (
+      SELECT e.lo, e.hi FROM e{p} e
+      JOIN (SELECT v FROM (SELECT lo AS v FROM e{p}
+                           UNION ALL SELECT hi FROM e{p})
+            GROUP BY v HAVING COUNT(*) >= {k}) ka ON e.lo = ka.v
+      JOIN (SELECT v FROM (SELECT lo AS v FROM e{p}
+                           UNION ALL SELECT hi FROM e{p})
+            GROUP BY v HAVING COUNT(*) >= {k}) kb ON e.hi = kb.v
+    )"""
+    steps = ",".join(
+        step.format(i=i, p=i - 1, k=k) for i in range(1, rounds + 1)
+    )
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    {steps}
+    SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM (SELECT lo AS v FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})
+    GROUP BY v
+    """
+
+
+@query("q_kcore", oracle=_kcore_oracle(k=60, rounds=6))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-core of the co-purchase graph by iterative peeling
+    (llm/graph.py:kcore — distributed Batagelj-Zaversnik): drop
+    nodes with fewer than 60 in-core neighbors until the fixpoint,
+    convergence VERIFIED per round with a 1-row edge count (raises
+    past the bound — a silent partial peel would misreport the
+    core). Each round is a degree agg + two semi-joins keyed on node
+    id over an edge set that only shrinks. The oracle unrolls six
+    peel rounds — more than the measured fixpoint (2 rounds at every
+    fixture SF); monotonicity makes the extra rounds no-ops, and an
+    insufficient unroll would fail parity loudly rather than agree
+    wrongly. Dense-community extraction / bot-ring mining shape."""
+    from oarphpy_spark.llm.graph import kcore
+
+    return kcore(_copurchase_edges(spark, sf_dir), 60, "s", "d")

@@ -223,3 +223,28 @@ def test_triangle_count_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     row = triangle_count(df).collect()[0]
     assert (row.n_triangles, row.n_edges) == (0, 0)
+
+
+def test_kcore_known_graphs(spark):
+    from oarphpy_spark.llm.graph import kcore
+
+    def run(edges, k):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            (r.node, r.core_deg) for r in kcore(df, k).collect()
+        }
+
+    # K4 plus a pendant chain: 3-core = the K4, pendant peels away
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = run(k4 + [(3, 4), (4, 5)], 3)
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+    # cascading peel: a path has no 2-core
+    assert run([(i, i + 1) for i in range(5)], 2) == set()
+    # cycle IS its own 2-core
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    assert run(cyc, 2) == {(i, 2) for i in range(5)}
+    # empty input
+    empty = spark.createDataFrame([], "src long, dst long")
+    from oarphpy_spark.llm.graph import kcore as _kc
+
+    assert _kc(empty, 2).count() == 0
