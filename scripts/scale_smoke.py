@@ -48,6 +48,9 @@ OFF = 10**9  # per-replica key offset; far above any sf0.1 key
 EXTRA_SCALE = [f"q_sql_tpch_q{i}" for i in range(1, 23)] + [
     "q_pagerank",      # 5-iteration join+aggregate
     "q_dedup_clusters",  # alternating-star transitive closure
+    "q_triangle_count",  # degree-oriented wedge join (round 6)
+    "q_kcore",           # iterative peel to fixpoint (round 6)
+    "q_set_similarity_join",  # prefix-filtered exact Jaccard (round 6)
 ]
 
 DIM_TABLES = ("region", "nation", "supplier", "part")
