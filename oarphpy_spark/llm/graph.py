@@ -127,6 +127,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    seed_indicator=None,
 ) -> DataFrame:
     """Fixed-iteration PageRank as repeated join+aggregate — the
     Pregel message-passing shape expressed declaratively.
@@ -153,6 +154,14 @@ def pagerank(
     deterministically before returning. Nodes with no inbound edges
     settle at 1-d; nodes absent from ``edges`` do not appear.
 
+    ``seed_indicator`` turns this into PERSONALIZED PageRank
+    (random walk with restart): a callable mapping the node column to
+    a 0/1 Column; restart mass (1-d) flows only to seed nodes and the
+    initial rank is the seed indicator — non-seed nodes score by
+    proximity to the seed set (the similarity/recommendation walk of
+    Jeh & Widom 2003). Plan shape is unchanged: the seed indicator is
+    a column EXPRESSION on the persisted nodes table, not a join.
+
     Output: (node, rank) — rank unrounded; round at the call site.
     """
     out_edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -172,11 +181,18 @@ def pagerank(
         .repartition("src")
         .persist()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    if seed_indicator is None:
+        base = F.lit(1.0 - damping)
+        r0 = F.lit(1.0)
+    else:
+        seed = seed_indicator(F.col("node")).cast("double")
+        base = F.lit(1.0 - damping) * seed
+        r0 = seed
+    ranks = nodes.withColumn("rank", r0)
     for _ in range(iterations):
-        ranks = _pagerank_step(nodes, edges_w, ranks, damping).localCheckpoint(
-            eager=False
-        )
+        ranks = _pagerank_step(
+            nodes, edges_w, ranks, damping, base
+        ).localCheckpoint(eager=False)
     ranks = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
     edges_w.unpersist()
@@ -184,7 +200,11 @@ def pagerank(
 
 
 def _pagerank_step(
-    nodes: DataFrame, edges_w: DataFrame, ranks: DataFrame, damping: float
+    nodes: DataFrame,
+    edges_w: DataFrame,
+    ranks: DataFrame,
+    damping: float,
+    base=None,
 ) -> DataFrame:
     """One PageRank round. With ``edges_w`` persisted partitioned on
     src and ``nodes`` persisted partitioned on node, the plan carries
@@ -202,11 +222,12 @@ def _pagerank_step(
         .groupBy("node")
         .agg(F.sum("contrib").alias("inflow"))
     )
+    if base is None:
+        base = F.lit(1.0 - damping)
     return nodes.join(contribs, "node", "left").select(
         "node",
         (
-            F.lit(1.0 - damping)
-            + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+            base + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
         ).alias("rank"),
     )
 

@@ -1715,3 +1715,68 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = pagerank(edges, iterations=5, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_oracle(iterations: int = 5) -> str:
+    """Unrolled personalized-PageRank recurrence: restart mass flows
+    only to seed nodes (node % 20 = 0); r0 = seed indicator."""
+    step = """
+    r{i} AS (
+      SELECT n.node,
+             0.15 * (CASE WHEN n.node % 20 = 0 THEN 1.0 ELSE 0.0 END)
+               + 0.85 * COALESCE(s.inflow, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / od.outdeg) AS inflow
+        FROM e JOIN r{prev} r ON e.src = r.node JOIN od ON e.src = od.src
+        GROUP BY e.dst
+      ) s ON n.node = s.node
+    )"""
+    steps = ",".join(
+        step.format(i=i, prev=i - 1) for i in range(1, iterations + 1)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT l_partkey + 10000000 AS src, l_suppkey AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node,
+                  CAST(CASE WHEN node % 20 = 0 THEN 1.0 ELSE 0.0 END
+                       AS DOUBLE) AS rank
+           FROM nodes),
+    {steps}
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}
+    """
+
+
+@query("q_ppr", oracle=_ppr_oracle())
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random walk with restart (Jeh & Widom
+    2003) over the supplier<->part graph, seeded on node % 20 == 0:
+    restart mass flows only to the seed set, so non-seed nodes score
+    by graph proximity to the seeds — the recommendation /
+    similar-item walk. Same pre-partitioned loop as q_pagerank (the
+    seed indicator is a column expression on the persisted nodes
+    table, not a join; per-iteration exchanges unchanged); oracle
+    unrolls the identical recurrence."""
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 10_000_000).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    from oarphpy_spark.llm.graph import pagerank
+
+    ranks = pagerank(
+        edges,
+        iterations=5,
+        damping=0.85,
+        seed_indicator=lambda node: (node % 20 == 0).cast("int"),
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
