@@ -364,3 +364,93 @@ def kcore(
         e.select(F.col("hi").alias("node"))
     )
     return sym.groupBy("node").agg(F.count("*").alias("core_deg"))
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): the maximal subgraph where
+    every EDGE participates in >= k-2 triangles — a stricter cohesion
+    mining primitive than k-core (every edge is embedded in triangles,
+    not just every node in edges). Iterative support peeling: count
+    per-edge triangle support, drop edges below k-2, repeat until the
+    fixpoint; convergence is verified per round with a 1-row edge
+    count and the operator raises past ``max_iter`` (so an unrolled
+    SQL oracle with >= the real round count is sound — peeling is
+    monotone, extra rounds are no-ops).
+
+    Per round: one wedge self-join on the canonical lower endpoint +
+    one closure equi-join enumerates each surviving triangle once
+    (a < b < c), a union re-keys each triangle to its three edges,
+    and one aggregate yields supports — all equi-joins on edge keys,
+    and the edge set only SHRINKS round over round, so the expensive
+    first enumeration bounds the total. At 100 TB-scale graphs, swap
+    the enumeration to the degree-oriented form (triangle_count) and
+    batch the peels (drop all edges below threshold per round, as
+    here — not one-at-a-time like the sequential algorithm).
+
+    Returns surviving canonical edges with support:
+    (lo, hi, support), support >= k-2.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = e.count()
+    sup = None
+    for _ in range(max_iter):
+        e1 = e.alias("e1")
+        e2 = e.alias("e2")
+        e3 = e.alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e1.lo") == F.col("e2.lo"))
+                & (F.col("e1.hi") < F.col("e2.hi")),
+            )
+            .join(
+                e3,
+                (F.col("e3.lo") == F.col("e1.hi"))
+                & (F.col("e3.hi") == F.col("e2.hi")),
+            )
+            .select(
+                F.col("e1.lo").alias("a"),
+                F.col("e1.hi").alias("b"),
+                F.col("e2.hi").alias("c"),
+            )
+        )
+        roles = (
+            tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+            .unionByName(
+                tri.select(F.col("a").alias("lo"), F.col("c").alias("hi"))
+            )
+            .unionByName(
+                tri.select(F.col("b").alias("lo"), F.col("c").alias("hi"))
+            )
+        )
+        sup = roles.groupBy("lo", "hi").agg(F.count("*").alias("support"))
+        e_next = (
+            e.join(sup, ["lo", "hi"])
+            .filter(F.col("support") >= k - 2)
+            .select("lo", "hi")
+            .localCheckpoint()
+        )
+        n = e_next.count()
+        e = e_next
+        if n == n_prev:
+            break
+        n_prev = n
+    else:
+        raise RuntimeError(f"ktruss did not converge in {max_iter} rounds")
+    if n_prev == 0:
+        return e.withColumn("support", F.lit(0).cast("long"))
+    return e.join(sup, ["lo", "hi"])

@@ -64,6 +64,7 @@ _ROUND_PRIORITY = [
     "q_stream_interval_join",
     "q_kcore",
     "q_ppr",
+    "q_ktruss",
     # --- round-6 fixes: the two red r05 rows (output-type parity) ---
     "q_sql_tpch_q9",
     "q_sql_tpch_q12",

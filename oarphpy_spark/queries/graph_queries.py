@@ -242,3 +242,58 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oarphpy_spark.llm.graph import kcore
 
     return kcore(_copurchase_edges(spark, sf_dir), 60, "s", "d")
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled support peel; every CTE MATERIALIZED (a non-
+    materialized unroll re-evaluates the triangle join exponentially
+    — same lesson as _kcore_oracle). ``rounds`` only has to be an
+    upper bound on the real fixpoint rounds (engine-verified);
+    post-fixpoint rounds are no-ops by monotonicity."""
+    step = """
+    t{i} AS MATERIALIZED (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e{p} e1
+      JOIN e{p} e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+      JOIN e{p} e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT lo, hi, COUNT(*) AS s FROM (
+        SELECT a AS lo, b AS hi FROM t{i}
+        UNION ALL SELECT a, c FROM t{i}
+        UNION ALL SELECT b, c FROM t{i}
+      ) GROUP BY lo, hi
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.lo, e.hi FROM e{p} e JOIN s{i} USING (lo, hi)
+      WHERE s{i}.s >= {t}
+    )"""
+    steps = ",".join(
+        step.format(i=i, p=i - 1, t=k - 2) for i in range(1, rounds + 1)
+    )
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    {steps}
+    SELECT e.lo, e.hi, CAST(s.s AS BIGINT) AS support
+    FROM e{rounds} e JOIN s{rounds} s USING (lo, hi)
+    """
+
+
+@query("q_ktruss", oracle=_ktruss_oracle(k=12, rounds=10))
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-truss of the co-purchase graph (llm/graph.py:ktruss —
+    Cohen's triangle-support peel): surviving edges each sit in >= 10
+    triangles among survivors, a stricter cohesion primitive than
+    q_kcore (edges must be triangle-embedded, not just endpoints
+    well-connected). Convergence verified per round; the oracle
+    unrolls ten MATERIALIZED peel rounds — above the measured
+    fixpoint (5 rounds at sf0.01, 1 at sf0.001), with extra rounds
+    no-ops by monotonicity and an insufficient unroll failing parity
+    loudly. Output: (lo, hi, support)."""
+    from oarphpy_spark.llm.graph import ktruss
+
+    return ktruss(_copurchase_edges(spark, sf_dir), 12, "s", "d")

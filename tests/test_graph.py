@@ -248,3 +248,27 @@ def test_kcore_known_graphs(spark):
     from oarphpy_spark.llm.graph import kcore as _kc
 
     assert _kc(empty, 2).count() == 0
+
+
+def test_ktruss_known_graphs(spark):
+    from oarphpy_spark.llm.graph import ktruss
+
+    def run(edges, k):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            (r.lo, r.hi, r.support) for r in ktruss(df, k).collect()
+        }
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # K4 is a 4-truss: every edge in 2 triangles
+    assert run(k4, 4) == {(a, b, 2) for a, b in k4}
+    # a K4 with a pendant triangle: 4-truss peels the triangle
+    # (its edges have support 1) AND the bridging edges
+    extra = [(3, 4), (3, 5), (4, 5)]
+    got = run(k4 + extra, 4)
+    assert got == {(a, b, 2) for a, b in k4}
+    # a lone triangle survives as a 3-truss (support 1 each)
+    tri = [(0, 1), (1, 2), (0, 2)]
+    assert run(tri, 3) == {(0, 1, 1), (1, 2, 1), (0, 2, 1)}
+    # but is wiped by a 4-truss
+    assert run(tri, 4) == set()
