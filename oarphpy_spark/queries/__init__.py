@@ -65,6 +65,7 @@ _ROUND_PRIORITY = [
     "q_kcore",
     "q_ppr",
     "q_ktruss",
+    "q_graph_profile",
     # --- round-6 fixes: the two red r05 rows (output-type parity) ---
     "q_sql_tpch_q9",
     "q_sql_tpch_q12",

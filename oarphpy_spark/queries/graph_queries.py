@@ -297,3 +297,76 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oarphpy_spark.llm.graph import ktruss
 
     return ktruss(_copurchase_edges(spark, sf_dir), 12, "s", "d")
+
+
+@query(
+    "q_graph_profile",
+    oracle=f"""
+    WITH pr AS ({_COPURCHASE_EDGES_SQL}),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT lo AS v FROM (SELECT s AS lo, d AS hi FROM pr)
+        UNION ALL
+        SELECT hi FROM (SELECT s AS lo, d AS hi FROM pr)
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM pr e1
+      JOIN pr e2 ON e1.d = e2.s
+      JOIN pr e3 ON e3.s = e1.s AND e3.d = e2.d
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_edges,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+           tri.n_tri AS n_triangles,
+           ROUND(3.0 * tri.n_tri
+                 / CAST(SUM(d * (d - 1) // 2) AS DOUBLE), 6)
+             AS clustering_coeff
+    FROM deg, tri
+    GROUP BY tri.n_tri
+    """,
+)
+def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph profile of the co-purchase graph: node/edge
+    counts, max degree, wedge count (sum of C(deg, 2) — exact integer
+    arithmetic), exact triangle count (degree-oriented operator), and
+    the global clustering coefficient 3*triangles/wedges (transitivity
+    — Watts-Strogatz) as ONE correctly-rounded double division. The
+    whole profile is two aggregation passes over the edge list plus
+    the triangle plan — the health-check a pipeline runs before
+    unleashing the iterative operators (PageRank rounds, peel bounds,
+    skew knobs all read off these numbers)."""
+    from oarphpy_spark.llm.graph import triangle_count
+
+    und = _copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("s").alias("v"))
+        .unionByName(und.select(F.col("d").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    dstats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("deg").cast("long").alias("max_degree"),
+        F.sum(
+            (F.col("deg") * (F.col("deg") - 1)).cast("long") / 2
+        ).cast("long").alias("n_wedges"),
+    )
+    tri = triangle_count(und, "s", "d")
+    return (
+        dstats.crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
