@@ -454,3 +454,59 @@ def ktruss(
     if n_prev == 0:
         return e.withColumn("support", F.lit(0).cast("long"))
     return e.join(sup, ["lo", "hi"])
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made DETERMINISTIC: every node starts labeled with
+    its own id; each round it adopts the most frequent label among
+    its neighbors, ties broken by the SMALLEST label; a FIXED round
+    count (no convergence race — synchronous LPA can oscillate, and a
+    fixed unroll is what an SQL oracle can restate exactly).
+
+    Per round: one equi-join edges x labels on the neighbor end, one
+    (node, label) count aggregate, one per-node argmax via max_by
+    keyed on (count desc, label asc) — all partial-aggregable,
+    hash-partitioned on node id, lineage truncated per round. The
+    symmetric edge table is built once, repartitioned on src and
+    persisted, so the per-round join never re-exchanges the big side
+    (the pagerank loop's discipline).
+
+    Returns (node, label); isolated nodes keep their own id only if
+    they appear in ``edges`` (self-loops count as neighbors).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .repartition("a")
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        labels = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("n"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy(F.col("n").alias("node"))
+            .agg(
+                F.min_by(
+                    "label", F.struct(-F.col("cnt"), F.col("label"))
+                ).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    labels = labels.localCheckpoint(eager=True)
+    sym.unpersist()
+    return labels

@@ -66,6 +66,7 @@ _ROUND_PRIORITY = [
     "q_ppr",
     "q_ktruss",
     "q_graph_profile",
+    "q_label_propagation",
     # --- round-6 fixes: the two red r05 rows (output-type parity) ---
     "q_sql_tpch_q9",
     "q_sql_tpch_q12",

@@ -272,3 +272,17 @@ def test_ktruss_known_graphs(spark):
     assert run(tri, 3) == {(0, 1, 1), (1, 2, 1), (0, 2, 1)}
     # but is wiped by a 4-truss
     assert run(tri, 4) == set()
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques joined by one bridge edge: after 3 rounds each
+    clique converges to its minimum id; deterministic ties."""
+    from oarphpy_spark.llm.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert all(got[v] == 0 for v in range(4))
+    assert all(got[v] == 10 for v in range(11, 14))
