@@ -42,9 +42,16 @@ def latest_changes(
 
     The payload rides along via ``max_by`` keyed ONLY on
     ``(seq_col, op)`` — payload columns do not participate in the
-    ordering, so ties resolve on (seq, op) alone and non-orderable
-    payload types (e.g. MapType) are carried without breaking
-    analysis."""
+    ordering, so non-orderable payload types (e.g. MapType) are carried
+    without breaking analysis. CONTRACT: ``(key, seq_col, op_col)``
+    must be unique in the feed. If duplicate (key, seq, op) rows carry
+    *different* payloads, Spark's ``max_by`` picks an arbitrary one on
+    the ordering tie — any real CDC source (Debezium, a transaction
+    log) assigns distinct sequence numbers per change, so the
+    uniqueness requirement is the natural contract rather than a
+    restriction. We deliberately do not fall back to ordering by the
+    payload struct: that would re-impose orderability on payload types
+    and silently change which row wins based on payload values."""
     win = F.max_by(
         F.struct(
             F.col(op_col).alias("__op"),

@@ -350,8 +350,12 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dstats = deg.agg(
         F.count("*").alias("n_nodes"),
         F.max("deg").cast("long").alias("max_degree"),
+        # Integer arithmetic end-to-end: per-row C(deg,2) via integer
+        # `div`, summed as BIGINT. A double-typed sum would lose
+        # exactness past 2^53 aggregate wedges — realistic at the
+        # graph scales the operator targets.
         F.sum(
-            (F.col("deg") * (F.col("deg") - 1)).cast("long") / 2
+            F.expr("CAST(deg * (deg - 1) AS BIGINT) div 2")
         ).cast("long").alias("n_wedges"),
     )
     tri = triangle_count(und, "s", "d")

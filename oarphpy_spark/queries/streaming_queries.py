@@ -286,22 +286,35 @@ def q_stream_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feed_path = _os.path.join(sf_dir, "documents.parquet")
     d = feed_path
+    wrap = None
     if _os.path.isfile(d):
         import tempfile
 
         wrap = tempfile.mkdtemp(prefix="oarphpy_spark_docfeed_")
         _os.symlink(d, _os.path.join(wrap, _os.path.basename(d)))
         d = wrap
-    stream = spark.readStream.schema(
-        "doc_id bigint, text string, lang string, source string, "
-        "n_chars bigint"
-    ).parquet(d)
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
-    keyed = stream.select(F.md5(norm.cast("binary")).alias("fingerprint"))
-    deduped = keyed.dropDuplicates(["fingerprint"])
-    return run_to_memory_sink(
-        deduped, "q_stream_dropdup_sink", output_mode="append"
-    )
+    try:
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        ).parquet(d)
+        norm = F.regexp_replace(
+            F.trim(F.lower(F.col("text"))), "\\s+", " "
+        )
+        keyed = stream.select(
+            F.md5(norm.cast("binary")).alias("fingerprint")
+        )
+        deduped = keyed.dropDuplicates(["fingerprint"])
+        return run_to_memory_sink(
+            deduped, "q_stream_dropdup_sink", output_mode="append"
+        )
+    finally:
+        if wrap is not None:
+            # run_to_memory_sink drains availableNow synchronously, so
+            # the wrapper dir (and its symlink) is dead weight by now.
+            import shutil as _shutil
+
+            _shutil.rmtree(wrap, ignore_errors=True)
 
 
 @query(

@@ -104,17 +104,22 @@ def upsert_snapshot_sink(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         gen_name = f"gen={batch_id}"
         final = os.path.join(root, gen_name)
+        committed = _committed_batch_id(root)
+        if committed is not None and committed >= batch_id:
+            # Stale replay: this batch is at-or-behind the committed
+            # pointer. No-op REGARDLESS of whether gen=<batch_id> still
+            # exists on disk — _prune_generations may have deleted it,
+            # and falling through to the merge path would re-apply old
+            # changes on top of the newer snapshot (apply_cdc keeps no
+            # seq in the snapshot, so the stale payloads would win).
+            # Never move CURRENT backwards either.
+            return
         if os.path.isdir(final):
             # Replay of an already-materialized batch (at-least-once
-            # foreachBatch delivery after a crash): advance the pointer
-            # only if it is BEHIND this batch — never move CURRENT
-            # backwards. Without the guard, a query restarted with a
-            # fresh checkpoint would re-see batch_id=0, find gen=0 on
-            # disk, and roll the committed snapshot back to the oldest
-            # generation while silently dropping the new changes.
-            committed = _committed_batch_id(root)
-            if committed is None or committed < batch_id:
-                _commit_pointer(root, gen_name)
+            # foreachBatch delivery after a crash) that is AHEAD of the
+            # pointer: the data is durable, only the pointer flip was
+            # lost — finish the commit.
+            _commit_pointer(root, gen_name)
             return
         spark = batch_df.sparkSession
         current = read_snapshot(spark, root)

@@ -76,6 +76,31 @@ def test_upsert_replay_never_moves_pointer_backwards(spark, tmp_path):
     assert _snap_dict(spark, root) == {1: "a2"}
 
 
+def test_upsert_stale_replay_with_pruned_gen_is_noop(spark, tmp_path):
+    """A stale batch id whose generation dir was ALREADY PRUNED must
+    still no-op: without the committed-batch-id guard it would fall
+    through to the merge path and re-apply old changes on top of the
+    newer snapshot (stale payloads win because the snapshot keeps no
+    seq)."""
+    root = str(tmp_path / "snap")
+    sink = upsert_snapshot_sink(root, "k", keep_generations=0)
+    sink(spark.createDataFrame([(1, "a", 1, "I")], _SCHEMA), 0)
+    sink(spark.createDataFrame([(1, "a2", 2, "U")], _SCHEMA), 1)
+    sink(spark.createDataFrame([(1, "a3", 3, "U")], _SCHEMA), 2)
+    # retention=0 pruned gen=0 and gen=1; only the committed gen lives
+    gens = sorted(n for n in os.listdir(root) if n.startswith("gen="))
+    assert gens == ["gen=2"]
+    # stale replay of batch 0 (fresh-checkpoint restart): gen dir is
+    # GONE, so only the committed-id guard prevents a rogue merge
+    sink(spark.createDataFrame([(1, "a", 1, "I")], _SCHEMA), 0)
+    assert _snap_dict(spark, root) == {1: "a3"}
+    with open(os.path.join(root, "CURRENT")) as f:
+        assert f.read().strip() == "gen=2"
+    # and no resurrected generation dir either
+    gens = sorted(n for n in os.listdir(root) if n.startswith("gen="))
+    assert gens == ["gen=2"]
+
+
 def test_upsert_generation_retention(spark, tmp_path):
     """Old generations beyond keep_generations are pruned after each
     commit; the committed generation always survives."""
