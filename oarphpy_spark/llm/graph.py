@@ -17,10 +17,14 @@ message loops, just a handful of hash-partitioned self-joins over an
 edge table that *shrinks* as stars collapse.
 
 Per-round driver work is one tiny action (a 1-row convergence
-checksum); ``localCheckpoint`` truncates the growing lineage so round
-k's plan does not replay rounds 1..k-1 (at production scale prefer a
-reliable ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
-so a lost executor cannot orphan the uncommitted edge blocks).
+checksum); lineage is truncated every round via
+``util/checkpoints.truncate_lineage`` so round k's plan does not
+replay rounds 1..k-1. Every iterative operator here takes a
+``reliable`` parameter: None (auto) uses a RELIABLE ``checkpoint()``
+whenever ``sc.setCheckpointDir`` is configured — the production mode,
+where a lost executor cannot orphan the truncated blocks — and falls
+back to ``localCheckpoint`` otherwise; True requires the checkpoint
+dir (raises if missing); False forces the fast local form.
 
 The reference has no graph operator; this extends its dedup surface
 (reference `oarphpy/spark.py` has only row-level utilities) the way
@@ -31,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from oarphpy_spark.util.checkpoints import truncate_lineage
 
 _SRC, _DST = "__cc_src", "__cc_dst"
 
@@ -75,6 +81,7 @@ def connected_components(
     src: str,
     dst: str,
     max_iter: int = 12,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Transitive closure of an undirected edge list.
 
@@ -96,11 +103,13 @@ def connected_components(
         edges.select(F.col(src).alias(_SRC), F.col(dst).alias(_DST))
         .filter(F.col(_SRC) != F.col(_DST))
         .distinct()
-        .localCheckpoint()
     )
+    e = truncate_lineage(e, reliable=reliable)
     prev = None
     for _ in range(max_iter):
-        e_next = _small_star(_large_star(e)).localCheckpoint()
+        e_next = truncate_lineage(
+            _small_star(_large_star(e)), reliable=reliable
+        )
         # One 1-row action per round: (edge count, order-independent
         # content checksum). Equal rounds => the star set is a fixpoint.
         row = e_next.agg(
@@ -128,6 +137,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     seed_indicator=None,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank as repeated join+aggregate — the
     Pregel message-passing shape expressed declaratively.
@@ -146,10 +156,12 @@ def pagerank(
     node) shuffles to meet it. ``nodes`` is likewise persisted
     hash-partitioned on ``node``, and the contribution groupBy keyed
     on dst(=node) emits that same partitioning, so the rank-update
-    left join needs no extra exchange. ``localCheckpoint`` every
-    iteration truncates the lineage (without it, iteration k replans
-    and recomputes 1..k-1, which is quadratic; at production scale use
-    a reliable checkpoint dir instead). The final result is
+    left join needs no extra exchange. Lineage is truncated every
+    iteration (without it, iteration k replans and recomputes 1..k-1,
+    which is quadratic); ``reliable`` selects executor-loss-safe
+    ``checkpoint()`` vs fast ``localCheckpoint`` — see
+    ``util/checkpoints`` (auto-detects a configured checkpoint dir by
+    default). The final result is
     checkpointed eagerly so the persisted loop inputs can be released
     deterministically before returning. Nodes with no inbound edges
     settle at 1-d; nodes absent from ``edges`` do not appear.
@@ -190,10 +202,12 @@ def pagerank(
         r0 = seed
     ranks = nodes.withColumn("rank", r0)
     for _ in range(iterations):
-        ranks = _pagerank_step(
-            nodes, edges_w, ranks, damping, base
-        ).localCheckpoint(eager=False)
-    ranks = ranks.localCheckpoint(eager=True)
+        ranks = truncate_lineage(
+            _pagerank_step(nodes, edges_w, ranks, damping, base),
+            eager=False,
+            reliable=reliable,
+        )
+    ranks = truncate_lineage(ranks, eager=True, reliable=reliable)
     nodes.unpersist()
     edges_w.unpersist()
     return ranks
@@ -307,6 +321,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 12,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Batagelj-Zaversnik
     made distributed): repeatedly drop nodes of degree < k and the
@@ -318,8 +333,9 @@ def kcore(
     node id — hash-partitioned, no adjacency lists, and the edge set
     only SHRINKS, so rounds get cheaper as peeling cascades.
     Per-round driver work is a 1-row edge count (the convergence
-    check); ``localCheckpoint`` truncates lineage as in the other
-    iterative operators. Raises if ``max_iter`` rounds don't reach
+    check); lineage is truncated per round as in the other iterative
+    operators (``reliable`` selects durable vs local truncation, see
+    ``util/checkpoints``). Raises if ``max_iter`` rounds don't reach
     the fixpoint — callers (and the unrolled SQL oracle, whose round
     count must be >= the real one; extra unrolled rounds are no-ops
     at the fixpoint because peeling is monotone) rely on convergence
@@ -335,8 +351,8 @@ def kcore(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint()
     )
+    e = truncate_lineage(e, reliable=reliable)
     n_prev = e.count()
     for _ in range(max_iter):
         sym = e.select(F.col("lo").alias("v")).unionByName(
@@ -348,10 +364,10 @@ def kcore(
             .filter(F.col("__d") >= k)
             .select("v")
         )
-        e_next = (
+        e_next = truncate_lineage(
             e.join(keep.withColumnRenamed("v", "lo"), "lo", "left_semi")
-            .join(keep.withColumnRenamed("v", "hi"), "hi", "left_semi")
-            .localCheckpoint()
+            .join(keep.withColumnRenamed("v", "hi"), "hi", "left_semi"),
+            reliable=reliable,
         )
         n = e_next.count()
         e = e_next
@@ -372,6 +388,7 @@ def ktruss(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """k-truss decomposition (Cohen 2008): the maximal subgraph where
     every EDGE participates in >= k-2 triangles — a stricter cohesion
@@ -403,8 +420,8 @@ def ktruss(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint()
     )
+    e = truncate_lineage(e, reliable=reliable)
     n_prev = e.count()
     sup = None
     for _ in range(max_iter):
@@ -438,11 +455,11 @@ def ktruss(
             )
         )
         sup = roles.groupBy("lo", "hi").agg(F.count("*").alias("support"))
-        e_next = (
+        e_next = truncate_lineage(
             e.join(sup, ["lo", "hi"])
             .filter(F.col("support") >= k - 2)
-            .select("lo", "hi")
-            .localCheckpoint()
+            .select("lo", "hi"),
+            reliable=reliable,
         )
         n = e_next.count()
         e = e_next
@@ -461,6 +478,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 3,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007), made DETERMINISTIC: every node starts labeled with
@@ -505,8 +523,8 @@ def label_propagation(
                     "label", F.struct(-F.col("cnt"), F.col("label"))
                 ).alias("label")
             )
-            .localCheckpoint(eager=False)
         )
-    labels = labels.localCheckpoint(eager=True)
+        labels = truncate_lineage(labels, eager=False, reliable=reliable)
+    labels = truncate_lineage(labels, eager=True, reliable=reliable)
     sym.unpersist()
     return labels
