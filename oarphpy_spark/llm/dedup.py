@@ -332,6 +332,27 @@ def set_similarity_join(
     (ceil(t*n) = (tau_num*n + tau_den - 1) // tau_den), so the
     threshold decisions are exact.
 
+    Beyond the prefix + length filters of AllPairs, this applies
+    PPJoin's POSITIONAL filter and a suffix-restricted verify:
+
+    - positional: the candidate groupBy keeps, per pair, the count m
+      of shared prefix tokens and the ranks (i_last, j_last) of the
+      LAST shared prefix token in each document's global-order
+      ranking. Any shared token beyond it must sit after i_last in a
+      and after j_last in b (one consistent total order), so
+      overlap <= m + min(na - i_last, nb - j_last); pairs whose bound
+      misses minoverlap = ceil(tau_num*(na+nb)/(tau_num+tau_den)) are
+      dropped BEFORE the expensive verify join — same shuffle as the
+      plain candidate distinct (the aggregate replaces it), strictly
+      fewer survivors.
+    - suffix verify: shared tokens <= the last shared prefix token
+      are provably exactly the m prefix-shared ones (a shared token
+      ranked below j_last in b sits inside b's prefix, and vice
+      versa), so the verify join only matches SUFFIX tokens
+      (rn > i_last x rn > j_last) and adds m — the frequent-token
+      tails still meet in the join, but each side is pre-filtered by
+      rank, not expanded in full.
+
     Returns (id_a, id_b, overlap, jaccard), id_a < id_b.
     """
     t = tok.select(
@@ -350,9 +371,14 @@ def set_similarity_join(
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.floor(ceil_tn) + 1
-    ).select("id", "token", "n")
+    ).select("id", "token", "n", "rn")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # minoverlap o: o >= ceil(num*(na+nb)/(num+den)); integer-exact
+    # compare via bound*(num+den) >= num*(na+nb).
+    pos_bound = F.col("m") + F.least(
+        F.col("na") - F.col("i_last"), F.col("nb") - F.col("j_last")
+    )
     cand = (
         a.join(b, "token")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -361,25 +387,54 @@ def set_similarity_join(
             (F.col("b.n") * tau_den >= F.col("a.n") * tau_num)
             & (F.col("a.n") * tau_den >= F.col("b.n") * tau_num)
         )
-        .select(
+        .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.n").alias("na"),
             F.col("b.n").alias("nb"),
         )
-        .distinct()
+        # positional filter state: one aggregate in place of the plain
+        # candidate-pair distinct (same shuffle, more pruning)
+        .agg(
+            F.count("*").alias("m"),
+            F.max("a.rn").alias("i_last"),
+            F.max("b.rn").alias("j_last"),
+        )
+        .filter(
+            pos_bound * (tau_num + tau_den)
+            >= F.lit(tau_num) * (F.col("na") + F.col("nb"))
+        )
     )
-    ta = t.alias("ta")
-    tb = t.alias("tb")
-    overlap = (
-        cand.join(ta, F.col("id_a") == F.col("ta.id"))
+    rk = ranked.select("id", "token", "rn")
+    ta = rk.alias("ta")
+    tb = rk.alias("tb")
+    # Suffix verify: count shared tokens strictly beyond the last
+    # shared prefix token on BOTH sides, then add m. Pairs with zero
+    # suffix matches must survive (overlap = m), hence the left join.
+    suffix = (
+        cand.join(
+            ta,
+            (F.col("id_a") == F.col("ta.id"))
+            & (F.col("ta.rn") > F.col("i_last")),
+        )
         .join(
             tb,
             (F.col("id_b") == F.col("tb.id"))
+            & (F.col("tb.rn") > F.col("j_last"))
             & (F.col("ta.token") == F.col("tb.token")),
         )
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("overlap"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("suf"))
+    )
+    overlap = (
+        cand.join(suffix, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            (F.col("m") + F.coalesce("suf", F.lit(0))).alias("overlap"),
+        )
     )
     # Exact rational threshold: o/(na+nb-o) >= num/den iff
     # o*den >= (na+nb-o)*num — integer compare, no float boundary.
