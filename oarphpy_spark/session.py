@@ -54,6 +54,14 @@ class SessionFactory:
     #: it; notebook/cluster presets turn it on.
     AUTO_SHIP_CALLER_LIB: bool = False
 
+    #: When True, register an IPython ``pre_run_cell`` hook that
+    #: re-ships every SHIP_LIBS entry (plus the auto-inferred caller
+    #: library) before EACH cell — the reference NBSpark's per-cell
+    #: egg rebuild (``oarphpy/spark.py:888-923``). Content-addressed
+    #: zips make the per-cell call a no-op while source is unchanged.
+    #: Silently inert outside IPython.
+    AUTO_RESHIP_EACH_CELL: bool = False
+
     CONF_KV: dict[str, str] = {
         # --- planner / runtime re-planning -------------------------------
         "spark.sql.adaptive.enabled": "true",
@@ -99,12 +107,26 @@ class SessionFactory:
         spark = builder.getOrCreate()
         for path in cls.PY_FILES:
             spark.sparkContext.addPyFile(path)
-        from oarphpy_spark.shipping import ship_library
+        from oarphpy_spark.shipping import (
+            install_cell_reship_hook,
+            resolve_ship_root,
+            ship_library,
+        )
 
+        roots = []
         for lib in cls.SHIP_LIBS:
             ship_library(spark, lib)
+            roots.append(resolve_ship_root(lib))
         if cls.AUTO_SHIP_CALLER_LIB:
-            ship_library(spark, None)
+            # Infer HERE (the user's getOrCreate frame is on the
+            # stack); inside a per-cell hook the stack is IPython
+            # internals, so the hook replays these resolved roots.
+            caller_root = resolve_ship_root(None)
+            if caller_root is not None:
+                ship_library(spark, caller_root)
+                roots.append(caller_root)
+        if cls.AUTO_RESHIP_EACH_CELL:
+            install_cell_reship_hook(spark, roots)
         return spark
 
 
@@ -127,9 +149,12 @@ class K8SSessionFactory(SessionFactory):
 class NotebookSessionFactory(SessionFactory):
     """Preset for notebook development (reference NBSpark,
     ``oarphpy/spark.py:839-923``): ship updated code to executors
-    without restarting the session. The reference rebuilt an egg on
-    every cell; the engine-native equivalent is overwritable SparkFiles
-    + non-reused Python workers so re-shipped modules actually reload.
+    without restarting the session, automatically on every cell. The
+    reference rebuilt an egg per cell from a ``pre_execute`` hook; the
+    engine-native equivalent is a ``pre_run_cell`` hook over
+    content-addressed zips (re-ship only when source changed) +
+    overwritable SparkFiles + non-reused Python workers so re-shipped
+    modules actually reload.
     """
 
     CONF_KV = dict(
@@ -141,3 +166,4 @@ class NotebookSessionFactory(SessionFactory):
     )
 
     AUTO_SHIP_CALLER_LIB = True
+    AUTO_RESHIP_EACH_CELL = True

@@ -34,6 +34,9 @@ __all__ = [
     "infer_caller_package_root",
     "build_library_zip",
     "ship_library",
+    "resolve_ship_root",
+    "install_cell_reship_hook",
+    "uninstall_cell_reship_hook",
 ]
 
 
@@ -159,14 +162,80 @@ def ship_library(spark, lib: str | ModuleType | None = None) -> str | None:
     ``spark.files.overwrite=true`` + ``spark.python.worker.reuse=false``
     (see ``NotebookSessionFactory``) for hot reload semantics.
     """
-    if isinstance(lib, ModuleType):
-        src = find_package_root(lib.__file__)
-    elif lib is not None:
-        src = find_package_root(lib)
-    else:
-        src = infer_caller_package_root()
-        if src is None:
-            return None
+    src = resolve_ship_root(lib)
+    if src is None:
+        return None
     zpath = build_library_zip(src)
     spark.sparkContext.addPyFile(zpath)
     return zpath
+
+
+def resolve_ship_root(lib: str | ModuleType | None) -> str | None:
+    """Resolve a ship target (module object, path, or None = infer the
+    calling user library) to its topmost package root path."""
+    if isinstance(lib, ModuleType):
+        return find_package_root(lib.__file__)
+    if lib is not None:
+        return find_package_root(lib)
+    return infer_caller_package_root()
+
+
+_CELL_HOOK = None  # (events_obj, callback) of the installed hook
+
+
+def install_cell_reship_hook(spark, roots, get_ipython=None):
+    """Re-ship ``roots`` (package root paths) before EVERY notebook
+    cell — capability parity with the reference's NBSpark
+    ``pre_execute`` hook (reference ``oarphpy/spark.py:888-923``, which
+    rebuilt and re-shipped the egg whenever source mtimes changed).
+
+    Engine-native: the zip is content-addressed, so the per-cell call
+    hashes the source tree and no-ops (returns the cached zip, and
+    ``addPyFile`` of an already-added path is free) unless the code
+    actually changed — no mtime bookkeeping needed, and a touch-only
+    save does not re-ship. Pair with ``spark.files.overwrite=true`` +
+    ``spark.python.worker.reuse=false`` (NotebookSessionFactory sets
+    both) so a changed zip is re-fetched and re-imported by fresh
+    executor Pythons.
+
+    Silently a no-op outside IPython (plain scripts / pytest). At most
+    one hook is installed per process; re-installing (a new session)
+    replaces the previous hook. Returns the registered callback or
+    None. ``get_ipython`` is injectable for tests.
+    """
+    global _CELL_HOOK
+    if get_ipython is None:
+        try:
+            from IPython import get_ipython  # type: ignore
+        except ImportError:
+            return None
+    ip = get_ipython()
+    if ip is None:
+        return None
+    uninstall_cell_reship_hook()
+    roots = [r for r in roots if r]
+
+    def _reship_on_cell(*_a, **_k):
+        for root in roots:
+            try:
+                ship_library(spark, root)
+            except Exception as e:  # a broken save must not kill the cell
+                print(f"oarphpy_spark: re-ship of {root!r} failed: {e}")
+
+    ip.events.register("pre_run_cell", _reship_on_cell)
+    _CELL_HOOK = (ip.events, _reship_on_cell)
+    return _reship_on_cell
+
+
+def uninstall_cell_reship_hook() -> bool:
+    """Remove the installed per-cell re-ship hook, if any."""
+    global _CELL_HOOK
+    if _CELL_HOOK is None:
+        return False
+    events, cb = _CELL_HOOK
+    try:
+        events.unregister("pre_run_cell", cb)
+    except ValueError:
+        pass  # already gone (IPython was reset)
+    _CELL_HOOK = None
+    return True

@@ -138,3 +138,73 @@ def test_executors_see_engine_package(spark):
 
     vals = set(spark.sparkContext.parallelize(range(8), 8).map(probe).collect())
     assert len(vals) == 1  # same hash everywhere -> same code everywhere
+
+
+class _StubEvents:
+    def __init__(self):
+        self.callbacks = {}
+
+    def register(self, event, cb):
+        self.callbacks.setdefault(event, []).append(cb)
+
+    def unregister(self, event, cb):
+        self.callbacks[event].remove(cb)
+
+    def trigger(self, event):
+        for cb in list(self.callbacks.get(event, [])):
+            cb()
+
+
+class _StubShell:
+    def __init__(self):
+        self.events = _StubEvents()
+
+
+def test_cell_reship_hook_reships_on_change_only(spark, tmp_path):
+    """The NBSpark-parity per-cell hook (reference
+    oarphpy/spark.py:888-923): each 'cell' re-ships the library, but a
+    content-addressed zip means a NEW artifact only when source
+    changed."""
+    from oarphpy_spark.shipping import (
+        build_library_zip,
+        install_cell_reship_hook,
+        uninstall_cell_reship_hook,
+    )
+
+    pkg = _write_pkg(tmp_path, "nbhook_pkg", 1)
+    shell = _StubShell()
+    cb = install_cell_reship_hook(spark, [pkg], get_ipython=lambda: shell)
+    assert cb is not None
+    assert shell.events.callbacks["pre_run_cell"] == [cb]
+
+    try:
+        shell.events.trigger("pre_run_cell")
+        z1 = build_library_zip(pkg)  # cached — same digest as the hook's
+        shell.events.trigger("pre_run_cell")
+        assert build_library_zip(pkg) == z1  # unchanged source: no new zip
+
+        # edit the library -> next cell ships a NEW content hash
+        (tmp_path / "nbhook_pkg" / "__init__.py").write_text("VERSION = 2\n")
+        shell.events.trigger("pre_run_cell")
+        z2 = build_library_zip(pkg)
+        assert z2 != z1
+        assert os.path.exists(z2)
+
+        # re-install replaces, not stacks
+        cb2 = install_cell_reship_hook(
+            spark, [pkg], get_ipython=lambda: shell
+        )
+        assert shell.events.callbacks["pre_run_cell"] == [cb2]
+    finally:
+        assert uninstall_cell_reship_hook() is True
+    assert shell.events.callbacks["pre_run_cell"] == []
+    assert uninstall_cell_reship_hook() is False
+
+
+def test_cell_reship_hook_noop_outside_ipython(spark):
+    from oarphpy_spark.shipping import install_cell_reship_hook
+
+    assert (
+        install_cell_reship_hook(spark, ["/tmp"], get_ipython=lambda: None)
+        is None
+    )
