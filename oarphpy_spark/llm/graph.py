@@ -246,6 +246,74 @@ def _pagerank_step(
     )
 
 
+def sssp(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 4,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Bounded-hop single-source shortest paths: distributed
+    Bellman-Ford over an undirected weighted edge list, a FIXED number
+    of relaxation rounds (so the result — min path cost using at most
+    ``rounds`` edges — is exactly restatable as an unrolled SQL
+    recurrence; full convergence is just rounds >= graph diameter,
+    and relaxations past the fixpoint are no-ops by monotonicity).
+
+    Per round: one equi-join frontier x edges on the source endpoint
+    + one min-aggregate per node — the same two-exchange discipline
+    as the pagerank loop: the symmetrized edge table is built ONCE,
+    hash-repartitioned on its join key and persisted, so only the
+    small distance relation (one row per reached node) shuffles each
+    round; lineage is truncated per round (``reliable`` selects
+    durable vs local truncation, see ``util/checkpoints``).
+
+    ``source`` is a literal node id. Returns (node, dist) for nodes
+    reachable within ``rounds`` hops; dist is LONG when weights are
+    integral (exact — no float accumulation along paths).
+    """
+    sym = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight)
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("s"), F.col(src).alias("d"), F.col(weight)
+            )
+        )
+        .distinct()
+        .repartition("s")
+        .persist()
+    )
+    dist = (
+        sym.select(F.col("s").alias("node"))
+        .unionByName(sym.select(F.col("d").alias("node")))
+        .distinct()
+        .filter(F.col("node") == F.lit(source))
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(rounds):
+        relaxed = (
+            sym.join(dist, sym.s == dist.node)
+            .select(
+                F.col("d").alias("node"),
+                (F.col("dist") + F.col(weight)).alias("dist"),
+            )
+        )
+        dist = truncate_lineage(
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist")),
+            eager=False,
+            reliable=reliable,
+        )
+    dist = truncate_lineage(dist, eager=True, reliable=reliable)
+    sym.unpersist()
+    return dist
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -18,6 +18,7 @@ implementation, so the union of all rounds' evidence covers every
 declared query.
 """
 
+import oarphpy_spark.queries.analytics_extras  # noqa: F401
 import oarphpy_spark.queries.codec_queries  # noqa: F401
 import oarphpy_spark.queries.corpus_extras  # noqa: F401
 import oarphpy_spark.queries.curation  # noqa: F401

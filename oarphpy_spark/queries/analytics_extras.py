@@ -1,0 +1,561 @@
+"""Round-7 analytics extras: weighted shortest paths, market-basket
+rules, classical statistical tests, and exact rolling/decayed
+time-series statistics — each under the exact DuckDB oracle.
+
+Determinism discipline (see testing/parity.py): every compared float
+is either (a) derived from integer-quantized inputs with the division
+happening ONCE at the end, or (b) the same IEEE expression tree in
+both engines rounded to a fixed number of decimals. Sums that cross
+rows are always integer sums (order-independent); doubles are never
+summed across rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oarphpy_spark.registry import query
+from oarphpy_spark.tables import register_temp_views, table
+
+# Canonical weighted co-purchase edges: parts sharing an order,
+# s < d, with a deterministic data-derived integer weight (the demo
+# stand-in for a real affinity weight — the plan shape is identical).
+_WEDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d,
+             1 + (a.l_partkey + b.l_partkey) % 7 AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("d"),
+            (
+                F.lit(1)
+                + (F.col("a.l_partkey") + F.col("b.l_partkey")) % 7
+            ).alias("w"),
+        )
+        .distinct()
+    )
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford recurrence, every stage MATERIALIZED (a
+    non-materialized CTE would re-evaluate the whole prefix per
+    reference and the unroll goes exponential)."""
+    stages = [
+        """
+    d0 AS MATERIALIZED (
+      SELECT (SELECT MIN(s) FROM e) AS node, CAST(0 AS BIGINT) AS dist
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        stages.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT sym.d AS node, p.dist + sym.w AS dist
+        FROM d{i - 1} p JOIN sym ON sym.s = p.node
+      ) GROUP BY node
+    )""")
+    return f"""
+    WITH e AS MATERIALIZED ({_WEDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT s, d, w FROM e UNION ALL SELECT d, s, w FROM e
+    ),
+    {",".join(stages)}
+    SELECT node, dist FROM d{rounds}
+    """
+
+
+@query("q_sssp", oracle=_sssp_oracle(4))
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (4 relaxation rounds)
+    from the minimum part id over the co-purchase graph
+    (llm/graph.py:sssp — distributed Bellman-Ford). Integer weights
+    end-to-end, so path costs are exact; the per-round plan is one
+    frontier-x-edges equi-join (big side pre-partitioned + persisted,
+    never re-exchanged) + one min-aggregate — partial aggregation
+    collapses each node's candidate distances map-side. The oracle
+    unrolls the identical recurrence as MATERIALIZED CTE stages."""
+    from oarphpy_spark.llm.graph import sssp
+
+    e = _weighted_edges(spark, sf_dir)
+    seed = e.agg(F.min("s")).collect()[0][0]
+    return sssp(e, seed, "s", "d", "w", rounds=4)
+
+
+@query(
+    "q_assoc_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT o) AS n FROM b),
+    item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM b GROUP BY p),
+    pair AS (
+      SELECT x.p AS pa, y.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+      GROUP BY x.p, y.p HAVING COUNT(*) >= 2
+    )
+    SELECT pa, pb, n_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           ROUND(n_pair / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_b,
+           ROUND(n_pair / CAST(ib.n_item AS DOUBLE), 6) AS conf_b_a,
+           ROUND(n_pair * (SELECT n FROM n_orders)
+                 / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.p = pa
+    JOIN item ib ON ib.p = pb
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: part pairs
+    with support >= 2, both-direction confidence, and lift — the
+    A-Priori 2-pass shape. Scale design: baskets are DISTINCT
+    (order, part) so a part repeated within an order counts once; the
+    pair join is keyed on the order id, so per-order fanout is
+    C(basket_size, 2) — bounded by basket size, never by a part's
+    global frequency; the item-frequency table (one row per part) is
+    broadcast to decorate surviving pairs. The support filter runs ON
+    THE AGGREGATE before any per-item join, which is the a-priori
+    prune: at 100 TB you'd add a first pass dropping infrequent items
+    before pair expansion — same plan with one more semi-join."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = b.select("o").distinct().count()
+    item = b.groupBy("p").agg(F.count("*").alias("n_item"))
+    x = b.alias("x")
+    y = b.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .groupBy(F.col("x.p").alias("pa"), F.col("y.p").alias("pb"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("p").alias("pb"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_pair") / F.col("n_a").cast("double"), 6
+            ).alias("conf_a_b"),
+            F.round(
+                F.col("n_pair") / F.col("n_b").cast("double"), 6
+            ).alias("conf_b_a"),
+            F.round(
+                F.col("n_pair")
+                * F.lit(n_orders)
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), tot AS (
+      SELECT r, c, obs,
+             SUM(obs) OVER (PARTITION BY r) AS row_tot,
+             SUM(obs) OVER (PARTITION BY c) AS col_tot,
+             SUM(obs) OVER () AS n
+      FROM cell
+    )
+    SELECT
+      ROUND(SUM(CAST(ROUND(
+        (obs - row_tot * col_tot / CAST(n AS DOUBLE))
+        * (obs - row_tot * col_tot / CAST(n AS DOUBLE))
+        / (row_tot * col_tot / CAST(n AS DOUBLE)) * 1e6) AS BIGINT))
+        / 1e6, 6) AS chi2,
+      CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT)
+        AS dof,
+      CAST(MAX(n) AS BIGINT) AS n
+    FROM tot
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority
+    and order status. One count aggregation produces the contingency
+    table (|priorities| x |statuses| rows — tiny regardless of input
+    scale); marginals come from windows OVER that tiny table, so the
+    only data-sized operation is the first groupBy. Each cell's
+    (obs-exp)^2/exp is quantized to integer micro-units BEFORE the
+    cross-cell sum (double summation order is engine-dependent;
+    integer summation is not)."""
+    orders = table(spark, sf_dir, "orders")
+    cell = orders.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count("*").alias("obs"))
+    tot = cell.select(
+        "r",
+        "c",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("r")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("c")).alias("col_tot"),
+        F.sum("obs").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    cell_micro = F.round(
+        (F.col("obs") - exp) * (F.col("obs") - exp) / exp * 1e6
+    ).cast("long")
+    return tot.agg(
+        F.round(F.sum(cell_micro) / 1e6, 6).alias("chi2"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        ).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 1e3) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(SUM(CAST(ROUND(value * 1e3) AS BIGINT)
+                      * CAST(ROUND(value * 1e3) AS BIGINT)) AS BIGINT)
+               AS ss
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN grp = 'click' THEN n END) AS n1,
+        MAX(CASE WHEN grp = 'purchase' THEN n END) AS n2,
+        MAX(CASE WHEN grp = 'click' THEN s END) AS s1,
+        MAX(CASE WHEN grp = 'purchase' THEN s END) AS s2,
+        MAX(CASE WHEN grp = 'click' THEN ss END) AS ss1,
+        MAX(CASE WHEN grp = 'purchase' THEN ss END) AS ss2
+      FROM g
+    )
+    SELECT n1, n2,
+      ROUND(s1 / (1e3 * n1) - s2 / (1e3 * n2), 6) AS mean_diff,
+      ROUND(
+        (s1 / (1e3 * n1) - s2 / (1e3 * n2))
+        / sqrt(
+            ((ss1 - s1 / CAST(n1 AS DOUBLE) * s1) / (n1 - 1)) / 1e6 / n1
+          + ((ss2 - s2 / CAST(n2 AS DOUBLE) * s2) / (n2 - 1)) / 1e6 / n2
+        ), 6) AS t_stat
+    FROM w
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: click vs purchase event
+    values. The entire test reduces to SIX numbers per group — n,
+    sum, sum-of-squares — all integer (milli-quantized values), so
+    the data-sized pass is one partial-aggregable groupBy and the
+    statistic is computed on the driver-sized 2-row result with one
+    identical IEEE expression tree in both engines (sqrt and division
+    are correctly rounded ops; only cross-row SUMS are
+    order-sensitive, and those are integer here)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    v = F.round(F.col("value") * 1e3).cast("long")
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    w = g.agg(
+        *[
+            F.max(
+                F.when(F.col("grp") == grp, F.col(c))
+            ).alias(f"{c}{i}")
+            for i, grp in ((1, "click"), (2, "purchase"))
+            for c in ("n", "s", "ss")
+        ]
+    )
+    mean_diff = F.col("s1") / (F.lit(1e3) * F.col("n1")) - F.col("s2") / (
+        F.lit(1e3) * F.col("n2")
+    )
+    var_over_n = lambda s, ss, n: (  # noqa: E731
+        (F.col(ss) - F.col(s) / F.col(n).cast("double") * F.col(s))
+        / (F.col(n) - 1)
+    ) / F.lit(1e6) / F.col(n)
+    t = mean_diff / F.sqrt(
+        var_over_n("s1", "ss1", "n1") + var_over_n("s2", "ss2", "n2")
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+@query(
+    "q_ewma_dyadic",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 1e3) AS BIGINT) AS v
+      FROM events
+    ), arr AS (
+      SELECT event_id, user_id,
+             list(v) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW
+             ) AS vs
+      FROM q
+    )
+    SELECT event_id, user_id,
+           ROUND(
+             CAST(list_sum(list_transform(
+               vs, (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1))
+             )) AS BIGINT)
+             / (((CAST(1 AS BIGINT) << len(vs)) - 1) * 1e3), 6
+           ) AS ewma
+    FROM arr
+    """,
+)
+def q_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trailing average (alpha = 1/2) of each
+    user's event values over the last 16 events — EWMA made
+    hash-exact: dyadic weights 2^k are exact integers, the weighted
+    numerator is an integer fold over the frame (collect_list
+    preserves frame order in both engines), and the single
+    normalizing division happens once at the end. No transcendentals,
+    no cross-row float sums. The window is ONE shuffle on user_id;
+    the fold is a JVM-side higher-order function, not a UDF."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        -15, 0
+    )
+    q = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1e3).cast("long").alias("v"),
+    )
+    arr = q.select(
+        "event_id", "user_id", F.collect_list("v").over(w).alias("vs")
+    )
+    num = F.expr(
+        """aggregate(
+             vs,
+             named_struct('s', CAST(0 AS BIGINT), 'w', CAST(1 AS BIGINT)),
+             (acc, x) -> named_struct('s', acc.s + x * acc.w,
+                                      'w', acc.w * 2),
+             acc -> acc.s)"""
+    )
+    den = (
+        F.expr("shiftleft(CAST(1 AS BIGINT), size(vs))") - 1
+    ).cast("double") * 1e3
+    return arr.select(
+        "event_id",
+        "user_id",
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(median(CAST(ROUND(value * 1e3) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) / 1e3, 6) AS med
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median of each user's last 7 event values —
+    percentile(0.5) as a frame-bounded window aggregate (Spark's
+    exact percentile, not approx_percentile; DuckDB's median).
+    Integer milli-quantized inputs make the even-count midpoint
+    interpolation identical in both engines. One shuffle on user_id;
+    the per-frame sort is bounded by the 7-row frame, not the
+    partition."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        -6, 0
+    )
+    v = F.round(F.col("value") * 1e3).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile(v, F.lit(0.5)).over(w) / 1e3, 6).alias(
+            "med"
+        ),
+    )
+
+
+@query(
+    "q_anomaly_rolling_z",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 1e3) AS BIGINT) AS v
+      FROM events
+    ), stats AS (
+      SELECT event_id, user_id, v,
+             CAST(COUNT(v) OVER trail AS BIGINT) AS n,
+             CAST(SUM(v) OVER trail AS BIGINT) AS s,
+             CAST(SUM(v * v) OVER trail AS BIGINT) AS ss
+      FROM q
+      WINDOW trail AS (
+        PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_id, user_id, n
+    FROM stats
+    WHERE n >= 8
+      AND (n * v - s) * (n * v - s) * (n - 1)
+          > 9 * n * (n * ss - s * s)
+    """,
+)
+def q_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value
+    deviates more than 3 sample standard deviations from the mean of
+    the SAME user's previous <= 20 events (current row excluded — no
+    self-contamination; warm-up rows with < 8 priors are not judged).
+    The 3-sigma test is done entirely in integer arithmetic by
+    cross-multiplying the squared z inequality — no sqrt, no float
+    comparison at the decision boundary, so the flag set is
+    bit-reproducible. One shuffle on user_id; trailing sums are
+    frame-bounded running aggregates."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        -20, -1
+    )
+    v = F.round(F.col("value") * 1e3).cast("long")
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.count("*").over(w).alias("n"),
+        F.sum(v).over(w).alias("s"),
+        F.sum(v * v).over(w).alias("ss"),
+    )
+    nv_s = F.col("n") * F.col("v") - F.col("s")
+    return stats.filter(
+        (F.col("n") >= 8)
+        & (
+            nv_s * nv_s * (F.col("n") - 1)
+            > 9 * F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        )
+    ).select("event_id", "user_id", "n")
+
+
+_RECURSIVE_REACH_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), sym AS (
+  SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e
+), seed AS (
+  SELECT MIN(s) AS v FROM e
+), reach(node, hop) AS (
+  SELECT v, 0 FROM seed
+  UNION ALL
+  SELECT DISTINCT sym.d, reach.hop + 1
+  FROM reach JOIN sym ON sym.s = reach.node
+  WHERE reach.hop < 3
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+FROM reach GROUP BY node
+"""
+
+
+@query("q_sql_recursive_reach", oracle=_RECURSIVE_REACH_SQL)
+def q_sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance (<= 3 hops) from the minimum part over the
+    co-purchase graph as ONE recursive CTE — the same ANSI
+    ``WITH RECURSIVE`` text runs verbatim on Spark 4's recursive-CTE
+    support and on DuckDB. The recursive step is level-synchronous
+    with DISTINCT (Spark's recursion supports UNION ALL only, so the
+    frontier dedup is in the step and the final MIN(hop) collapses
+    re-visits — each node appears at most once per hop level, keeping
+    every iteration bounded by |V|, not by path count)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+@query(
+    "q_embedding_norm_stats",
+    oracle="""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(ROUND(list_sum(list_transform(
+        embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      )) * 1e4) AS BIGINT)) AS BIGINT) AS norm2_q,
+      ROUND(SUM(CAST(ROUND(list_sum(list_transform(
+        embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      )) * 1e4) AS BIGINT)) / (1e4 * COUNT(*)), 6) AS avg_norm2
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm profile — the vector-column health
+    check run before any ANN/dedup pass (unnormalized vectors break
+    cosine shortcuts). The per-row squared norm is a JVM-side
+    higher-order fold over array<float> (transform + aggregate — no
+    Python, no shuffle), left-to-right like DuckDB's list_sum, cast
+    element-wise to double first so both engines square identical
+    doubles; each ROW's norm is then quantized to an integer before
+    the cross-row sum, which is the order-independent part. One
+    partial-aggregable groupBy on label."""
+    emb = table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * x,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_q = F.round(sumsq * 1e4).cast("long")
+    return (
+        emb.select("label", norm_q.alias("nq"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("nq").alias("norm2_q"),
+        )
+        .select(
+            "label",
+            "n",
+            "norm2_q",
+            F.round(
+                F.col("norm2_q") / (F.lit(1e4) * F.col("n")), 6
+            ).alias("avg_norm2"),
+        )
+    )

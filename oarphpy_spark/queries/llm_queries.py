@@ -1131,6 +1131,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_component_sizes",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cc AS (SELECT node, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+    per_cluster AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM cc GROUP BY cluster_id
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM per_cluster GROUP BY cluster_size
+    """,
+)
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size distribution of the near-dup graph — the
+    one-glance dedup health check (a giant component means boilerplate
+    is bridging unrelated documents; all-singletons means the
+    candidate generation is too strict). Built on the same
+    large-star/small-star closure as q_dedup_clusters, then TWO tiny
+    aggregations: per-cluster size, then size histogram — both
+    partial-aggregable, output bounded by the number of distinct
+    sizes. The singleton count falls out of the same left join +
+    coalesce that restores isolated docs."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+    per_cluster = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+@query(
     "q_multimodal_frames",
     oracle="""
     WITH b AS (
