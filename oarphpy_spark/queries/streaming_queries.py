@@ -352,3 +352,92 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_stream_interval_join_sink",
         output_mode="append",
     )
+
+
+@query(
+    "q_stream_late_data",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    GROUP BY 1
+    """,
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA DROP under the exact oracle: a 3-batch feed
+    — the on-time events split in two, then a full REPLAY of every
+    event older than (max ts - 2 days) posing as a late/duplicate
+    delivery — drained with maxFilesPerTrigger=1 so each file is its
+    own micro-batch in mtime order. By the replay batch the watermark
+    (10-minute delay) is days ahead of every replayed row, so the
+    state store discards ALL of them (observable as
+    numRowsDroppedByWatermark); the emitted tumbling counts equal the
+    batch aggregate over the ORIGINAL events only — if even one
+    replayed row survived, its window would double-count and the
+    value hash would diverge. The on-time feed is split in two
+    because Spark's late-record filter applies the watermark with a
+    one-trigger lag (the batch-N filter uses the watermark computed
+    before batch N-1 finished): a replay in batch 1 would still be
+    absorbed; by batch 2 the filter is armed. This is the eviction
+    semantics that bounds aggregation state at 100 TB/day: without
+    the drop, every hourly window ever seen stays resident forever.
+    Output: finalized windows only (append mode — window end at or
+    below the final watermark)."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oarphpy_spark.tables import table
+    from oarphpy_spark.util.fs import scratch_dir
+
+    work = os.path.join(
+        scratch_dir(), f"oarphpy_spark_stream_late_{os.getpid()}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        ev = table(spark, sf_dir, "events").select("event_id", "ts")
+        mx = ev.agg(F.max("ts")).collect()[0][0]
+        parts = [
+            ("a1", ev.filter(F.col("event_id") % 2 == 0), 300),
+            ("a2", ev.filter(F.col("event_id") % 2 == 1), 200),
+            (
+                "b",
+                ev.filter(
+                    F.col("ts") < F.lit(mx) - F.expr("INTERVAL 2 DAYS")
+                ),
+                100,
+            ),
+        ]
+        now = time.time()
+        for name, df, age in parts:
+            tmp = os.path.join(work, f"tmp_{name}")
+            df.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(feed, f"{name}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now - age, now - age))
+        stream = (
+            spark.readStream.schema("event_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.unix_micros("w.start").alias("window_start_us"), "n"
+            )
+        )
+        out = run_to_memory_sink(
+            agg, "q_stream_late_data_sink", output_mode="append"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
