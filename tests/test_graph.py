@@ -286,3 +286,56 @@ def test_label_propagation_two_cliques(spark):
     got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
     assert all(got[v] == 0 for v in range(4))
     assert all(got[v] == 10 for v in range(11, 14))
+
+
+def test_sssp_matches_dijkstra_brute_force(spark):
+    """Bounded-round Bellman-Ford == brute-force shortest paths on a
+    small weighted graph once rounds >= diameter; extra rounds are
+    no-ops by monotonicity."""
+    import heapq
+
+    from oarphpy_spark.llm.graph import sssp
+
+    edges = [
+        (1, 2, 4), (1, 3, 1), (3, 2, 1), (2, 4, 2),
+        (3, 4, 9), (4, 5, 3), (6, 7, 2),  # 6-7: unreachable from 1
+    ]
+    df = spark.createDataFrame(edges, "s long, d long, w long")
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    dist = {1: 0}
+    pq = [(0, 1)]
+    while pq:
+        c, u = heapq.heappop(pq)
+        if c > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj[u]:
+            if c + w < dist.get(v, 1 << 60):
+                dist[v] = c + w
+                heapq.heappush(pq, (c + w, v))
+
+    for rounds in (4, 6):
+        got = {
+            r.node: r.dist
+            for r in sssp(df, 1, "s", "d", "w", rounds=rounds).collect()
+        }
+        assert got == dist, rounds
+
+
+def test_sssp_bounded_rounds_semantics(spark):
+    """With rounds < diameter the result is the min cost over paths
+    of <= rounds edges — the exact contract the SQL oracle unrolls."""
+    from oarphpy_spark.llm.graph import sssp
+
+    # chain 1-2-3-4 with weight 1 each; shortcut 1-4 with weight 10
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10)],
+        "s long, d long, w long",
+    )
+    got = {r.node: r.dist for r in sssp(df, 1, rounds=1, src="s", dst="d").collect()}
+    assert got == {1: 0, 2: 1, 4: 10}  # 3 unreached in one hop
+    got3 = {r.node: r.dist for r in sssp(df, 1, rounds=3, src="s", dst="d").collect()}
+    assert got3 == {1: 0, 2: 1, 3: 2, 4: 3}
