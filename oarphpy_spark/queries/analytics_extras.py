@@ -559,3 +559,178 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_norm2"),
         )
     )
+
+
+@query(
+    "q_token_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.token AS token, u.pos AS pos FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 string_split(lower(text), ' '),
+                 (x, i) -> {'token': x, 'pos': i}
+               )) AS u
+        FROM documents
+      )
+    ),
+    uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM toks GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks),
+    big AS (
+      SELECT a.token AS w1, b.token AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.token, b.token HAVING COUNT(*) >= 5
+    ),
+    btot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS b FROM (
+        SELECT COUNT(*) AS cnt
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.token, b.token
+      )
+    )
+    SELECT w1, w2, n_pair,
+           ROUND(((((CAST(n_pair AS DOUBLE) * (SELECT t FROM tot))
+                    / (SELECT b FROM btot)) * (SELECT t FROM tot))
+                  / u1.n_tok) / u2.n_tok, 4) AS pmi_lift
+    FROM big
+    JOIN uni u1 ON u1.token = w1
+    JOIN uni u2 ON u2.token = w2
+    """,
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise-mutual-information LIFT
+    p(w1,w2)/(p(w1)p(w2)) for every adjacent token bigram occurring
+    >= 5 times — the statistic behind phrase/merge-rule discovery in
+    tokenizer training (reported as the raw lift ratio, not its log:
+    monotone-equivalent and free of transcendental parity concerns).
+    Scale shape: ONE posexplode pass feeds both the unigram count and
+    the bigram self-join keyed on (doc_id, pos+1) — co-partitioned on
+    doc_id, so bigram formation never leaves the document's
+    partition; unigram totals join back onto the >= 5 survivors only.
+    The lift is one fixed-shape double expression over integer
+    counts, identical in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    from oarphpy_spark.functions.text import norm_tokens
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(norm_tokens(F.col("text"))).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    uni = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
+    tot = toks.agg(F.count("*").alias("t"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.token").alias("w1"), F.col("b.token").alias("w2")
+    )
+    big_all = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    btot = big_all.agg(F.sum("n_pair").alias("b"))
+    big = big_all.filter(F.col("n_pair") >= 5)
+    u1 = uni.select(
+        F.col("token").alias("w1"), F.col("n_tok").alias("n1")
+    )
+    u2 = uni.select(
+        F.col("token").alias("w2"), F.col("n_tok").alias("n2")
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("t")
+                / F.col("b")
+                * F.col("t")
+                / F.col("n1")
+                / F.col("n2"),
+                4,
+            ).alias("pmi_lift"),
+        )
+    )
+
+
+@query(
+    "q_grouped_linreg",
+    oracle="""
+    WITH g AS (
+      SELECT (SELECT MIN(epoch_us(ts)) FROM events) AS t0
+    ), q AS (
+      SELECT event_type,
+             (epoch_us(ts) - (SELECT t0 FROM g)) // 60000000 AS x,
+             CAST(ROUND(value * 1e3) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+      ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            / 1e3, 6) AS slope_per_min,
+      ROUND(sy / (1e3 * n)
+            - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              / 1e3 * (sx / CAST(n AS DOUBLE)), 6) AS intercept
+    FROM s
+    """,
+)
+def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ordinary-least-squares trend of value over time
+    (is the metric drifting, per segment?) computed ENTIRELY from
+    sufficient statistics: one partial-aggregable groupBy collecting
+    (n, Σx, Σy, Σxy, Σx²) as exact integers — x in whole minutes from
+    the corpus start, y milli-quantized, ranges chosen so Σx² stays in
+    int64 at 100x this data — then slope and intercept as one shared
+    double expression over the 5-row aggregate. The regression over a
+    100 TB table costs exactly one aggregation pass; nothing iterates,
+    nothing collects."""
+    ev = table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    q = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.expr(
+            "CAST((unix_micros(ts) - t0) DIV 60000000 AS BIGINT)"
+        ).alias("x"),
+        F.round(F.col("value") * 1e3).cast("long").alias("y"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (
+        (nd * F.col("sxy") - sxd * F.col("sy"))
+        / (nd * F.col("sxx") - sxd * F.col("sx"))
+        / F.lit(1e3)
+    )
+    intercept = F.col("sy") / (F.lit(1e3) * F.col("n")) - slope * (
+        F.col("sx") / nd
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_min"),
+        F.round(intercept, 6).alias("intercept"),
+    )
