@@ -272,8 +272,14 @@ def sssp(
 
     ``source`` is a literal node id. Returns (node, dist) for nodes
     reachable within ``rounds`` hops; dist is LONG when weights are
-    integral (exact — no float accumulation along paths).
+    integral (exact — no float accumulation along paths). Duplicate
+    input edges are tolerated without a dedup pass (MIN-relaxation is
+    idempotent), and the seed frontier is a literal single row — the
+    loop never scans the node universe.
     """
+    # No dedup pass: duplicate edges cannot change a MIN-relaxation,
+    # so the symmetric union ships straight into the partitioned cache
+    # (one less full shuffle than a distinct would cost).
     sym = (
         edges.select(
             F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight)
@@ -283,16 +289,13 @@ def sssp(
                 F.col(dst).alias("s"), F.col(src).alias("d"), F.col(weight)
             )
         )
-        .distinct()
         .repartition("s")
         .persist()
     )
-    dist = (
-        sym.select(F.col("s").alias("node"))
-        .unionByName(sym.select(F.col("d").alias("node")))
-        .distinct()
-        .filter(F.col("node") == F.lit(source))
-        .withColumn("dist", F.lit(0).cast("long"))
+    # Seed is ONE literal row — no node-universe scan to filter it out
+    # of (the frontier only ever holds reached nodes anyway).
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist long"
     )
     for _ in range(rounds):
         relaxed = (

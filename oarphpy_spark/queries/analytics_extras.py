@@ -505,7 +505,11 @@ def q_sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     with DISTINCT (Spark's recursion supports UNION ALL only, so the
     frontier dedup is in the step and the final MIN(hop) collapses
     re-visits — each node appears at most once per hop level, keeping
-    every iteration bounded by |V|, not by path count)."""
+    every iteration bounded by |V|, not by path count; measured, the
+    recursion joins dominate and pre-caching the edge CTE does not
+    move the wall clock). The DataFrame-native BFS with explicit
+    partitioning control is q_sssp/q_nhop_reach; this one certifies
+    the SQL surface."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_REACH_SQL)
 
