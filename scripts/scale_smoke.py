@@ -51,6 +51,10 @@ EXTRA_SCALE = [f"q_sql_tpch_q{i}" for i in range(1, 23)] + [
     "q_triangle_count",  # degree-oriented wedge join (round 6)
     "q_kcore",           # iterative peel to fixpoint (round 6)
     "q_set_similarity_join",  # prefix-filtered exact Jaccard (round 6)
+    "q_sssp",            # 4-round Bellman-Ford (round 7)
+    "q_assoc_rules",     # basket-bounded pair expansion (round 7)
+    "q_token_pmi",       # posexplode + positional self-join (round 7)
+    "q_component_sizes",  # CC + size histogram (round 7)
 ]
 
 DIM_TABLES = ("region", "nation", "supplier", "part")
