@@ -738,3 +738,138 @@ def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_min"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS h, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT epoch_us(h) AS bar_start_us,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM r GROUP BY h
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over the event stream — the canonical
+    downsampling rollup for metric/financial feeds. Open/close are
+    ORDERED aggregates expressed as min_by/max_by on a (ts, event_id)
+    struct key (event_id breaks exact-timestamp ties
+    deterministically), which partial-aggregates — each map task
+    forwards one candidate per bar, no sort, no window — while the
+    oracle restates them as row_number picks. High/low/volume are
+    plain partial aggregates. One shuffle on the bar key; values are
+    single picked doubles (no cross-row float sums), so no rounding
+    is needed for parity."""
+    ev = table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(h.alias("h")).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close_v"),
+        F.count("*").alias("volume"),
+    ).select(
+        F.unix_micros("h").alias("bar_start_us"),
+        "open",
+        "high",
+        "low",
+        "close_v",
+        "volume",
+    )
+
+
+@query(
+    "q_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts + INTERVAL 30 MINUTE) AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), numbered AS (
+      SELECT *, SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), islands AS (
+      SELECT user_id, island,
+             MIN(s) AS island_s, MAX(e) AS island_e
+      FROM numbered GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(island_e - island_s) AS BIGINT) AS covered_us,
+           CAST(COUNT(*) AS BIGINT) AS n_islands
+    FROM islands GROUP BY user_id
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event opens a 30-minute activity
+    interval; per user, the total UNION length (overlaps merged) and
+    the number of disjoint activity islands — the 'how much wall-clock
+    was this user active' metric that naive SUM(duration) inflates
+    wherever intervals overlap. The classic sweep, relationalized: a
+    running MAX of interval ends (prior rows only) marks island
+    starts, a running SUM numbers islands, one aggregate per island,
+    one per user — three frame-bounded windows and two
+    partial-aggregable groupBys, all keyed on user_id, ONE shuffle
+    total (every window and groupBy shares the user_id partitioning).
+    All arithmetic in integer epoch-µs."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        F.unix_micros(
+            F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+        ).alias("e"),
+    )
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_e = F.max("e").over(w_prior)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    numbered = flagged.withColumn(
+        "island", F.sum("new_island").over(w_run)
+    )
+    islands = numbered.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum(F.col("island_e") - F.col("island_s")).alias("covered_us"),
+        F.count("*").alias("n_islands"),
+    )
