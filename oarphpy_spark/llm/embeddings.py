@@ -41,3 +41,51 @@ def quantize_int8(
         q.alias("q"),
         F.when(norm > 0, norm / 127.0).alias("inv_scale"),
     )
+
+
+def covariance_partials(
+    df: DataFrame, vec_col: str = "embedding", scale: float = 1e4
+) -> DataFrame:
+    """Per-Arrow-batch INTEGER partial sufficient statistics for the
+    embedding covariance matrix: each batch contributes one numpy
+    int64 Gram matrix Q^T Q (upper triangle), the per-dimension column
+    sums, and a row count — the classic 'covariance in one pass'
+    decomposition, vectorized batch-side so the shuffle carries
+    O(batches x d^2) tiny rows instead of O(rows x d^2) expanded
+    pairs.
+
+    Elements are quantized to integers (``round(x * scale)``) BEFORE
+    any arithmetic, so partials combine exactly under addition — the
+    property float partials lack (summation-order drift) and the
+    reason the result can sit under a value-hash oracle. Row encoding:
+    ``(i, j, s)`` with 0-based dims for Gram cells (i <= j),
+    ``(i, -1, s)`` for column sums, ``(-1, -1, n)`` for counts;
+    ``groupBy(i, j).sum`` finishes the reduction.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.rint(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                * scale
+            ).astype(np.int64)
+            gram = q.T @ q
+            d = gram.shape[0]
+            iu, ju = np.triu_indices(d)
+            out_i = np.concatenate([iu, np.arange(d), [-1]])
+            out_j = np.concatenate([ju, np.full(d, -1), [-1]])
+            out_s = np.concatenate(
+                [gram[iu, ju], q.sum(axis=0), [len(pdf)]]
+            )
+            yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
+
+    parts = df.select(vec_col).mapInPandas(
+        partials, schema="i int, j int, s long"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("s").alias("s"))

@@ -873,3 +873,91 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("island_e") - F.col("island_s")).alias("covered_us"),
         F.count("*").alias("n_islands"),
     )
+
+
+@query(
+    "q_embedding_covariance",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    el AS (
+      SELECT vec_id, u.i AS i, u.v AS v FROM (
+        SELECT vec_id,
+               unnest(list_transform(
+                 qv, (x, k) -> {'i': k - 1, 'v': x}
+               )) AS u
+        FROM q
+      )
+    ),
+    marg AS (SELECT i, CAST(SUM(v) AS BIGINT) AS s FROM el GROUP BY i),
+    pair AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s_ij
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j, p.s_ij,
+           ROUND(
+             (CAST(p.s_ij AS DOUBLE)
+              - CAST(ma.s AS DOUBLE) * CAST(mb.s AS DOUBLE)
+                / (SELECT n FROM tot))
+             / ((SELECT n FROM tot) - 1) / 1e8, 8) AS cov
+    FROM pair p
+    JOIN marg ma ON ma.i = p.i
+    JOIN marg mb ON mb.i = p.j
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT covariance matrix of the embedding corpus (upper
+    triangle, d(d+1)/2 rows) — the one-pass sufficient-statistics
+    shape behind PCA/whitening at corpus scale. Engine side:
+    ``llm/embeddings.covariance_partials`` computes one numpy int64
+    Gram matrix PER ARROW BATCH (a single matmul — vectorized, no
+    Python loop) and ships O(batches x d^2) integer partial rows;
+    integer quantization before any arithmetic makes the partials
+    combine exactly, so the distributed sum is bit-equal to the
+    oracle's O(rows x d^2) element self-join — the plan the batch
+    decomposition exists to avoid. The covariance itself is one
+    shared double expression over exact integer sums."""
+    from oarphpy_spark.llm.embeddings import covariance_partials
+
+    emb = table(spark, sf_dir, "embeddings")
+    sums = covariance_partials(emb, "embedding", scale=1e4)
+    n_df = (
+        sums.filter((F.col("i") == -1) & (F.col("j") == -1))
+        .select(F.col("s").alias("n"))
+    )
+    marg = sums.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("mi"), F.col("s").alias("ms")
+    )
+    pairs = sums.filter(F.col("j") >= 0).select(
+        "i", "j", F.col("s").alias("s_ij")
+    )
+    ma = marg.select(F.col("mi").alias("i"), F.col("ms").alias("s_a"))
+    mb = marg.select(F.col("mi").alias("j"), F.col("ms").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            "s_ij",
+            F.round(
+                (
+                    F.col("s_ij").cast("double")
+                    - F.col("s_a").cast("double")
+                    * F.col("s_b").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+                / F.lit(1e8),
+                8,
+            ).alias("cov"),
+        )
+    )
