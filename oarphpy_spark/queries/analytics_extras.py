@@ -961,3 +961,64 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tsu,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+      FROM events
+    ), lat AS (
+      SELECT tsu - last_click_us AS latency_us
+      FROM marked
+      WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(quantile_cont(latency_us, 0.5), 1) AS p50_us,
+           ROUND(quantile_cont(latency_us, 0.9), 1) AS p90_us,
+           CAST(MAX(latency_us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase conversion latency: for every purchase, the
+    time since the same user's most recent PRIOR click (a conditional
+    running MAX over the user's ordered history — no self-join, no
+    per-pair expansion), then exact p50/p90/max over the integer-µs
+    latencies. One shuffle on user_id for the window; the percentile
+    runs over one latency row per conversion. Spark's exact
+    percentile and DuckDB's quantile_cont both interpolate linearly,
+    and the inputs are exact integers, so the quantiles agree to the
+    rounded decimal."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(w)
+    lat = (
+        ev.select(
+            "event_type",
+            F.unix_micros("ts").alias("tsu"),
+            last_click.alias("last_click_us"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_us").isNotNull()
+        )
+        .select((F.col("tsu") - F.col("last_click_us")).alias("latency_us"))
+    )
+    return lat.agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.percentile("latency_us", F.lit(0.5)), 1).alias("p50_us"),
+        F.round(F.percentile("latency_us", F.lit(0.9)), 1).alias("p90_us"),
+        F.max("latency_us").alias("max_us"),
+    )
