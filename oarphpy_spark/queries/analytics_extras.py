@@ -1022,3 +1022,100 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("latency_us", F.lit(0.9)), 1).alias("p90_us"),
         F.max("latency_us").alias("max_us"),
     )
+
+
+@query(
+    "q_hll_relational",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+      FROM documents
+    ), reg AS (
+      SELECT hv % 256 AS bucket,
+             CASE WHEN hv // 256 = 0 THEN 53
+                  ELSE 53 - length(to_base(hv // 256, 2)) END AS rho
+      FROM h
+    ), occ AS (SELECT bucket, MAX(rho) AS mb FROM reg GROUP BY bucket),
+    full_reg AS (
+      SELECT g.range AS bucket, COALESCE(occ.mb, 0) AS mb
+      FROM range(256) g LEFT JOIN occ ON occ.bucket = g.range
+    ), s AS (
+      SELECT CAST(SUM(CAST(CAST(2 AS BIGINT) ** (60 - mb)
+                           AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS ssum,
+             CAST(SUM(CASE WHEN mb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty
+      FROM full_reg
+    )
+    SELECT
+      ROUND(0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+            * pow(CAST(2 AS DOUBLE), 60) / CAST(ssum AS DOUBLE), 4)
+        AS hll_estimate,
+      n_empty AS n_empty_registers,
+      (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents)
+        AS n_exact
+    FROM s
+    """,
+)
+def q_hll_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog implemented as a PURE relational plan — no sketch
+    library, no UDF, and (because the register assignment is
+    deterministic md5 bit-slicing) the estimate ITSELF sits under the
+    exact value-hash oracle, unlike engine-native approx sketches
+    whose internals differ per engine. Mechanics: 60-bit hash -> low
+    8 bits pick one of m=256 registers, the leading-zero rank rho of
+    the remaining 52 bits (via the bit-length of its binary string —
+    no log2, no float) max-aggregates per register — ONE
+    partial-aggregable groupBy whose shuffle carries at most m rows
+    per map task regardless of input size, which is the whole point
+    of HLL at 100 TB. The harmonic denominator is an EXACT decimal
+    sum of the dyadic terms 2^(60-M); the raw estimate
+    alpha * m^2 / sum(2^-M) follows as one shared double expression.
+    Raw HLL only (no small/large-range corrections — those need ln;
+    n_empty_registers is reported so a caller can apply linear
+    counting); the exact distinct count rides along for calibration
+    (documents carry duplicates by construction)."""
+    docs = table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15),
+                16, 10).cast("long")
+    # hi == (hv div 256) * 256 exactly, so when hi > 0 the bit length
+    # of (hv div 256) is length(bin(hi)) - 8 — pure integer ops, no
+    # division anywhere near the 2^52 double-precision edge.
+    hi = hv - (hv % 256)
+    reg = docs.select(
+        (hv % 256).alias("bucket"),
+        F.when(hi == 0, F.lit(53))
+        .otherwise(F.lit(61) - F.length(F.bin(hi)))
+        .alias("rho"),
+    )
+    occ = reg.groupBy("bucket").agg(F.max("rho").alias("mb"))
+    full_reg = (
+        spark.range(256).select(F.col("id").alias("bucket"))
+        .join(F.broadcast(occ), "bucket", "left")
+        .select(F.coalesce("mb", F.lit(0)).alias("mb"))
+    )
+    s = full_reg.agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - mb) "
+                   "AS DECIMAL(38,0))")
+        ).cast("decimal(38,0)").alias("ssum"),
+        F.sum(F.when(F.col("mb") == 0, 1).otherwise(0))
+        .cast("long").alias("n_empty"),
+    )
+    n_exact = docs.agg(
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+            "n_exact"
+        )
+    )
+    est = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / 256)
+        * 256
+        * 256
+        * F.pow(F.lit(2.0), 60)
+        / F.col("ssum").cast("double")
+    )
+    return s.crossJoin(F.broadcast(n_exact)).select(
+        F.round(est, 4).alias("hll_estimate"),
+        F.col("n_empty").alias("n_empty_registers"),
+        "n_exact",
+    )
