@@ -1119,3 +1119,99 @@ def q_hll_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_empty").alias("n_empty_registers"),
         "n_exact",
     )
+
+
+@query(
+    "q_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS rn
+      FROM numbered
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ranked WHERE rn <= 5
+      GROUP BY user_id, session_id
+    ), counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY n_sessions DESC, path) AS rk
+      FROM counted
+    ) WHERE rk <= 20
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey prefixes: sessionize per user (30-min
+    gap), take each session's first <= 5 event types IN ORDER, count
+    identical paths — the lightweight sequence-pattern pass behind
+    'what do users actually do' funnels, bounded at prefix length 5
+    so path cardinality can't explode. All ordering is pinned by
+    (ts, event_id), so the path strings are deterministic. Engine
+    side builds the ordered path with sort_array over collected
+    (ts, event_id, type) structs — lexicographic struct sort equals
+    the SQL ORDER BY — then one count aggregate and a
+    TakeOrderedAndProject for the top 20 (ties broken by path)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap.isNull() | (gap > 30 * 60), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ranked = numbered.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                "ts", "event_id"
+            )
+        ),
+    ).filter(F.col("rn") <= 5)
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count("*").alias("n_sessions")
+    )
+    return counted.orderBy(
+        F.col("n_sessions").desc(), "path"
+    ).limit(20)
