@@ -1215,3 +1215,64 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.orderBy(
         F.col("n_sessions").desc(), "path"
     ).limit(20)
+
+
+@query(
+    "q_pi_deterministic",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM range(100000)
+    ), xy AS (
+      SELECT h % 1073741824 AS x, h // 1073741824 AS y FROM pts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN x * x + y * y
+                              < CAST(1073741824 AS BIGINT)
+                                * 1073741824
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           ROUND(4.0 * SUM(CASE WHEN x * x + y * y
+                                     < CAST(1073741824 AS BIGINT)
+                                       * 1073741824
+                                THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS pi_est
+    FROM xy
+    """,
+)
+def q_pi_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo pi with HASH-DERIVED uniforms — the exact-oracle
+    twin of the reference-fidelity q_monte_carlo_pi (reference
+    `oarphpy_test/test_spark.py` estimates pi with RDD-parallelized
+    random darts, which no second engine can replay). Each index i in
+    range(100k) hashes to a 60-bit value split into two 30-bit
+    coordinates; the in-circle test is pure integer arithmetic, so
+    both engines count the identical dart set and the estimate itself
+    hash-checks (the DOULION trick from q_triangle_count_sampled
+    applied to the reference's own demo). Embarrassingly parallel:
+    range -> project -> one aggregate, no shuffle beyond the final
+    1-row combine."""
+    r = spark.range(100000)
+    h = F.conv(
+        F.substring(F.md5(F.col("id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    two30 = 1 << 30
+    xy = r.select((h % two30).alias("x"), (h - h % two30).alias("ys"))
+    # ys = y * 2^30 exactly; compare x^2 + y^2 < 2^60 using y = ys/2^30
+    # without division: x*x + (ys/2^30)^2 < 2^60  <=>
+    # x*x * 2^60 + ys*ys < 2^120 — overflows; instead recover y by
+    # integer arithmetic (ys is a multiple of 2^30, exact in long).
+    y = (F.col("ys") / two30).cast("long")
+    inside = F.when(
+        F.col("x") * F.col("x") + y * y < F.lit(two30).cast("long") * two30,
+        1,
+    ).otherwise(0)
+    return xy.agg(
+        F.count("*").alias("n"),
+        F.sum(inside).cast("long").alias("n_inside"),
+        F.round(
+            F.lit(4.0) * F.sum(inside) / F.count("*"), 6
+        ).alias("pi_est"),
+    )
