@@ -441,3 +441,60 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_stream_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS h, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT epoch_us(h) AS bar_start_us,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM r GROUP BY h
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC bars — the q_ohlc_bars rollup as a watermarked
+    tumbling-window aggregation with ORDERED picks (min_by/max_by on
+    a (ts, event_id) struct) running inside the streaming state
+    store, drained availableNow under the same batch oracle. The
+    ordered-pick aggregates matter here: open/close in a stream
+    cannot come from a window sort (state is incremental), only from
+    a partial-aggregable argmin/argmax — which is exactly what
+    min_by/max_by give the state store. State per bar is one
+    (open-key, open, high, low, close-key, close, count) tuple,
+    bounded and watermark-evicted."""
+    from pyspark.sql import functions as F
+
+    feed = _events_feed(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        feed.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close_v"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("bar_start_us"),
+            "open",
+            "high",
+            "low",
+            "close_v",
+            "volume",
+        )
+    )
+    return run_to_memory_sink(agg, "q_stream_ohlc_sink")
