@@ -611,30 +611,39 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 5 times — the statistic behind phrase/merge-rule discovery in
     tokenizer training (reported as the raw lift ratio, not its log:
     monotone-equivalent and free of transcendental parity concerns).
-    Scale shape: ONE posexplode pass feeds both the unigram count and
-    the bigram self-join keyed on (doc_id, pos+1) — co-partitioned on
-    doc_id, so bigram formation never leaves the document's
-    partition; unigram totals join back onto the >= 5 survivors only.
+    Scale shape: bigram formation happens INSIDE each document's
+    token array (transform + explode over adjacent elements) — a pure
+    map-side operation with NO self-join and no shuffle before the
+    (w1, w2) count aggregate; unigram totals join back onto the >= 5
+    survivors only. The oracle restates bigrams as the classic
+    positional self-join, which is the plan the array form avoids.
     The lift is one fixed-shape double expression over integer
     counts, identical in both engines."""
     docs = table(spark, sf_dir, "documents")
     from oarphpy_spark.functions.text import norm_tokens
 
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(norm_tokens(F.col("text"))).alias("pos0", "token"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    uni = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
-    tot = toks.agg(F.count("*").alias("t"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("b.pos") == F.col("a.pos") + 1),
-    ).select(
-        F.col("a.token").alias("w1"), F.col("b.token").alias("w2")
+    toks_arr = docs.select(norm_tokens(F.col("text")).alias("toks"))
+    uni = (
+        toks_arr.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_tok"))
     )
+    tot = toks_arr.agg(F.sum(F.size("toks")).alias("t"))
+    # Bigrams are formed INSIDE the token array (element i paired with
+    # element i+1) — a map-side transform+explode, no positional
+    # self-join and no shuffle before the (w1, w2) count; the oracle
+    # keeps the relational self-join restatement.
+    pairs = toks_arr.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                lambda x, i: F.struct(
+                    x.alias("w1"),
+                    F.element_at(F.col("toks"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
     big_all = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
     btot = big_all.agg(F.sum("n_pair").alias("b"))
     big = big_all.filter(F.col("n_pair") >= 5)
