@@ -125,29 +125,43 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets: part pairs
     with support >= 2, both-direction confidence, and lift — the
-    A-Priori 2-pass shape. Scale design: baskets are DISTINCT
-    (order, part) so a part repeated within an order counts once; the
-    pair join is keyed on the order id, so per-order fanout is
-    C(basket_size, 2) — bounded by basket size, never by a part's
-    global frequency; the item-frequency table (one row per part) is
+    A-Priori 2-pass shape. Scale design: ONE groupBy builds each
+    order's sorted distinct part array (collect_set dedups in the
+    aggregate — no separate global DISTINCT), then the C(n,2) pair
+    expansion happens INSIDE the array, map-side — fanout bounded by
+    basket size, never by a part's global frequency, and there is no
+    basket self-join at all (the oracle restates pairs as the classic
+    self-join). The item-frequency table (one row per part) is
     broadcast to decorate surviving pairs. The support filter runs ON
     THE AGGREGATE before any per-item join, which is the a-priori
     prune: at 100 TB you'd add a first pass dropping infrequent items
-    before pair expansion — same plan with one more semi-join."""
+    before pair expansion — same plan with one more array_intersect."""
     li = table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    n_orders = b.select("o").distinct().count()
-    item = b.groupBy("p").agg(F.count("*").alias("n_item"))
-    x = b.alias("x")
-    y = b.alias("y")
-    pair = (
-        x.join(
-            y,
-            (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+    # ONE shuffle builds per-order sorted distinct part arrays; pair
+    # expansion then happens INSIDE each array (i < j, so pa < pb by
+    # sortedness) — map-side, bounded by basket size, no self-join.
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    n_orders = baskets.count()
+    item = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count("*").alias("n_item")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ps"), i + 2, F.size("ps") - (i + 1)
+                ),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
         )
-        .groupBy(F.col("x.p").alias("pa"), F.col("y.p").alias("pb"))
+    )
+    pair = (
+        baskets.select(F.explode(pair_structs).alias("pp"))
+        .groupBy(F.col("pp.pa").alias("pa"), F.col("pp.pb").alias("pb"))
         .agg(F.count("*").alias("n_pair"))
         .filter(F.col("n_pair") >= 2)
     )
