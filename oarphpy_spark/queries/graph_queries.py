@@ -374,3 +374,43 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "q_degree_distribution",
+    oracle=f"""
+    WITH e AS ({_COPURCHASE_EDGES_SQL}),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT s AS v FROM e UNION ALL SELECT d AS v FROM e
+      ) GROUP BY v
+    )
+    SELECT CAST(length(to_base(deg, 2)) AS BIGINT) AS deg_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg
+    FROM deg GROUP BY length(to_base(deg, 2))
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree distribution of the co-purchase graph — the
+    power-law fingerprint read before choosing skew strategies (a
+    heavy tail says salt the hub keys; a flat head says don't
+    bother). Bucket = bit length of the degree (integer, no log2
+    float), so both engines bin identically; two partial-aggregable
+    aggregations, output bounded by log2(max degree) rows. Pairs with
+    q_graph_profile the way a histogram pairs with summary stats."""
+    und = _copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("s").alias("v"))
+        .unionByName(und.select(F.col("d").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.groupBy(
+        F.length(F.bin("deg")).cast("long").alias("deg_bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )

@@ -417,3 +417,51 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_tolerance"
         ),
     )
+
+
+@query(
+    "q_join_salted_skew",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANUAL SALT-SPLIT of a skewed fact-dim join, proven
+    result-identical to the plain join by the exact oracle: the fact
+    side gains a deterministic salt (event_id % 8), the dim side is
+    exploded 8x with every salt value, and the join key becomes
+    (user_id, salt) — a hot user's rows now land on 8 reducers
+    instead of one. This is the technique for when AQE's skew-join
+    splitting can't apply (aggregation-after-join pipelines where the
+    skew is in the GROUP key, or non-AQE engines); with AQE on, the
+    adaptive plan handles moderate skew without the rewrite — the
+    operator documents the escape hatch and pins its correctness.
+    The 8x dim explosion is the cost: only worth it when the dim
+    side is broadcast-small (it is here) or the skew is severe."""
+    from oarphpy_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "value", (F.col("event_id") % 8).alias("salt")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_dim = cust.crossJoin(
+        spark.range(8).select(F.col("id").alias("salt"))
+    )
+    joined = ev.join(
+        F.broadcast(salted_dim),
+        (ev.user_id == salted_dim.c_custkey)
+        & (ev.salt == salted_dim.salt),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -146,3 +146,71 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_score_micro"),
     )
+
+
+@query(
+    "q_confusion_matrix",
+    oracle=f"""
+    WITH s AS ({_SCORED}
+    ), c AS (
+      SELECT
+        CAST(SUM(CASE WHEN s >= 0.0 AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN s >= 0.0 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN s < 0.0 AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN s < 0.0 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+      FROM s
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(tp / CAST(tp + fp AS DOUBLE), 6) AS precision_,
+           ROUND(tp / CAST(tp + fn AS DOUBLE), 6) AS recall_,
+           ROUND(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+    FROM c
+    """,
+)
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix + precision/recall/F1 over the
+    deterministic scores table (threshold 0.0) — the per-checkpoint
+    eval rollup that complements q_binary_auc's threshold-free view.
+    Four conditional counts in ONE partial-aggregable pass (no join,
+    no sort, shuffle carries 4 integers per map task); the derived
+    ratios are single divisions over exact integers. The F1 form
+    2TP/(2TP+FP+FN) avoids the precision*recall intermediate — one
+    division instead of three keeps both engines on one shared IEEE
+    expression."""
+    emb = table(spark, sf_dir, "embeddings")
+    s = F.round(F.element_at("embedding", 1).cast("double"), 6)
+    y = F.col("label") % 2
+    pred = s >= 0.0
+    c = emb.agg(
+        F.sum(F.when(pred & (y == 1), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(pred & (y == 0), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when(~pred & (y == 1), 1).otherwise(0))
+        .cast("long").alias("fn"),
+        F.sum(F.when(~pred & (y == 0), 1).otherwise(0))
+        .cast("long").alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6
+        ).alias("precision_"),
+        F.round(
+            F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"), 6
+        ).alias("recall_"),
+        F.round(
+            F.lit(2.0) * F.col("tp")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                "double"
+            ),
+            6,
+        ).alias("f1"),
+    )
