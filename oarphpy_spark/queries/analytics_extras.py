@@ -1299,3 +1299,66 @@ def q_pi_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(4.0) * F.sum(inside) / F.count("*"), 6
         ).alias("pi_est"),
     )
+
+
+@query(
+    "q_udtf_chunks",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               1, greatest(length(text), 1), 160)) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 160 AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, s, 200)) AS BIGINT) AS chunk_len,
+           md5(substr(text, s, 200)) AS chunk_hash
+    FROM ch
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-window chunking (200-char windows, 160-char stride)
+    through Spark 4's PYTHON UDTF surface — the table-function API
+    for one-row-to-many-rows Python logic, registered and invoked
+    via LATERAL in SQL. The UDTF runs Arrow-batched per partition
+    (scales like any map-side op: no shuffle until a downstream agg),
+    and because the chunk boundaries and hashes are deterministic
+    string arithmetic, the whole expansion sits under the exact
+    oracle — which restates it with generate_series + substr, the
+    pure-SQL plan you'd prefer when the per-chunk logic IS
+    SQL-expressible (the UDTF earns its keep when it isn't:
+    tokenizers, format-aware splitters). Sibling of the SQL-native
+    token chunker q_doc_chunking."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx long, chunk_len long, chunk_hash string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            import hashlib
+
+            if text is None:
+                return
+            # Always at least one chunk (empty text -> one empty
+            # chunk), matching generate_series(1, greatest(len, 1)).
+            n = len(text)
+            i = 0
+            while True:
+                chunk = text[i * 160 : i * 160 + 200]
+                yield (
+                    i,
+                    len(chunk),
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                )
+                i += 1
+                if i * 160 >= n:
+                    break
+
+    spark.udtf.register("oarphpy_chunk_doc", ChunkDoc)
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_len, c.chunk_hash
+        FROM documents d, LATERAL oarphpy_chunk_doc(d.text) c
+        """
+    )

@@ -95,3 +95,70 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     assert len(epochs) >= 1
     back = spark.read.parquet(os.path.join(out_dir, epochs[0]))
     assert {r["event_id"] for r in back.collect()} == {1, 2}
+
+
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    """The RocksDB state-store provider (the production backend for
+    large state — spillable, incremental-checkpointing) produces the
+    same windowed aggregates as the default HDFS-backed in-memory
+    provider. The provider is a per-query option via the checkpoint's
+    conf, set session-wide here and restored after."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(i, 1000 + 60 * i, i % 3) for i in range(300)],
+        "event_id long, epoch_s long, k long",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("epoch_s").alias("ts"),
+        "k",
+    ).write.parquet(feed)
+
+    def run(provider: str | None, sink: str):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            stream = spark.readStream.schema(
+                "event_id long, ts timestamp, k long"
+            ).parquet(feed)
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
+                .agg(F.count("*").alias("n"))
+                .select(
+                    F.unix_micros("w.start").alias("ws"), "k", "n"
+                )
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(str(tmp_path), f"ckpt_{sink}"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            return {
+                (r.ws, r.k): r.n for r in spark.table(sink).collect()
+            }
+        finally:
+            if prev is not None:
+                spark.conf.set(key, prev)
+            else:
+                spark.conf.unset(key)
+
+    default = run(None, "t_state_default")
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        "t_state_rocksdb",
+    )
+    assert default and rocks == default
