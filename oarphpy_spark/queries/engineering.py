@@ -503,3 +503,104 @@ def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_snapshot_time_travel",
+    oracle="""
+    WITH feed AS (
+      SELECT o_custkey AS k, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_orderkey AS last_order, ROUND(o_totalprice, 2) AS last_total
+      FROM orders
+    ),
+    v0 AS (
+      SELECT k, last_order, last_total FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+                  AS rn
+        FROM feed
+        WHERE seq <= (SELECT MAX(o_orderkey) // 2 FROM orders)
+      ) WHERE rn = 1 AND op = 'U'
+    ),
+    v1 AS (
+      SELECT k, last_order, last_total FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+                  AS rn
+        FROM feed
+      ) WHERE rn = 1 AND op = 'U'
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v0) AS n_keys_v0,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS n_keys_v1,
+           CAST(SUM(CASE WHEN v0.k IS NULL OR v1.k IS NULL
+                          OR v0.last_order <> v1.last_order
+                          OR v0.last_total <> v1.last_total
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+    FROM v0 FULL JOIN v1 ON v0.k = v1.k
+    """,
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT TIME TRAVEL over the copy-on-write upsert store: the
+    orders CDC feed is applied in two generations (even-seq changes,
+    then odd-seq), and BOTH versions are read back — gen=0 via
+    ``read_generation`` (the Delta/Iceberg 'VERSION AS OF' read) and
+    gen=1 via the CURRENT pointer — then diffed into one row:
+    key counts per version and how many keys changed between them.
+    The feed is split by sequence RANGE (not arbitrarily) because
+    cross-batch CDC correctness requires monotone sequence numbers —
+    a later batch always wins. The oracle restates each version as
+    latest-wins over the corresponding feed prefix, so the
+    generation store's versioning
+    semantics (not just its final state) are value-hash-checked.
+    Retention note: time travel reaches exactly ``keep_generations``
+    back; reading a pruned generation raises rather than serving the
+    wrong version."""
+    import shutil
+
+    from oarphpy_spark.streaming.upsert import (
+        read_generation,
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+    from oarphpy_spark.util.fs import scratch_dir
+
+    root = os.path.join(
+        scratch_dir(), f"oarphpy_spark_timetravel_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        feed = table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderkey") % 97 == 0, "D")
+            .otherwise("U").alias("op"),
+            F.col("o_orderkey").alias("last_order"),
+            F.round("o_totalprice", 2).alias("last_total"),
+        )
+        # Batches split by seq RANGE (first half, then the rest):
+        # foreachBatch CDC assumes sequence numbers are monotone
+        # ACROSS batches — a later batch's change wins uncondition-
+        # ally — so a parity split would be an invalid feed.
+        thr = feed.agg(
+            (F.max("seq") / 2).cast("long").alias("t")
+        ).collect()[0]["t"]
+        sink = upsert_snapshot_sink(root, "k", keep_generations=2)
+        sink(feed.filter(F.col("seq") <= thr), 0)
+        sink(feed.filter(F.col("seq") > thr), 1)
+        v0 = read_generation(spark, root, 0).alias("v0")
+        v1 = read_snapshot(spark, root).alias("v1")
+        joined = v0.join(v1, F.col("v0.k") == F.col("v1.k"), "full_outer")
+        changed = F.when(
+            F.col("v0.k").isNull()
+            | F.col("v1.k").isNull()
+            | (F.col("v0.last_order") != F.col("v1.last_order"))
+            | (F.col("v0.last_total") != F.col("v1.last_total")),
+            1,
+        ).otherwise(0)
+        out = joined.agg(
+            F.count(F.col("v0.k")).alias("n_keys_v0"),
+            F.count(F.col("v1.k")).alias("n_keys_v1"),
+            F.sum(changed).cast("long").alias("n_changed"),
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -65,6 +65,23 @@ def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(gen) if gen else None
 
 
+def read_generation(
+    spark: SparkSession, root: str, batch_id: int
+) -> DataFrame:
+    """TIME TRAVEL: read the snapshot as of generation ``batch_id``
+    (copy-on-write generations double as retained versions, exactly
+    as Delta/Iceberg snapshots do). Raises if that generation has
+    been pruned past ``keep_generations`` — an explicit error beats
+    silently serving a different version."""
+    gen = os.path.join(root, f"gen={batch_id}")
+    if not os.path.isdir(gen):
+        raise FileNotFoundError(
+            f"generation {batch_id} not present under {root!r} "
+            "(pruned past keep_generations, or never committed)"
+        )
+    return spark.read.parquet(gen)
+
+
 def _commit_pointer(root: str, gen_name: str) -> None:
     tmp = os.path.join(root, f".{_CURRENT}.tmp")
     with open(tmp, "w") as f:
