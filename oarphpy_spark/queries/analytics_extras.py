@@ -1362,3 +1362,40 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL oarphpy_chunk_doc(d.text) c
         """
     )
+
+
+@query(
+    "q_histogram_2d",
+    oracle="""
+    SELECT CAST(least(floor(l_quantity / 10), 4) AS BIGINT) AS qty_bin,
+           CAST(least(floor(l_discount * 20), 4) AS BIGINT) AS disc_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (quantity x discount, 5x5 fixed grid with
+    closed top bins) weighted by revenue — the joint-distribution
+    extension of the reference's 1-D ``df_histogram``
+    (reference ``oarphpy/plotting.py:97-166``), which is the heatmap
+    input for the same plotting layer. ONE aggregation pass: the
+    grid keys are pure column expressions, so partial aggregation
+    collapses to at most 25 rows per map task regardless of input
+    size — the property that makes fixed-grid histograms the right
+    first look at any 100 TB joint distribution (quantile-adaptive
+    binning needs a second pass, see q_histogram)."""
+    li = table(spark, sf_dir, "lineitem")
+    qty_bin = F.least(
+        F.floor(F.col("l_quantity") / 10), F.lit(4)
+    ).cast("long")
+    disc_bin = F.least(
+        F.floor(F.col("l_discount") * 20), F.lit(4)
+    ).cast("long")
+    return li.groupBy(
+        qty_bin.alias("qty_bin"), disc_bin.alias("disc_bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

@@ -384,3 +384,59 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("microbits_per_bigram"),
         )
     )
+
+
+@query(
+    "q_bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ), chars AS (
+      SELECT w, string_split(w, '') AS cs FROM words WHERE length(w) >= 2
+    ), pairs AS (
+      SELECT unnest(list_transform(
+               cs[1:len(cs)-1],
+               (x, i) -> x || cs[i + 1]
+             )) AS pair
+      FROM chars
+    ), counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk
+      FROM counted
+    ) WHERE rk <= 20
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE merge discovery — the inner loop of
+    byte-pair-encoding tokenizer training: count adjacent CHARACTER
+    pairs inside every word, rank the top merge candidates (the
+    highest-count pair is the merge a BPE trainer would apply next).
+    Pair formation is array-local (split the word to a char array,
+    pair element i with i+1 inside the array — the same
+    no-self-join shape as q_token_pmi's bigrams), so the only
+    shuffles are the pair count and the bounded top-20; corpus size
+    only widens the map side. Full BPE training iterates this with a
+    merge table re-broadcast per round — same plan per round, which
+    is why the candidate counter is the piece worth pinning under
+    the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    from oarphpy_spark.functions.text import norm_tokens
+
+    words = docs.select(
+        F.explode(norm_tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 2)
+    chars = words.select(F.split("w", "").alias("cs"))
+    pairs = chars.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("cs"), 1, F.size("cs") - 1),
+                lambda x, i: F.concat(
+                    x, F.element_at(F.col("cs"), i + 2)
+                ),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    return counted.orderBy(F.col("n").desc(), "pair").limit(20)
