@@ -262,13 +262,20 @@ def sssp(
     recurrence; full convergence is just rounds >= graph diameter,
     and relaxations past the fixpoint are no-ops by monotonicity).
 
-    Per round: one equi-join frontier x edges on the source endpoint
-    + one min-aggregate per node — the same two-exchange discipline
-    as the pagerank loop: the symmetrized edge table is built ONCE,
+    FRONTIER-ONLY relaxation (the delta-stepping insight): only
+    nodes whose distance IMPROVED last round relax their edges this
+    round — a node with an unchanged distance already propagated its
+    contributions, so re-relaxing it is provably a no-op. Per-round
+    result is bit-identical to textbook Bellman-Ford (what the SQL
+    oracle unrolls), but the expensive frontier x edges join shrinks
+    with the frontier instead of staying at |reached| x |edges| —
+    on a converging graph later rounds approach free, and the loop
+    exits early once the frontier empties (sound: further rounds are
+    no-ops). The symmetrized edge table is built ONCE,
     hash-repartitioned on its join key and persisted, so only the
-    small distance relation (one row per reached node) shuffles each
-    round; lineage is truncated per round (``reliable`` selects
-    durable vs local truncation, see ``util/checkpoints``).
+    small frontier relation shuffles each round; lineage is truncated
+    per round (``reliable`` selects durable vs local truncation, see
+    ``util/checkpoints``).
 
     ``source`` is a literal node id. Returns (node, dist) for nodes
     reachable within ``rounds`` hops; dist is LONG when weights are
@@ -279,14 +286,17 @@ def sssp(
     """
     # No dedup pass: duplicate edges cannot change a MIN-relaxation,
     # so the symmetric union ships straight into the partitioned cache
-    # (one less full shuffle than a distinct would cost).
+    # (one less full shuffle than a distinct would cost). The input
+    # projection is persisted FIRST so the two arms of the symmetric
+    # union evaluate the (possibly expensive) upstream edge plan once,
+    # not twice.
+    base = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight)
+    ).persist()
     sym = (
-        edges.select(
-            F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight)
-        )
-        .unionByName(
-            edges.select(
-                F.col(dst).alias("s"), F.col(src).alias("d"), F.col(weight)
+        base.unionByName(
+            base.select(
+                F.col("d").alias("s"), F.col("s").alias("d"), F.col(weight)
             )
         )
         .repartition("s")
@@ -297,23 +307,37 @@ def sssp(
     dist = edges.sparkSession.createDataFrame(
         [(source, 0)], "node long, dist long"
     )
+    frontier = dist
     for _ in range(rounds):
         relaxed = (
-            sym.join(dist, sym.s == dist.node)
+            sym.join(frontier, sym.s == frontier.node)
             .select(
                 F.col("d").alias("node"),
-                (F.col("dist") + F.col(weight)).alias("dist"),
+                (F.col("dist") + F.col(weight)).alias("nd"),
             )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
         )
+        improved = truncate_lineage(
+            relaxed.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist")),
+            eager=True,
+            reliable=reliable,
+        )
+        if improved.isEmpty():
+            break  # fixpoint: every further round is a no-op
         dist = truncate_lineage(
-            dist.unionByName(relaxed)
+            dist.unionByName(improved)
             .groupBy("node")
             .agg(F.min("dist").alias("dist")),
             eager=False,
             reliable=reliable,
         )
+        frontier = improved
     dist = truncate_lineage(dist, eager=True, reliable=reliable)
     sym.unpersist()
+    base.unpersist()
     return dist
 
 

@@ -92,8 +92,11 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses each node's candidate distances map-side. The oracle
     unrolls the identical recurrence as MATERIALIZED CTE stages."""
     from oarphpy_spark.llm.graph import sssp
+    from oarphpy_spark.util.checkpoints import truncate_lineage
 
-    e = _weighted_edges(spark, sf_dir)
+    # Materialize the edge self-join ONCE: the seed lookup and the
+    # operator's symmetric union would otherwise each re-run it.
+    e = truncate_lineage(_weighted_edges(spark, sf_dir))
     seed = e.agg(F.min("s")).collect()[0][0]
     return sssp(e, seed, "s", "d", "w", rounds=4)
 
