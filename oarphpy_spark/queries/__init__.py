@@ -6,7 +6,7 @@ Importing this package registers every declared query into
 External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
 queries that most need fresh verification this round.  Round 7's
-prefix leads with the twenty-eight new queries (SSSP, association rules,
+prefix leads with the twenty-nine new queries (SSSP, association rules,
 chi-square, Welch t-test, dyadic EWMA, rolling median, rolling-z
 anomalies, recursive-CTE reach, embedding norms, component sizes,
 streaming late-data drop, bigram PMI lift, grouped OLS trend,
@@ -72,6 +72,7 @@ _ROUND_PRIORITY = [
     "q_snapshot_time_travel",
     "q_bpe_merge_candidates",
     "q_histogram_2d",
+    "q_graph_modularity",
     # --- implementations changed this round ---
     "q_set_similarity_join",   # PPJoin positional + suffix filters
     "q_graph_profile",         # integer wedge arithmetic

@@ -414,3 +414,109 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").alias("min_deg"),
         F.max("deg").alias("max_deg"),
     )
+
+
+def _modularity_oracle() -> str:
+    from oarphpy_spark.queries.llm_queries import _lpa_oracle
+
+    return f"""
+    WITH lpa AS MATERIALIZED ({_lpa_oracle()}),
+    und AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS a, l_partkey + 10000000 AS b
+      FROM lineitem
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    intra AS (
+      SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM und
+      JOIN lpa la ON la.node = und.a
+      JOIN lpa lb ON lb.node = und.b
+      WHERE la.label = lb.label
+      GROUP BY la.label
+    ),
+    degsum AS (
+      SELECT l.label, CAST(COUNT(*) AS BIGINT) AS d_c
+      FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) d JOIN lpa l ON l.node = d.v
+      GROUP BY l.label
+    ),
+    terms AS (
+      SELECT ds.label,
+             CAST(ROUND((
+               COALESCE(i.e_c, 0) / CAST((SELECT m FROM m) AS DOUBLE)
+               - (ds.d_c / (2.0 * (SELECT m FROM m)))
+                 * (ds.d_c / (2.0 * (SELECT m FROM m)))
+             ) * 1e9) AS BIGINT) AS t_nano
+      FROM degsum ds LEFT JOIN intra i ON i.label = ds.label
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           (SELECT m FROM m) AS m,
+           ROUND(SUM(t_nano) / 1e9, 6) AS modularity
+    FROM terms
+    """
+
+
+@query("q_graph_modularity", oracle=_modularity_oracle())
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities on the supplier-part
+    graph — the quality score that tells you whether a community
+    detection pass found real structure (Q near 0 = no better than
+    random) before anything downstream trusts the labels. Everything
+    is exact integer counts (m, intra-community edges e_c, degree
+    sums d_c) assembled per community; each community's term
+    e_c/m - (d_c/2m)^2 is nano-quantized BEFORE the cross-community
+    sum (double summation order is engine-dependent, integer
+    summation is not). Three aggregation passes over the edge list +
+    two broadcast-scale joins against the label table; reuses the
+    exact fixed-round LPA the oracle unrolls."""
+    from oarphpy_spark.llm.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 10_000_000).alias("dst"),
+    )
+    und = fwd.distinct()
+    labels = label_propagation(fwd, rounds=3)
+    m_df = und.agg(F.count("*").alias("m"))
+    la = labels.select(
+        F.col("node").alias("a"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col("node").alias("b"), F.col("label").alias("label_b")
+    )
+    intra = (
+        und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    degsum = (
+        und.select(F.col("src").alias("v"))
+        .unionByName(und.select(F.col("dst").alias("v")))
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy("label")
+        .agg(F.count("*").alias("d_c"))
+    )
+    terms = (
+        degsum.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            F.round(
+                (
+                    F.coalesce("e_c", F.lit(0)) / F.col("m").cast("double")
+                    - (F.col("d_c") / (2.0 * F.col("m")))
+                    * (F.col("d_c") / (2.0 * F.col("m")))
+                )
+                * 1e9
+            ).cast("long").alias("t_nano")
+        )
+    )
+    return terms.crossJoin(F.broadcast(m_df)).agg(
+        F.count("*").alias("n_communities"),
+        F.max("m").alias("m"),
+        F.round(F.sum("t_nano") / 1e9, 6).alias("modularity"),
+    )
