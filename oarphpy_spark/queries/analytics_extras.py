@@ -1,6 +1,9 @@
 """Round-7 analytics extras: weighted shortest paths, market-basket
-rules, classical statistical tests, and exact rolling/decayed
-time-series statistics — each under the exact DuckDB oracle.
+rules, classical statistical tests, exact rolling/decayed time-series
+statistics, recursive-CTE traversal, exact embedding covariance,
+funnel latency, a pure-relational HyperLogLog, session path mining,
+hash-deterministic Monte-Carlo pi, a Python-UDTF chunker, and a 2-D
+histogram — each under the exact DuckDB oracle.
 
 Determinism discipline (see testing/parity.py): every compared float
 is either (a) derived from integer-quantized inputs with the division

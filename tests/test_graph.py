@@ -339,3 +339,41 @@ def test_sssp_bounded_rounds_semantics(spark):
     assert got == {1: 0, 2: 1, 4: 10}  # 3 unreached in one hop
     got3 = {r.node: r.dist for r in sssp(df, 1, rounds=3, src="s", dst="d").collect()}
     assert got3 == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_random_graphs_match_dijkstra(spark):
+    """Frontier-only Bellman-Ford == Dijkstra on random weighted
+    graphs (converged: rounds >= n)."""
+    import heapq
+    import random
+
+    from oarphpy_spark.llm.graph import sssp
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 12
+        edges = []
+        for _ in range(30):
+            a, b = rng.sample(range(n), 2)
+            edges.append((a, b, rng.randint(1, 9)))
+        df = spark.createDataFrame(edges, "s long, d long, w long")
+        adj = {}
+        for a, b, w in edges:
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+        src = min(a for a, _, _ in edges)
+        want = {src: 0}
+        pq = [(0, src)]
+        while pq:
+            c, u = heapq.heappop(pq)
+            if c > want.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, []):
+                if c + w < want.get(v, 1 << 60):
+                    want[v] = c + w
+                    heapq.heappush(pq, (c + w, v))
+        got = {
+            r.node: r.dist
+            for r in sssp(df, src, "s", "d", "w", rounds=n).collect()
+        }
+        assert got == want, trial
