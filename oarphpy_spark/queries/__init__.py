@@ -85,13 +85,21 @@ _ROUND_PRIORITY = [
     "q_kcore",                 # truncate_lineage refactor
     "q_ktruss",                # truncate_lineage refactor
     "q_label_propagation",     # truncate_lineage refactor
+    # --- stalest by scripts/staleness_audit.py rank: slugs whose OWN
+    # query function changed since their last driver-green row ---
+    "q_dedup_simhash",
+    "q_sim_ivf_topk",
+    "q_sim_lsh_multiprobe",
+    "q_sim_lsh_topk",
+    "q_sim_topk",
+    "q_grouped_apply_zscore",
+    "q_window_distribution",
     # --- least-recently-verified rotation (last green row: r01) ---
     "q_agg_sum_avg_minmax",
     "q_curation_pipeline",
     "q_dedup_embedding",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
     "q_dedup_simhash_hamming",
     "q_join_asof",
     "q_join_broadcast",
@@ -105,10 +113,6 @@ _ROUND_PRIORITY = [
     "q_multiway_star",
     "q_percentiles",
     "q_scan_parquet",
-    "q_sim_ivf_topk",
-    "q_sim_lsh_multiprobe",
-    "q_sim_lsh_topk",
-    "q_sim_topk",
     "q_text_fingerprint",
     "q_text_langid",
     "q_text_quality",
