@@ -44,6 +44,12 @@ from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
     # --- round 7: new queries, never seen by any driver window ---
+    "q_graph_assortativity",
+    "q_time_weighted_avg",
+    "q_negative_sampling",
+    "q_sql_lateral_topk",
+    "q_variant_shred",
+    "q_cogroup_click_purchase",
     "q_sssp",
     "q_assoc_rules",
     "q_chi_square",

@@ -520,3 +520,78 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").alias("m"),
         F.round(F.sum("t_nano") / 1e9, 6).alias("modularity"),
     )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_COPURCHASE_EDGES_SQL}),
+    deg AS MATERIALIZED (
+      SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT s AS v FROM e UNION ALL SELECT d AS v FROM e
+      ) GROUP BY v
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(ds.deg * dd.deg) AS BIGINT) AS a,
+             CAST(SUM(ds.deg + dd.deg) AS BIGINT) AS b,
+             CAST(SUM(ds.deg * ds.deg + dd.deg * dd.deg) AS BIGINT) AS c
+      FROM e JOIN deg ds ON ds.node = e.s JOIN deg dd ON dd.node = e.d
+    )
+    SELECT m AS n_edges,
+           ROUND(
+             CAST(4 * m * a - b * b AS DOUBLE)
+             / CAST(2 * m * c - b * b AS DOUBLE), 6) AS assortativity
+    FROM sums
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002, Phys. Rev. Lett. 89.208701)
+    of the co-purchase graph: the Pearson correlation of endpoint
+    degrees over edges — positive means hubs link to hubs, negative
+    means hubs link to leaves (the usual shape for purchase graphs).
+    Summing each undirected edge in both orientations collapses the
+    correlation to FOUR integer aggregates per edge pass (m, sum
+    ds*dd, sum ds+dd, sum ds^2+dd^2), so the whole statistic is
+    r = (4mA - B^2) / (2mC - B^2) with ONE double division at the
+    end — bit-exact across engines and partitionings. Scale shape:
+    one degree aggregation (node-keyed shuffle) + one edges-to-degree
+    join keyed on node, then a scalar aggregate; no driver loop, no
+    double accumulation across rows. 100 TB note: B^2 needs
+    |B| < 3e9 to stay in int64 — at larger edge counts switch the
+    final combine to DECIMAL(38,0), the per-row terms stay integer.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("s").alias("v"))
+        .unionAll(e.select(F.col("d").alias("v")))
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.count("*").alias("deg"))
+    )
+    ds = deg.select(F.col("node").alias("s"), F.col("deg").alias("deg_s"))
+    dd = deg.select(F.col("node").alias("d"), F.col("deg").alias("deg_d"))
+    sums = (
+        e.join(ds, "s")
+        .join(dd, "d")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(F.col("deg_s") * F.col("deg_d")).alias("a"),
+            F.sum(F.col("deg_s") + F.col("deg_d")).alias("b"),
+            F.sum(
+                F.col("deg_s") * F.col("deg_s")
+                + F.col("deg_d") * F.col("deg_d")
+            ).alias("c"),
+        )
+    )
+    return sums.select(
+        F.col("m").alias("n_edges"),
+        F.round(
+            (4 * F.col("m") * F.col("a") - F.col("b") * F.col("b")).cast(
+                "double"
+            )
+            / (2 * F.col("m") * F.col("c") - F.col("b") * F.col("b")).cast(
+                "double"
+            ),
+            6,
+        ).alias("assortativity"),
+    )

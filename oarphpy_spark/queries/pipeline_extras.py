@@ -456,3 +456,102 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").over(wf).alias("value_filled"),
         F.col("observed").cast("long").alias("is_observed"),
     )
+
+
+@query(
+    "q_negative_sampling",
+    oracle="""
+    WITH np AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS n_parts FROM part),
+    cand AS (
+      SELECT c.c_custkey, i.i,
+             1 + (CAST(('0x' || substring(
+                    md5('neg|' || CAST(c.c_custkey AS VARCHAR) || '#'
+                        || CAST(i.i AS VARCHAR)), 1, 12)) AS BIGINT)
+                  % (SELECT n_parts FROM np)) AS neg_partkey
+      FROM customer c,
+           (SELECT unnest(generate_series(1, 8)) AS i) i
+      WHERE c.c_custkey % 10 = 0
+    ),
+    bought AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT c_custkey, CAST(i AS BIGINT) AS i, neg_partkey
+    FROM cand
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bought b
+      WHERE b.o_custkey = cand.c_custkey AND b.l_partkey = cand.neg_partkey
+    )
+    ORDER BY c_custkey, i
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for training pairs: for each
+    sampled customer, propose 8 hash-derived candidate parts and keep
+    the ones the customer never purchased (LEFT ANTI against the
+    distinct purchase set) — the standard negative-example generator
+    for recommendation / contrastive training, done as pure
+    relational ops. The candidate part is md5-derived from
+    (custkey, draw index), so both engines agree bit-for-bit and a
+    re-run on re-partitioned data reproduces the same negatives
+    (rejection sampling with an RNG would not). Scale shape: the
+    candidate build is map-side (8 rows per customer via a literal
+    sequence explode); the purchase set is one distinct aggregation;
+    the anti-join shuffles on (custkey, partkey) — never a cross
+    join against the catalog. The unfilled-draw convention (drop
+    positives rather than redraw) keeps the operator one-pass; at a
+    fixed negative count per key, add more draws and a row_number
+    cap."""
+    parts = table(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("n_parts")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey")
+    )
+    cand = (
+        cust.crossJoin(F.broadcast(parts))
+        .select(
+            "c_custkey",
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i"),
+            "n_parts",
+        )
+        .select(
+            "c_custkey",
+            F.col("i").cast("long").alias("i"),
+            (
+                1
+                + F.conv(
+                    F.substring(
+                        md5_str(
+                            F.concat(
+                                F.lit("neg|"),
+                                F.col("c_custkey").cast("string"),
+                                F.lit("#"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_parts")
+            ).alias("neg_partkey"),
+        )
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bought = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    return cand.join(
+        bought,
+        (cand.c_custkey == bought.o_custkey)
+        & (cand.neg_partkey == bought.l_partkey),
+        "left_anti",
+    ).orderBy("c_custkey", "i")

@@ -369,3 +369,71 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("m", ",").alias("matches"),
         )
     )
+
+
+@query(
+    "q_cogroup_click_purchase",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, MIN(ts) AS first_p, CAST(COUNT(*) AS BIGINT) AS n_p
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ca AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_c FROM c GROUP BY user_id
+    ),
+    b AS (
+      SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_before
+      FROM c JOIN p ON p.user_id = c.user_id
+      WHERE c.ts < p.first_p GROUP BY c.user_id
+    )
+    SELECT COALESCE(ca.user_id, p.user_id) AS user_id,
+           COALESCE(ca.n_c, 0) AS n_clicks,
+           COALESCE(p.n_p, 0) AS n_purchases,
+           COALESCE(b.n_before, 0) AS clicks_before_first_purchase
+    FROM ca FULL JOIN p ON p.user_id = ca.user_id
+    LEFT JOIN b ON b.user_id = COALESCE(ca.user_id, p.user_id)
+    ORDER BY user_id
+    """,
+)
+def q_cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: the click stream and the purchase
+    stream are grouped on user_id INDEPENDENTLY and each user's two
+    pandas frames arrive together in one Arrow-batched callable —
+    Spark's primitive for 'align two keyed datasets and run custom
+    per-key Python' without first materializing a join (the two
+    sides shuffle once each on the key; keys present on either side
+    still produce a row). The demo statistic — clicks strictly
+    before the user's first purchase — restates relationally for
+    the oracle, but the surface is the point: per-key model scoring
+    against per-key features, custom as-of alignments, per-entity
+    reconciliation all land on this exact API shape. Integer counts
+    only, so the Python path introduces no float drift."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def merge(key: tuple, c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        n_c, n_p = len(c), len(p)
+        before = int((c["ts"] < p["ts"].min()).sum()) if n_p and n_c else 0
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [n_c],
+                "n_purchases": [n_p],
+                "clicks_before_first_purchase": [before],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, n_clicks bigint, n_purchases bigint, "
+            "clicks_before_first_purchase bigint",
+        )
+        .orderBy("user_id")
+    )

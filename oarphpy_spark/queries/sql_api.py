@@ -509,3 +509,66 @@ def q_sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested evaluation would be O(rows x groups) scans."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_CORR_SCALAR_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@query("q_sql_lateral_topk", oracle=_LATERAL_SQL)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in the FROM clause — per-nation
+    top-3 customers by balance, VERBATIM-shared SQL (both engines
+    parse the identical string, so the oracle is the query text
+    itself). Spark de-correlates the lateral into a ranked
+    window + filter under the hood — same physical plan as the
+    row_number() formulation, so the per-group limit never
+    materializes the full per-key sort output. The lateral spelling
+    matters as surface: it is how analysts write 'top-k per row of
+    the outer table' in ANSI-ish SQL, and how correlated
+    unnest-style enrichments arrive from DuckDB/Postgres users."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    parse_json once into an open-schema VARIANT column, then typed
+    path extraction (variant_get '$.k' as long) feeding a normal
+    integer aggregate. VARIANT is the Spark-4-native answer to the
+    'JSON column at 100 TB' problem — the binary encoding is
+    columnar-friendly and repeated path access avoids re-parsing
+    text per expression, unlike get_json_object chains (covered by
+    q_fn_json). The DuckDB oracle states the same shred with
+    json_extract. Integer sums only — no float drift."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )

@@ -901,3 +901,59 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH dwell AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_centi,
+             CAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS BIGINT)
+               AS dwell_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(SUM(dwell_us) AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(v_centi * dwell_us) AS DOUBLE)
+                 / (100.0 * SUM(dwell_us)), 6) AS twap
+    FROM dwell WHERE dwell_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event type: each
+    reading holds until the same user's next event, so its weight is
+    the dwell time in integer microseconds (LEAD over the per-user
+    timeline; the last reading of a user has no dwell and is
+    excluded, the standard left-closed TWAP convention). ``value``
+    carries 2 decimals, so rows are centi-quantized before the
+    weighted integer sum — sum(v_centi * dwell_us) is an exact
+    int64 in any partitioning/order, and the ONE division at the end
+    makes the statistic bit-reproducible. Scale shape: one user-keyed
+    window pass + one event_type aggregation, both partial-agg
+    friendly; no self-join (the naive TWAP join events-to-next-event
+    is the same shuffle paid twice).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dwell = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_centi"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dwell_us"),
+    ).where(F.col("dwell_us").isNotNull())
+    return (
+        dwell.groupBy("event_type")
+        .agg(
+            F.sum("dwell_us").alias("total_us"),
+            F.round(
+                F.sum(F.col("v_centi") * F.col("dwell_us")).cast("double")
+                / (100.0 * F.sum("dwell_us")),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )
