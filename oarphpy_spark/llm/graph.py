@@ -623,3 +623,173 @@ def label_propagation(
     labels = truncate_lineage(labels, eager=True, reliable=reliable)
     sym.unpersist()
     return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 16,
+    max_inner: int = 64,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """SCCs of a DIRECTED edge list via trim + Orzan coloring — the
+    label-propagation SCC used by Pregel-style systems (Orzan 2004;
+    Salihoglu & Widom, VLDB 2014 §6.3), here as shuffle-bounded
+    DataFrame passes. Returns ``(node, scc_id)`` for every
+    non-isolated node, ``scc_id`` = MAX node id in the SCC.
+
+    Per outer round, on the still-unassigned subgraph:
+
+    1. TRIM — nodes with no in-edges or no out-edges are singleton
+       SCCs by definition; peel them (two semi/anti joins). This is
+       what kills the long DAG tail real graphs have.
+    2. COLOR — propagate ``color = max(reachable-ancestor id)``
+       forward to fixpoint (join + groupBy-max per step; the
+       1-row convergence action exploits that SUM(color) is
+       strictly monotone until the fixpoint).
+    3. PEEL — every color root (``color == node``) can reach its
+       whole color class FORWARD; the root's SCC is the subset that
+       reaches it BACK. Backward-propagate membership from the
+       roots along color-respecting edges to fixpoint (COUNT is
+       monotone), assign, subtract, repeat.
+
+    Every relation that loops is lineage-truncated per step
+    (``reliable`` as elsewhere); the active-subgraph edge table is
+    rebuilt per outer round but the node set only shrinks. Worst
+    case (adversarial id order on a path) is O(V) outer rounds —
+    bounded by ``max_outer`` with a convergence raise, same
+    contract as ``connected_components``.
+    """
+    spark = edges.sparkSession
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    e0 = truncate_lineage(e0, eager=True, reliable=reliable)
+    nodes = truncate_lineage(
+        e0.select(F.col("s").alias("node"))
+        .union(e0.select("d"))
+        .distinct(),
+        eager=True,
+        reliable=reliable,
+    )
+    assigned = spark.createDataFrame([], "node long, scc_id long")
+
+    for _outer in range(max_outer):
+        if nodes.isEmpty():
+            return assigned
+        ae = (
+            e0.join(nodes, e0.s == nodes.node, "left_semi")
+            .join(nodes, F.col("d") == nodes.node, "left_semi")
+            .persist()
+        )
+        # 1. TRIM: no in-edge or no out-edge => singleton SCC.
+        has_in = ae.select(F.col("d").alias("node")).distinct()
+        has_out = ae.select(F.col("s").alias("node")).distinct()
+        trimmed = truncate_lineage(
+            nodes.join(has_in, "node", "left_anti")
+            .union(nodes.join(has_out, "node", "left_anti"))
+            .distinct()
+            .select("node", F.col("node").alias("scc_id")),
+            eager=True,
+            reliable=reliable,
+        )
+        if not trimmed.isEmpty():
+            assigned = truncate_lineage(
+                assigned.unionByName(trimmed), eager=True, reliable=reliable
+            )
+            nodes = truncate_lineage(
+                nodes.join(trimmed, "node", "left_anti"),
+                eager=True,
+                reliable=reliable,
+            )
+            ae.unpersist()
+            continue  # re-derive the subgraph before the expensive phases
+
+        # 2. COLOR: forward max-id propagation to fixpoint.
+        color = nodes.select("node", F.col("node").alias("color"))
+        prev_sum = None
+        for _ in range(max_inner):
+            msgs = ae.join(color, ae.s == color.node).select(
+                F.col("d").alias("node"), "color"
+            )
+            color = truncate_lineage(
+                color.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.max("color").alias("color")),
+                eager=False,
+                reliable=reliable,
+            )
+            s = color.agg(
+                F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            raise RuntimeError(
+                f"scc coloring did not converge in {max_inner} steps"
+            )
+
+        # 3. PEEL: backward membership from the color roots.
+        ce = (
+            ae.join(
+                color.select(
+                    F.col("node").alias("s"), F.col("color").alias("cs")
+                ),
+                "s",
+            )
+            .join(
+                color.select(
+                    F.col("node").alias("d"), F.col("color").alias("cd")
+                ),
+                "d",
+            )
+            .filter(F.col("cs") == F.col("cd"))
+            .select("s", "d")
+            .persist()
+        )
+        marked = truncate_lineage(
+            color.filter(F.col("node") == F.col("color")).select(
+                "node", F.col("color").alias("scc_id")
+            ),
+            eager=True,
+            reliable=reliable,
+        )
+        prev_n = None
+        for _ in range(max_inner):
+            msgs = ce.join(marked, ce.d == marked.node).select(
+                F.col("s").alias("node"), "scc_id"
+            )
+            marked = truncate_lineage(
+                marked.unionByName(msgs).distinct(),
+                eager=False,
+                reliable=reliable,
+            )
+            n = marked.count()
+            if n == prev_n:
+                break
+            prev_n = n
+        else:
+            raise RuntimeError(
+                f"scc backward peel did not converge in {max_inner} steps"
+            )
+        assigned = truncate_lineage(
+            assigned.unionByName(marked), eager=True, reliable=reliable
+        )
+        nodes = truncate_lineage(
+            nodes.join(marked, "node", "left_anti"),
+            eager=True,
+            reliable=reliable,
+        )
+        ce.unpersist()
+        ae.unpersist()
+
+    if not nodes.isEmpty():
+        raise RuntimeError(
+            f"strongly_connected_components did not finish in "
+            f"{max_outer} outer rounds"
+        )
+    return assigned

@@ -15,7 +15,7 @@ global frequency.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oarphpy_spark.registry import query
@@ -594,4 +594,76 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("assortativity"),
+    )
+
+
+@query(
+    "q_scc_sizes",
+    oracle="""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT DISTINCT p AS s, np AS d FROM (
+        SELECT l_partkey AS p,
+               LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber) AS np
+        FROM lineitem WHERE l_orderkey % 4 = 0
+      ) WHERE np IS NOT NULL AND np <> p
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e
+    ),
+    reach AS (
+      SELECT s AS src, d AS dst FROM e
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN e ON e.s = r.dst
+    ),
+    mutual AS (
+      SELECT r1.src AS v, r1.dst AS u
+      FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src
+    ),
+    scc AS (
+      SELECT n.node, GREATEST(n.node, COALESCE(MAX(m.u), n.node)) AS scc_id
+      FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+      GROUP BY n.node
+    )
+    SELECT CAST(sz AS BIGINT) AS scc_size, CAST(COUNT(*) AS BIGINT) AS n_sccs
+    FROM (SELECT scc_id, COUNT(*) AS sz FROM scc GROUP BY scc_id)
+    GROUP BY sz ORDER BY sz
+    """,
+)
+def q_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED part-sequence
+    graph (consecutive line numbers within an order define part ->
+    next-part edges), summarized as an SCC size histogram — cycle
+    structure is what separates 'A is usually bought after B' from
+    'A and B feed each other', and directed connectivity is the one
+    graph primitive the undirected CC operator cannot answer.
+    Implementation: ``llm/graph.strongly_connected_components`` —
+    trim + Orzan forward-max coloring + backward peel, every phase a
+    shuffle-bounded join/agg loop with truncated lineage (NO
+    transitive closure: the materialized-pair closure the ORACLE
+    uses is the textbook restatement, quadratic in component size,
+    fine at oracle scale and exactly wrong at 100 TB). The size
+    histogram is label-invariant, so the compared surface does not
+    depend on either engine's choice of representative."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    e = (
+        li.select(
+            F.col("l_partkey").alias("s"),
+            F.lead("l_partkey").over(w).alias("d"),
+        )
+        .where(F.col("d").isNotNull() & (F.col("d") != F.col("s")))
+        .distinct()
+    )
+    from oarphpy_spark.llm.graph import strongly_connected_components
+
+    scc = strongly_connected_components(e, "s", "d")
+    return (
+        scc.groupBy("scc_id")
+        .agg(F.count("*").alias("sz"))
+        .groupBy(F.col("sz").alias("scc_size"))
+        .agg(F.count("*").alias("n_sccs"))
+        .orderBy("scc_size")
     )

@@ -377,3 +377,100 @@ def test_sssp_random_graphs_match_dijkstra(spark):
             for r in sssp(df, src, "s", "d", "w", rounds=n).collect()
         }
         assert got == want, trial
+
+
+def test_scc_known_answer(spark):
+    """Two cycles bridged by a DAG path + a pendant source."""
+    from oarphpy_spark.llm.graph import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (5, 6), (6, 5), (3, 4), (4, 5), (7, 1)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["scc_id"])
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 3), (2, 3), (3, 3), (4, 4), (5, 6), (6, 6), (7, 7)
+    }
+
+
+def _tarjan_sccs(n_nodes: int, edges: list[tuple[int, int]]) -> set[frozenset]:
+    """Textbook iterative Tarjan for the oracle side of the property
+    test (driver-side, tiny graphs only)."""
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        nodes.update((a, b))
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    sccs: list[frozenset] = []
+    counter = [0]
+
+    def strongconnect(v0: int) -> None:
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = set()
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.add(w)
+                    if w == v:
+                        break
+                sccs.append(frozenset(comp))
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    return set(sccs)
+
+
+def test_scc_random_graphs_match_tarjan(spark):
+    """Distributed trim+coloring SCC == Tarjan on random digraphs."""
+    from oarphpy_spark.llm.graph import strongly_connected_components
+
+    rng = random.Random(1234)
+    for _trial in range(3):
+        n = 14
+        edges = set()
+        while len(edges) < 28:
+            a, b = rng.sample(range(n), 2)
+            edges.add((a, b))
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = strongly_connected_components(df, max_outer=40).collect()
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r["scc_id"], set()).add(r["node"])
+        want = _tarjan_sccs(n, edges)
+        assert {frozenset(v) for v in got.values()} == want
+        # the representative is the max id of its SCC
+        for scc_id, members in got.items():
+            assert scc_id == max(members)
