@@ -45,6 +45,7 @@ from oarphpy_spark import registry
 _ROUND_PRIORITY = [
     # --- round 7: new queries, never seen by any driver window ---
     "q_scc_sizes",
+    "q_kmeans_relational",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

@@ -1888,3 +1888,147 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oarphpy_spark.llm.graph import label_propagation
 
     return label_propagation(fwd, rounds=3)
+
+
+def _kmeans_relational_oracle() -> str:
+    """3 unrolled Lloyd iterations; each stage MATERIALIZED (the
+    assignment CTE is referenced twice per round)."""
+    steps = []
+    for j in (1, 2, 3):
+        steps.append(f"""
+    d{j} AS (
+      SELECT vq.vec_id, c.cid,
+             SUM((vq.x - c.c) * (vq.x - c.c)) AS d
+      FROM vq JOIN c{j - 1} c ON c.i = vq.i GROUP BY vq.vec_id, c.cid
+    ),
+    a{j} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d{j}
+      ) WHERE rn = 1
+    ),
+    c{j} AS MATERIALIZED (
+      SELECT a.cid, vq.i,
+             CAST(ROUND(CAST(SUM(vq.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM a{j} a JOIN vq ON vq.vec_id = a.vec_id GROUP BY a.cid, vq.i
+    )""")
+    return ("""
+    WITH vq AS MATERIALIZED (
+      SELECT vec_id, u.i AS i,
+             CAST(ROUND(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS x
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i}))
+                 AS u
+        FROM embeddings
+      )
+    ),
+    init AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    c0 AS MATERIALIZED (
+      SELECT init.cid, vq.i, vq.x AS c
+      FROM init JOIN vq ON vq.vec_id = init.vec_id
+    ),"""
+            + ",".join(steps)
+            + """
+    SELECT a.cid AS cluster,
+           CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n_members,
+           CAST(SUM(vq.x) AS BIGINT) AS coord_sum
+    FROM a3 a JOIN vq ON vq.vec_id = a.vec_id
+    GROUP BY a.cid ORDER BY a.cid
+    """)
+
+
+@query("q_kmeans_relational", oracle=_kmeans_relational_oracle())
+def q_kmeans_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 3 fixed iterations) as a PURE relational
+    plan under the exact oracle — the companion to
+    ``llm/clustering.kmeans_fit`` (the Arrow-partials production
+    trainer feeding the IVF index): same math, restated so every
+    intermediate is integer-exact and the whole run value-hashes.
+    Coordinates are micro-quantized int64 (float32 -> double is
+    exact, one ROUND per value); squared distances are integer sums
+    (dim 64 x (1.1e6)^2 ~ 7e13, safely int64); ties pick the lowest
+    cell; each new centroid is ROUND(sum/n) — ONE IEEE division on
+    exact integers, bit-identical in both engines. Init is the k
+    lowest vec_ids (deterministic, same rationale as kmeans_fit).
+    Scale shape per iteration: one dim-aligned join + two keyed
+    aggregations — the exploded (vec_id, dim) relation shuffles on
+    vec_id and the k x dim centroid relation is broadcast-sized; at
+    production dims, mapInPandas partials (kmeans_fit) beat the
+    explode, which is exactly why both forms exist."""
+    emb = table(spark, sf_dir, "embeddings")
+    vq = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("i", "e")
+        )
+        .select(
+            "vec_id",
+            "i",
+            F.round(F.col("e").cast("double") * 1000000)
+            .cast("long")
+            .alias("x"),
+        )
+        .persist()
+    )
+    init = (
+        emb.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(4)
+        .select(
+            "vec_id",
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("cid"),
+        )
+    )
+    cent = (
+        init.join(vq, "vec_id")
+        .select("cid", "i", F.col("x").alias("c"))
+    )
+    assign = None
+    for _ in range(3):
+        dist = (
+            vq.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).alias("d")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            assign.join(vq, "vec_id")
+            .groupBy("cid", "i")
+            .agg(
+                F.round(
+                    F.sum("x").cast("double") / F.count("*")
+                )
+                .cast("long")
+                .alias("c")
+            )
+        )
+    out = (
+        assign.join(vq, "vec_id")
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.countDistinct("vec_id").alias("n_members"),
+            F.sum("x").alias("coord_sum"),
+        )
+        .orderBy("cluster")
+    )
+    # Same deterministic cache-release contract as
+    # minhash_candidate_pairs: callers in long-lived sessions call
+    # llm.dedup.release_cached(out) after materializing.
+    out._oarphpy_persisted = vq
+    return out
