@@ -432,3 +432,48 @@ def test_tpch_q15_threshold_is_broadcast_not_collect(spark):
 def test_group_sample_k_uses_window_group_limit(spark):
     plan = _plan(spark, "q_group_sample_k", "simple")
     assert "WindowGroupLimit" in plan
+
+
+def test_kmeans_centroids_broadcast_per_iteration(spark):
+    """Every distance join must broadcast the k x dim centroid
+    relation; the exploded point relation must never sort-merge."""
+    plan = _plan(spark, "q_kmeans_relational", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark):
+    """The correlated LATERAL must compile to a ranked-window plan
+    (WindowGroupLimit / rank filter), not a per-outer-row re-scan
+    (nested loop) of the inner table."""
+    plan = _plan(spark, "q_sql_lateral_topk", "simple")
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assortativity_single_scalar_aggregate(spark):
+    """One scalar aggregate at the top; degree join stays hash-based
+    (no cartesian/nested-loop anywhere)."""
+    plan = _plan(spark, "q_graph_assortativity", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twap_is_window_then_partial_agg(spark):
+    """TWAP must be LEAD-over-user + hash aggregate — exactly one
+    user-keyed exchange before the tiny event_type aggregation, no
+    self-join of events to events."""
+    plan = _plan(spark, "q_time_weighted_avg", "formatted")
+    # formatted mode names each scan twice: once in the numbered tree,
+    # once in the detail section — one physical scan = exactly 2 hits.
+    assert plan.count("Scan parquet") == 2  # single pass over events
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_negative_sampling_anti_join_not_nested_loop(spark):
+    """The positives filter must be a hash anti-join on the composite
+    key, and the candidate build must not cross-join the part table
+    (only the 1-row max-key aggregate is broadcast)."""
+    plan = _plan(spark, "q_negative_sampling", "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
