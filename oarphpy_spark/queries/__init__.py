@@ -46,6 +46,7 @@ _ROUND_PRIORITY = [
     # --- round 7: new queries, never seen by any driver window ---
     "q_scc_sizes",
     "q_kmeans_relational",
+    "q_stream_distinct_users",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

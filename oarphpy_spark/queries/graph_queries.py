@@ -540,8 +540,10 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m AS n_edges,
            ROUND(
-             CAST(4 * m * a - b * b AS DOUBLE)
-             / CAST(2 * m * c - b * b AS DOUBLE), 6) AS assortativity
+             CAST(4 * CAST(m AS HUGEINT) * a - CAST(b AS HUGEINT) * b
+                  AS DOUBLE)
+             / CAST(2 * CAST(m AS HUGEINT) * c - CAST(b AS HUGEINT) * b
+                    AS DOUBLE), 6) AS assortativity
     FROM sums
     """,
 )
@@ -557,9 +559,10 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     end — bit-exact across engines and partitionings. Scale shape:
     one degree aggregation (node-keyed shuffle) + one edges-to-degree
     join keyed on node, then a scalar aggregate; no driver loop, no
-    double accumulation across rows. 100 TB note: B^2 needs
-    |B| < 3e9 to stay in int64 — at larger edge counts switch the
-    final combine to DECIMAL(38,0), the per-row terms stay integer.
+    double accumulation across rows. The four SUMS fit int64 well
+    past 100x, but B^2 and m*A do not — the final combine runs in
+    128-bit (decimal(38,0) here, HUGEINT in the oracle) over the
+    FOUR scalar values, then one double division.
     """
     e = _copurchase_edges(spark, sf_dir)
     deg = (
@@ -583,15 +586,13 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
+    md = F.col("m").cast("decimal(38,0)")
+    bd = F.col("b").cast("decimal(38,0)")
     return sums.select(
         F.col("m").alias("n_edges"),
         F.round(
-            (4 * F.col("m") * F.col("a") - F.col("b") * F.col("b")).cast(
-                "double"
-            )
-            / (2 * F.col("m") * F.col("c") - F.col("b") * F.col("b")).cast(
-                "double"
-            ),
+            (4 * md * F.col("a") - bd * F.col("b")).cast("double")
+            / (2 * md * F.col("c") - bd * F.col("b")).cast("double"),
             6,
         ).alias("assortativity"),
     )

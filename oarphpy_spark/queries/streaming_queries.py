@@ -498,3 +498,28 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory_sink(agg, "q_stream_ohlc_sink")
+
+
+@query(
+    "q_stream_distinct_users",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct-user counts per hour window under the
+    batch COUNT(DISTINCT) oracle — two CHAINED stateful operators
+    (watermarked dedup on (user, hour), then a windowed count), the
+    Spark 3.4+ multi-stateful pipeline that batch execution never
+    exercises. The drain is availableNow over the static feed, so
+    stream==batch exactly (streaming/windows.py:
+    distinct_users_stream). Integer counts only."""
+    from oarphpy_spark.streaming.windows import distinct_users_stream
+
+    return run_to_memory_sink(
+        distinct_users_stream(_events_feed(spark, sf_dir)),
+        "q_stream_distinct_users_sink",
+    )

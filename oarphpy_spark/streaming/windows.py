@@ -198,3 +198,30 @@ def enriched_counts_stream(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+def distinct_users_stream(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """EXACT distinct users per tumbling window as TWO chained
+    stateful operators — the Spark 3.4+ multi-stateful pipeline in
+    its documented-supported form: a streaming DEDUP keyed on
+    (user, window bucket) collapses to the first event per user per
+    hour (state linear in live distinct keys, the bound any exact
+    distinct pays; evicted when the watermark passes), then a
+    windowed aggregation counts the survivors per window. This is
+    the streaming form of the two-phase exact COUNT(DISTINCT)
+    rewrite batch planners do."""
+    dedup = (
+        events.withWatermark("ts", watermark)
+        .withColumn("hour_bucket", F.date_trunc("hour", "ts"))
+        .dropDuplicates(["user_id", "hour_bucket"])
+    )
+    return (
+        dedup.groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_users",
+        )
+    )
