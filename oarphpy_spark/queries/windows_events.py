@@ -916,7 +916,7 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(SUM(dwell_us) AS BIGINT) AS total_us,
-           ROUND(CAST(SUM(v_centi * dwell_us) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(v_centi AS HUGEINT) * dwell_us) AS DOUBLE)
                  / (100.0 * CAST(SUM(dwell_us) AS DOUBLE)), 6) AS twap
     FROM dwell WHERE dwell_us IS NOT NULL
     GROUP BY event_type ORDER BY event_type
@@ -947,19 +947,19 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dwell_us").isNotNull())
     # The weighted sum is bounded by max(v_centi) x the TOTAL time
     # integral (sum of all dwells ~ n_users x span): ~1e21 at sf1.0
-    # already — past int64. Each PRODUCT fits int64 (2e3 x 3.2e13),
-    # so accumulate the sum in decimal(38,0); the oracle's HUGEINT
-    # sum is the same exact integer, and both sides convert that one
-    # integer to double for the final division.
+    # already — past int64. The multiply is lifted to 128-bit BEFORE
+    # it happens (decimal(38,0) here, HUGEINT in the oracle), so
+    # neither the per-row product nor the cross-row sum can wrap;
+    # both sides convert the one exact integer to double for the
+    # final division.
     return (
         dwell.groupBy("event_type")
         .agg(
             F.sum("dwell_us").alias("total_us"),
             F.round(
                 F.sum(
-                    (F.col("v_centi") * F.col("dwell_us")).cast(
-                        "decimal(38,0)"
-                    )
+                    F.col("v_centi").cast("decimal(38,0)")
+                    * F.col("dwell_us")
                 ).cast("double")
                 / (100.0 * F.sum("dwell_us").cast("double")),
                 6,
