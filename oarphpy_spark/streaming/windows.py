@@ -22,7 +22,9 @@ idempotent/transactional writer (Delta/Kafka/foreachBatch-upsert).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +34,30 @@ EVENTS_SCHEMA = (
     "event_id bigint, ts_ns bigint, user_id bigint, "
     "event_type string, value double, props string"
 )
+
+# Streaming file sources need a DIRECTORY; lone-file feeds get a
+# symlink wrapper. One wrapper per distinct source path per process
+# (not per invocation — a registry of 200+ queries re-building feeds
+# would otherwise leak a tmpdir each run), removed at interpreter
+# exit.
+_FILE_WRAPPERS: dict[str, str] = {}
+
+
+def _wrapper_dir(source_file: str) -> str:
+    key = os.path.realpath(source_file)
+    d = _FILE_WRAPPERS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="oarphpy_spark_stream_")
+        os.symlink(key, os.path.join(d, os.path.basename(key)))
+        _FILE_WRAPPERS[key] = d
+    return d
+
+
+@atexit.register
+def _cleanup_wrappers() -> None:
+    for d in _FILE_WRAPPERS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _FILE_WRAPPERS.clear()
 
 
 def stream_events(
@@ -50,10 +76,9 @@ def stream_events(
     from oarphpy_spark.tables import _events_ts_kind
 
     if os.path.isfile(source_dir):
-        # Streaming file sources require a directory; wrap a lone file.
-        d = tempfile.mkdtemp(prefix="oarphpy_spark_stream_")
-        os.symlink(source_dir, os.path.join(d, os.path.basename(source_dir)))
-        source_dir = d
+        # Streaming file sources require a directory; wrap a lone
+        # file (cached per source path, cleaned at exit).
+        source_dir = _wrapper_dir(source_dir)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     kind = _events_ts_kind(source_dir)
     if kind == "ns":
