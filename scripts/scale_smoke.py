@@ -55,6 +55,10 @@ EXTRA_SCALE = [f"q_sql_tpch_q{i}" for i in range(1, 23)] + [
     "q_assoc_rules",     # basket-bounded pair expansion (round 7)
     "q_token_pmi",       # posexplode + positional self-join (round 7)
     "q_component_sizes",  # CC + size histogram (round 7)
+    "q_scc_sizes",        # trim+coloring SCC peel (round 8)
+    "q_kmeans_relational",  # 3 integer-exact Lloyd iterations (round 8)
+    "q_negative_sampling",  # candidate explode + anti-join (round 8)
+    "q_time_weighted_avg",  # per-user LEAD dwell weights (round 8)
 ]
 
 DIM_TABLES = ("region", "nation", "supplier", "part")
