@@ -47,6 +47,7 @@ _ROUND_PRIORITY = [
     "q_scc_sizes",
     "q_kmeans_relational",
     "q_stream_distinct_users",
+    "q_dynamic_partition_overwrite",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

@@ -604,3 +604,71 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_centi
+    FROM events
+    WHERE event_type <> 'click' OR event_id % 2 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse primitive for
+    'recompute one day/type and swap it in without touching sibling
+    partitions': write events partitioned by event_type, then
+    overwrite in DYNAMIC mode with a feed containing only a filtered
+    'click' slice. Under partitionOverwriteMode=dynamic Spark deletes
+    ONLY the partitions present in the incoming write (the default
+    STATIC mode would truncate the whole table — the production
+    data-loss footgun this query pins). The read-back aggregate
+    proves non-click partitions survived byte-identical while click
+    holds exactly the replacement rows (even event_ids). Integer
+    counts and centi-sums only."""
+    import shutil
+
+    from oarphpy_spark.util.fs import scratch_dir
+
+    root = os.path.join(scratch_dir(), f"oarphpy_spark_dpo_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(conf_key, None)
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(root)
+        spark.conf.set(conf_key, "dynamic")
+        (
+            ev.where(
+                (F.col("event_type") == "click")
+                & (F.col("event_id") % 2 == 0)
+            )
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(root)
+        )
+        out = (
+            spark.read.parquet(root)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).alias("sum_centi"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        if old_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old_mode)
+        shutil.rmtree(root, ignore_errors=True)
