@@ -25,6 +25,7 @@ import oarphpy_spark.queries.codec_queries  # noqa: F401
 import oarphpy_spark.queries.corpus_extras  # noqa: F401
 import oarphpy_spark.queries.curation  # noqa: F401
 import oarphpy_spark.queries.engineering  # noqa: F401
+import oarphpy_spark.queries.experiment_extras  # noqa: F401
 import oarphpy_spark.queries.fidelity  # noqa: F401
 import oarphpy_spark.queries.graph_queries  # noqa: F401
 import oarphpy_spark.queries.inventory_extras  # noqa: F401
@@ -48,6 +49,8 @@ _ROUND_PRIORITY = [
     "q_kmeans_relational",
     "q_stream_distinct_users",
     "q_dynamic_partition_overwrite",
+    "q_bootstrap_ci",
+    "q_cuped",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",
