@@ -51,6 +51,7 @@ _ROUND_PRIORITY = [
     "q_dynamic_partition_overwrite",
     "q_bootstrap_ci",
     "q_cuped",
+    "q_mann_whitney",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

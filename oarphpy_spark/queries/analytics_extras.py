@@ -1405,3 +1405,92 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    hist AS (
+      SELECT x,
+             CAST(SUM(g) AS BIGINT) AS n1v,
+             CAST(COUNT(*) AS BIGINT) AS nv
+      FROM v GROUP BY x
+    ),
+    ranked AS (
+      SELECT x, n1v, nv,
+             COALESCE(SUM(nv) OVER (ORDER BY x
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS below
+      FROM hist
+    ),
+    s AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(nv - n1v) AS BIGINT) AS n2,
+             CAST(SUM(n1v * (2 * (below + 1) + nv - 1)) AS BIGINT) AS r1x2
+      FROM ranked
+    )
+    SELECT n1, n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           ROUND(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+                 / (2.0 * n1 * n2), 6) AS auc
+    FROM s
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing click vs purchase
+    values — the nonparametric two-sample test that completes the
+    repo's classical-stats family (chi-square, Welch t, KS drift).
+    NO global sort: rows collapse to a value HISTOGRAM first, midranks
+    come from a running sum over the tiny distinct-value relation
+    (midrank x2 = 2(1 + #below) + ties - 1, integer exact — the
+    doubled-rank trick keeps tie-averaged ranks out of floats), and
+    the rank-sum is one weighted integer aggregate. U/(n1 n2) is also
+    the two-sample AUC, reported as the effect size with ONE final
+    division. Scale shape: one data-sized groupBy(value), then
+    window+agg over distinct values only — the classic rank-statistic
+    rewrite that survives 100 TB where rank() OVER (ORDER BY v) on
+    rows (single-partition window) does not."""
+    v = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    hist = v.groupBy("x").agg(
+        F.sum("g").alias("n1v"), F.count("*").alias("nv")
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.select(
+        "x",
+        "n1v",
+        "nv",
+        F.coalesce(F.sum("nv").over(w), F.lit(0)).alias("below"),
+    )
+    s = ranked.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("nv") - F.col("n1v")).alias("n2"),
+        F.sum(
+            F.col("n1v")
+            * (2 * (F.col("below") + 1) + F.col("nv") - 1)
+        ).alias("r1x2"),
+    )
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return s.select(
+        "n1",
+        "n2",
+        u1x2.alias("u1_x2"),
+        F.round(
+            u1x2.cast("double") / (2.0 * F.col("n1") * F.col("n2")), 6
+        ).alias("auc"),
+    )
