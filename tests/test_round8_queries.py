@@ -171,3 +171,90 @@ def test_kmeans_relational_matches_numpy_lloyd(spark):
         if (assign == c).any()
     }
     assert got == want
+
+
+def test_cuped_matches_numpy(spark):
+    """theta and rho^2 from the relational sufficient statistics equal
+    the NumPy covariance computation on the same per-user metrics."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    row = entry.queries()["q_cuped"](spark, sf_dir).collect()[0]
+    pre_post = duckdb.sql(
+        f"""
+        WITH span AS (
+          SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+          FROM '{sf_dir}/events.parquet'
+        )
+        SELECT user_id,
+               SUM(CASE WHEN epoch_us(ts) * 2 < (SELECT lo + hi FROM span)
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                 AS pre,
+               SUM(CASE WHEN epoch_us(ts) * 2 >= (SELECT lo + hi FROM span)
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                 AS post
+        FROM '{sf_dir}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    pre = np.array([r[1] for r in pre_post], dtype=np.float64)
+    post = np.array([r[2] for r in pre_post], dtype=np.float64)
+    cov = np.cov(pre, post, bias=True)
+    theta = cov[0, 1] / cov[0, 0]
+    rho2 = cov[0, 1] ** 2 / (cov[0, 0] * cov[1, 1])
+    assert row["n_users"] == len(pre_post)
+    assert abs(row["theta"] - theta) < 1e-5
+    assert abs(row["var_reduction"] - rho2) < 1e-5
+
+
+def test_mann_whitney_matches_reference(spark):
+    """2U equals the brute-force pair count (2*wins + ties) on the
+    same quantized values — the defining identity of the statistic."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    row = entry.queries()["q_mann_whitney"](spark, sf_dir).collect()[0]
+    vals = duckdb.sql(
+        f"""
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+               event_type = 'click' AS g
+        FROM '{sf_dir}/events.parquet'
+        WHERE event_type IN ('click', 'purchase')
+        """
+    ).fetchall()
+    xs1 = np.array([v[0] for v in vals if v[1]])
+    xs2 = np.array([v[0] for v in vals if not v[1]])
+    wins = (xs1[:, None] > xs2[None, :]).sum()
+    ties = (xs1[:, None] == xs2[None, :]).sum()
+    assert row["n1"] == len(xs1) and row["n2"] == len(xs2)
+    assert row["u1_x2"] == 2 * wins + ties
+    # auc is ROUNDed to 6 decimals in the query output
+    assert abs(
+        row["auc"] - (2 * wins + ties) / (2.0 * len(xs1) * len(xs2))
+    ) < 5e-7
+
+
+def test_poisson_bootstrap_weights_distribution(spark):
+    """The hash-derived Poisson(1) weights must hit the inverse-CDF
+    cell probabilities closely (chi-square-ish sanity at n=32*n_rows)
+    and average ~1 — the property that makes the resample unbiased."""
+    import __spark_entry__ as entry
+    from oarphpy_spark.queries.experiment_extras import (
+        _POISSON_THRESHOLDS,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    q = entry.queries()["q_bootstrap_ci"]
+    out = q(spark, sf_dir).collect()[0]
+    assert out["n_resamples"] == 32
+    assert out["ci_lo"] <= out["point_mean"] <= out["ci_hi"]
+    # threshold table is the true Poisson(1) CDF (x 1e6, truncated)
+    import math
+
+    cdf = 0.0
+    for k, t in enumerate(_POISSON_THRESHOLDS):
+        cdf += math.exp(-1) / math.factorial(k)
+        assert t == int(cdf * 1_000_000)
