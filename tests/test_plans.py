@@ -477,3 +477,13 @@ def test_negative_sampling_anti_join_not_nested_loop(spark):
     plan = _plan(spark, "q_negative_sampling", "simple")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_experiment_stats_have_no_shuffle_joins(spark):
+    """Bootstrap / CUPED / Mann-Whitney are scan + agg plans: any
+    join present must be a broadcast of a 1-row relation, never a
+    shuffled sort-merge join or an unbroadcast cartesian."""
+    for q in ("q_bootstrap_ci", "q_cuped", "q_mann_whitney"):
+        plan = _plan(spark, q, "simple")
+        assert "SortMergeJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
