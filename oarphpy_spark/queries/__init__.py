@@ -52,6 +52,7 @@ _ROUND_PRIORITY = [
     "q_bootstrap_ci",
     "q_cuped",
     "q_mann_whitney",
+    "q_random_projection",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

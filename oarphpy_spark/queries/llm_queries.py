@@ -2032,3 +2032,101 @@ def q_kmeans_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     # llm.dedup.release_cached(out) after materializing.
     out._oarphpy_persisted = vq
     return out
+
+
+def _jl_signs(d_in: int = 64, d_out: int = 16) -> list[tuple[int, int, int]]:
+    """Deterministic +-1 projection matrix entries (i, j, s): the
+    Achlioptas/JL sign matrix, derived from md5 so both engines see
+    the SAME literals (the matrix ships as plan constants — at any
+    corpus scale it is d_in x d_out values, never data)."""
+    import hashlib
+
+    out = []
+    for i in range(d_in):
+        for j in range(d_out):
+            h = hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()
+            out.append((i, j, 1 if int(h[0], 16) >= 8 else -1))
+    return out
+
+
+def _jl_oracle() -> str:
+    values = ",".join(f"({i},{j},{s})" for i, j, s in _jl_signs())
+    return f"""
+    WITH signs(i, j, s) AS (VALUES {values}),
+    vq AS MATERIALIZED (
+      SELECT vec_id, label, u.i AS i,
+             CAST(ROUND(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS x
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(embedding, (x, i) -> {{'x': x,
+                      'i': i - 1}})) AS u
+        FROM embeddings
+      )
+    ),
+    proj AS (
+      SELECT vq.vec_id, vq.label, signs.j,
+             CAST(SUM(signs.s * vq.x) AS BIGINT) AS y
+      FROM vq JOIN signs ON signs.i = vq.i
+      GROUP BY vq.vec_id, vq.label, signs.j
+    ),
+    norms AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS n2
+      FROM proj GROUP BY vec_id, label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(n2) AS DOUBLE) / (COUNT(*) * 1e12), 6)
+             AS avg_norm2
+    FROM norms GROUP BY label ORDER BY label
+    """
+
+
+@query("q_random_projection", oracle=_jl_oracle())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> 16 dims) with a
+    deterministic +-1 sign matrix — the dimensionality-reduction
+    preprocessing step for ANN/clustering at corpus scale, where the
+    projection matrix is a broadcast-sized literal and the data makes
+    ONE pass. Projected coordinates are exact integer dot products of
+    micro-quantized inputs against the sign literals; squared norms
+    combine in 128-bit; the per-label mean norm (in original float
+    units) is ONE division at the end. Scale shape: posexplode to
+    (vec, dim) -> broadcast equi-join with the 1024-row sign table ->
+    two keyed aggregations; at production dims the same literals feed
+    a vectorized mapInPandas matmul instead of the explode (the
+    ivf/similarity modules' pattern), which is why the sign-matrix
+    helper is shared, not inlined."""
+    signs = spark.createDataFrame(
+        _jl_signs(), "i int, j int, s int"
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    vq = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "e")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.round(F.col("e").cast("double") * 1000000)
+        .cast("long")
+        .alias("x"),
+    )
+    proj = (
+        vq.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "label", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).alias("y"))
+    )
+    norms = proj.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y")
+        ).alias("n2")
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum("n2").cast("double") / (F.count("*") * 1e12), 6
+            ).alias("avg_norm2"),
+        )
+        .orderBy("label")
+    )
