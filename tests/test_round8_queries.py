@@ -258,3 +258,28 @@ def test_poisson_bootstrap_weights_distribution(spark):
     for k, t in enumerate(_POISSON_THRESHOLDS):
         cdf += math.exp(-1) / math.factorial(k)
         assert t == int(cdf * 1_000_000)
+
+
+def test_jl_projection_preserves_norms_in_expectation(spark):
+    """Defining JL property for a +-1 sign matrix: E[||y||^2] =
+    d_out * ||x||^2, so the corpus-mean ratio must concentrate near 1
+    (sd of a single ratio ~ sqrt(2/16) ~ 0.35; the mean over 100
+    vectors is tight)."""
+    import duckdb
+
+    from oarphpy_spark.queries.llm_queries import _jl_signs
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    x = np.rint(
+        np.array([r[1] for r in rows], dtype=np.float64) * 1e6
+    )
+    s = np.zeros((64, 16))
+    for i, j, v in _jl_signs():
+        s[i, j] = v
+    y = x @ s
+    ratio = (y**2).sum(axis=1) / (16 * (x**2).sum(axis=1))
+    assert 0.9 < ratio.mean() < 1.1
