@@ -523,3 +523,76 @@ def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_users_stream(_events_feed(spark, sf_dir)),
         "q_stream_distinct_users_sink",
     )
+
+
+@query(
+    "q_stream_python_source",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_centi
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python data source (SimpleDataSourceStreamReader
+    — the streaming half of the API whose batch half drives the
+    archive/tfrecords sources): replay the events table in 4
+    deterministic row-offset slices, aggregate per hour in complete
+    mode, and drain by awaiting the KNOWN total row count (the feed
+    is bounded, so completion is a row-count fact, not a watermark
+    guess — availableNow snapshots only the first offset for simple
+    readers). readBetweenOffsets reproduces any slice verbatim on
+    replay, which is what makes the drained aggregate equal the batch
+    oracle regardless of micro-batch boundaries or retries."""
+    import os as _os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oarphpy_spark.sources.replay_stream import (
+        parquet_row_count,
+        register,
+    )
+
+    register(spark)
+    path = _os.path.join(sf_dir, "events.parquet")
+    n_rows = parquet_row_count(path)
+    feed = (
+        spark.readStream.format("events_replay")
+        .option("path", path)
+        .option("n_rows", str(n_rows))
+        .load()
+    )
+    agg = feed.groupBy("hour_us").agg(
+        F.count("*").alias("n"),
+        F.sum("v_centi").alias("sum_centi"),
+    )
+    sink = "q_stream_python_source_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            got = (
+                spark.table(sink)
+                .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("t"))
+                .collect()[0]["t"]
+            )
+            if got >= n_rows:
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError(
+                f"replay drain incomplete: {sink} never reached {n_rows}"
+            )
+    finally:
+        q.stop()
+    return spark.table(sink).orderBy("hour_us")
