@@ -54,6 +54,7 @@ _ROUND_PRIORITY = [
     "q_mann_whitney",
     "q_random_projection",
     "q_stream_python_source",
+    "q_attribution_linear",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

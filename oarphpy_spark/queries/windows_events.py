@@ -967,3 +967,106 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_attribution_linear",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_centi,
+             COUNT(*) FILTER (WHERE event_type IN ('click', 'view'))
+               OVER w AS n_touch,
+             COUNT(*) FILTER (WHERE event_type = 'click')
+               OVER w AS n_click,
+             COUNT(*) FILTER (WHERE event_type = 'view')
+               OVER w AS n_view
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (
+      SELECT v_centi, n_touch, n_click, n_view FROM seq
+      WHERE event_type = 'purchase' AND n_touch > 0
+    ),
+    credited AS (
+      SELECT 'click' AS channel,
+             CAST(ROUND(10000.0 * v_centi * n_click / n_touch) AS BIGINT)
+               AS credit_micro
+      FROM purchases
+      UNION ALL
+      SELECT 'view',
+             CAST(ROUND(10000.0 * v_centi * n_view / n_touch) AS BIGINT)
+      FROM purchases
+    )
+    SELECT channel,
+           ROUND(CAST(SUM(credit_micro) AS DOUBLE) / 1e6, 4)
+             AS total_credit,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM purchases)
+             AS n_attributed
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — each purchase's value split
+    equally across ALL of the user's strictly-earlier touchpoints,
+    aggregated per channel — the companion to last-touch
+    (q_attribution_last_touch) and, like it, JOIN-FREE: per-channel
+    running counts over the same one-pass user window replace the
+    purchases x touches self-join (which re-shuffles the event log
+    and explodes per-purchase touch lists at 100 TB). Each purchase's
+    per-channel share v * cnt_channel / n_touch is quantized to
+    integer micro-units BEFORE the cross-row sum (one identical IEEE
+    division + round per row in both engines; summing raw doubles
+    would be partitioning-order-dependent), and the channel totals
+    divide back once at the end."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def run_count(cond):
+        return F.count(F.when(cond, 1)).over(w)
+
+    seq = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_centi"),
+        run_count(F.col("event_type").isin("click", "view")).alias(
+            "n_touch"
+        ),
+        run_count(F.col("event_type") == "click").alias("n_click"),
+        run_count(F.col("event_type") == "view").alias("n_view"),
+    )
+    purchases = seq.where(
+        (F.col("event_type") == "purchase") & (F.col("n_touch") > 0)
+    ).persist()
+
+    def credited(channel: str, cnt_col: str):
+        return purchases.select(
+            F.lit(channel).alias("channel"),
+            F.round(
+                10000.0 * F.col("v_centi") * F.col(cnt_col)
+                / F.col("n_touch")
+            )
+            .cast("long")
+            .alias("credit_micro"),
+        )
+
+    n_attr = purchases.agg(F.count("*").alias("n_attributed"))
+    out = (
+        credited("click", "n_click")
+        .unionByName(credited("view", "n_view"))
+        .groupBy("channel")
+        .agg(
+            F.round(
+                F.sum("credit_micro").cast("double") / 1e6, 4
+            ).alias("total_credit")
+        )
+        .crossJoin(F.broadcast(n_attr))
+        .select("channel", "total_credit", "n_attributed")
+        .orderBy("channel")
+    )
+    out._oarphpy_persisted = purchases
+    return out
