@@ -55,6 +55,7 @@ _ROUND_PRIORITY = [
     "q_random_projection",
     "q_stream_python_source",
     "q_attribution_linear",
+    "q_hll_merge",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

@@ -1494,3 +1494,114 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             u1x2.cast("double") / (2.0 * F.col("n1") * F.col("n2")), 6
         ).alias("auc"),
     )
+
+
+_HLL_ALPHA = "0.7213 / (1.0 + 1.079 / 256) * 256 * 256"
+
+
+@query(
+    "q_hll_merge",
+    oracle=f"""
+    WITH reg AS (
+      SELECT source, hv % 256 AS bucket,
+             CASE WHEN hv // 256 = 0 THEN 53
+                  ELSE 53 - length(to_base(hv // 256, 2)) END AS rho
+      FROM (
+        SELECT source,
+               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+        FROM documents
+      )
+    ),
+    per_shard AS (
+      SELECT source, bucket, MAX(rho) AS mb FROM reg
+      GROUP BY source, bucket
+    ),
+    merged_occ AS (
+      SELECT bucket, MAX(mb) AS mb FROM per_shard GROUP BY bucket
+    ),
+    direct_occ AS (
+      SELECT bucket, MAX(rho) AS mb FROM reg GROUP BY bucket
+    ),
+    ms AS (
+      SELECT CAST(SUM(CAST(CAST(2 AS BIGINT) ** (60 - COALESCE(o.mb, 0))
+                           AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS ssum
+      FROM range(256) g LEFT JOIN merged_occ o ON o.bucket = g.range
+    ),
+    ds AS (
+      SELECT CAST(SUM(CAST(CAST(2 AS BIGINT) ** (60 - COALESCE(o.mb, 0))
+                           AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS ssum
+      FROM range(256) g LEFT JOIN direct_occ o ON o.bucket = g.range
+    )
+    SELECT
+      ROUND({_HLL_ALPHA} * pow(CAST(2 AS DOUBLE), 60)
+            / CAST((SELECT ssum FROM ms) AS DOUBLE), 4) AS hll_merged,
+      ROUND({_HLL_ALPHA} * pow(CAST(2 AS DOUBLE), 60)
+            / CAST((SELECT ssum FROM ds) AS DOUBLE), 4) AS hll_direct,
+      CASE WHEN (SELECT ssum FROM ms) = (SELECT ssum FROM ds)
+           THEN 1 ELSE 0 END AS merged_equals_direct,
+      (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+        AS n_shards
+    """,
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGE ALGEBRA, value-hash-certified: build one register
+    table per shard (the 20 document sources standing in for 20
+    ingest partitions / days), merge them by register-wise MAX, and
+    prove the merged estimate equals the direct single-pass estimate
+    EXACTLY — max commutes with max, the algebraic fact that lets a
+    100 TB pipeline sketch each partition independently and union
+    later (and lets a rollup store per-day sketches instead of raw
+    ids). Same md5 bit-slice registers as q_hll_relational, so the
+    certificate (merged_equals_direct = 1) and both estimates sit
+    under the exact oracle. Scale shape: the per-shard pass is one
+    partial-aggregable groupBy(shard, bucket) carrying <= shards x
+    256 rows; the merge is a 256-group MAX."""
+    docs = table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    reg = docs.select(
+        "source",
+        (hv % 256).alias("bucket"),
+        F.when(F.floor(hv / 256) == 0, F.lit(53))
+        .otherwise(53 - F.length(F.conv(F.floor(hv / 256), 10, 2)))
+        .alias("rho"),
+    )
+    per_shard = reg.groupBy("source", "bucket").agg(
+        F.max("rho").alias("mb")
+    )
+    merged_occ = per_shard.groupBy("bucket").agg(F.max("mb").alias("mb"))
+    direct_occ = reg.groupBy("bucket").agg(F.max("rho").alias("mb"))
+    buckets = spark.range(256).select(F.col("id").alias("bucket"))
+
+    def ssum(occ: DataFrame) -> DataFrame:
+        return (
+            buckets.join(occ, "bucket", "left")
+            .select(
+                F.pow(F.lit(2.0), 60 - F.coalesce("mb", F.lit(0)))
+                .cast("decimal(38,0)")
+                .alias("term")
+            )
+            .agg(F.sum("term").alias("ssum"))
+        )
+
+    ms = ssum(merged_occ).select(F.col("ssum").alias("ssum_m"))
+    ds = ssum(direct_occ).select(F.col("ssum").alias("ssum_d"))
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+    n_shards = docs.agg(
+        F.countDistinct("source").alias("n_shards")
+    )
+    return (
+        ms.crossJoin(F.broadcast(ds))
+        .crossJoin(F.broadcast(n_shards))
+        .select(
+            F.round(
+                alpha_m2 * (2.0**60) / F.col("ssum_m").cast("double"), 4
+            ).alias("hll_merged"),
+            F.round(
+                alpha_m2 * (2.0**60) / F.col("ssum_d").cast("double"), 4
+            ).alias("hll_direct"),
+            F.when(F.col("ssum_m") == F.col("ssum_d"), 1)
+            .otherwise(0)
+            .alias("merged_equals_direct"),
+            "n_shards",
+        )
+    )
