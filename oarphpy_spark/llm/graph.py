@@ -680,23 +680,31 @@ def strongly_connected_components(
     for _outer in range(max_outer):
         if nodes.isEmpty():
             return assigned
-        ae = (
-            e0.join(nodes, e0.s == nodes.node, "left_semi")
-            .join(nodes, F.col("d") == nodes.node, "left_semi")
-            .persist()
-        )
-        # 1. TRIM: no in-edge or no out-edge => singleton SCC.
-        has_in = ae.select(F.col("d").alias("node")).distinct()
-        has_out = ae.select(F.col("s").alias("node")).distinct()
-        trimmed = truncate_lineage(
-            nodes.join(has_in, "node", "left_anti")
-            .union(nodes.join(has_out, "node", "left_anti"))
-            .distinct()
-            .select("node", F.col("node").alias("scc_id")),
-            eager=True,
-            reliable=reliable,
-        )
-        if not trimmed.isEmpty():
+        # 1. TRIM to FIXPOINT: no in-edge or no out-edge => singleton
+        # SCC. Iterated within the round so a DAG chain/tail of any
+        # length peels here in O(depth) cheap passes instead of
+        # consuming one full color+peel round per level.
+        ae = None
+        for _ in range(max_inner):
+            if ae is not None:
+                ae.unpersist()
+            ae = (
+                e0.join(nodes, e0.s == nodes.node, "left_semi")
+                .join(nodes, F.col("d") == nodes.node, "left_semi")
+                .persist()
+            )
+            has_in = ae.select(F.col("d").alias("node")).distinct()
+            has_out = ae.select(F.col("s").alias("node")).distinct()
+            trimmed = truncate_lineage(
+                nodes.join(has_in, "node", "left_anti")
+                .union(nodes.join(has_out, "node", "left_anti"))
+                .distinct()
+                .select("node", F.col("node").alias("scc_id")),
+                eager=True,
+                reliable=reliable,
+            )
+            if trimmed.isEmpty():
+                break
             assigned = truncate_lineage(
                 assigned.unionByName(trimmed), eager=True, reliable=reliable
             )
@@ -705,8 +713,13 @@ def strongly_connected_components(
                 eager=True,
                 reliable=reliable,
             )
+        else:
+            raise RuntimeError(
+                f"scc trim did not reach a fixpoint in {max_inner} passes"
+            )
+        if nodes.isEmpty():
             ae.unpersist()
-            continue  # re-derive the subgraph before the expensive phases
+            return assigned
 
         # 2. COLOR: forward max-id propagation to fixpoint.
         color = nodes.select("node", F.col("node").alias("color"))

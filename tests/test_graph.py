@@ -474,3 +474,17 @@ def test_scc_random_graphs_match_tarjan(spark):
         # the representative is the max id of its SCC
         for scc_id, members in got.items():
             assert scc_id == max(members)
+
+
+def test_scc_long_dag_chain_trims_in_one_round(spark):
+    """A 30-node directed chain (all singleton SCCs) must resolve
+    within the trim fixpoint of a single outer round — max_outer=2
+    would fail if trimming only peeled one level per round."""
+    from oarphpy_spark.llm.graph import strongly_connected_components
+
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = strongly_connected_components(df, max_outer=2).collect()
+    assert {(r["node"], r["scc_id"]) for r in rows} == {
+        (i, i) for i in range(31)
+    }
