@@ -56,6 +56,7 @@ _ROUND_PRIORITY = [
     "q_stream_python_source",
     "q_attribution_linear",
     "q_hll_merge",
+    "q_hybrid_rrf",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

@@ -2130,3 +2130,180 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('spark', 'query', 'table')
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                         / avgdl.avgdl))), 6) AS s
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), n, avgdl
+      GROUP BY tf.doc_id
+    ),
+    bm_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bm QUALIFY r <= 50
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), qv AS (SELECT v FROM e WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND({_COS_DUCK.format(a='(SELECT v FROM qv)', b='e.v')}, 6)
+               AS c
+      FROM e WHERE e.vec_id <> 0
+    ),
+    cos_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+      FROM cos WHERE c IS NOT NULL QUALIFY r <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             COALESCE(b.r, 0) AS bm25_rank,
+             COALESCE(c.r, 0) AS cos_rank,
+             ROUND(
+               CASE WHEN b.r IS NULL THEN 0.0
+                    ELSE 1.0 / (60 + b.r) END
+               + CASE WHEN c.r IS NULL THEN 0.0
+                      ELSE 1.0 / (60 + c.r) END, 6) AS rrf
+      FROM bm_rank b FULL JOIN cos_rank c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank, rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 10 ORDER BY rrf DESC, doc_id
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR 2009): fuse the lexical ranking (BM25, q_bm25_rank's
+    scorer) with the dense ranking (exact cosine against the query
+    embedding) as sum of 1/(60+rank) — the standard RAG-recall
+    combiner, score-scale-free because only RANKS cross lists. Both
+    per-list scores are rounded to 6 decimals BEFORE ranking (with
+    doc_id tiebreaks) so the rank lists — and therefore the fusion —
+    are engine-exact. Scale shape: each list is its own bounded
+    top-50 (window group-limit over partial-aggregated scores); the
+    fusion is a 50x50 full outer join on doc_id — constant-size
+    regardless of corpus scale; the corpus is scanned once per
+    modality and never joined row-to-row."""
+    from oarphpy_spark.functions.vectors import cosine
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("token"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.where(F.col("token").isin("spark", "query", "table"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    bm = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        1.0
+                        + (F.col("n") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * F.col("tf")
+                    * 2.2
+                    / (
+                        F.col("tf")
+                        + 1.2
+                        * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("s")
+        )
+    )
+    wb = Window.orderBy(F.col("s").desc(), "doc_id")
+    bm_rank = (
+        bm.select("doc_id", F.row_number().over(wb).alias("r"))
+        .where(F.col("r") <= 50)
+    )
+
+    ev = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = ev.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos = (
+        ev.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+    )
+    wc = Window.orderBy(F.col("c").desc(), "doc_id")
+    cos_rank = (
+        cos.select("doc_id", F.row_number().over(wc).alias("r"))
+        .where(F.col("r") <= 50)
+    )
+
+    b = bm_rank.select(
+        F.col("doc_id"), F.col("r").alias("rb")
+    )
+    c = cos_rank.select(
+        F.col("doc_id"), F.col("r").alias("rc")
+    )
+    fused = (
+        b.join(c, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rb", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("rc", F.lit(0)).alias("cos_rank"),
+            F.round(
+                F.when(
+                    F.col("rb").isNotNull(), 1.0 / (60 + F.col("rb"))
+                ).otherwise(0.0)
+                + F.when(
+                    F.col("rc").isNotNull(), 1.0 / (60 + F.col("rc"))
+                ).otherwise(0.0),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wr = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 10)
+        .drop("rk")
+        .orderBy(F.col("rrf").desc(), "doc_id")
+    )
