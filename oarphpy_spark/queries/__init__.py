@@ -57,6 +57,7 @@ _ROUND_PRIORITY = [
     "q_attribution_linear",
     "q_hll_merge",
     "q_hybrid_rrf",
+    "q_revenue_gini",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

@@ -1605,3 +1605,93 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shards",
         )
     )
+
+
+@query(
+    "q_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r,
+             ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM rev
+    ),
+    s AS (
+      SELECT MAX(n) AS n,
+             CAST(SUM(r) AS HUGEINT) AS total,
+             CAST(SUM(CAST(i AS HUGEINT) * r) AS HUGEINT) AS weighted,
+             CAST(SUM(CASE WHEN i > n - n // 100
+                           THEN r ELSE 0 END) AS HUGEINT) AS top_pct
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           ROUND(CAST(2 * weighted AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini,
+           ROUND(CAST(top_pct AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS top1pct_share
+    FROM s
+    """,
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient and the top-1%
+    share of per-customer order revenue — the inequality profile that
+    decides whether a pipeline needs skew handling at all (Gini near
+    1 = a handful of keys carry the table). Gini from the
+    rank-weighted identity G = 2 SUM(i * x_(i)) / (n SUM(x)) -
+    (n+1)/n over centi-quantized integer revenues; the rank window
+    runs over the AGGREGATED per-customer relation (cardinality =
+    customers, not orders — at 100 TB this is the
+    orders-of-magnitude reduction that makes a global rank
+    acceptable; past that, bucket the Lorenz curve). 128-bit
+    rank-weighted sum; two divisions at the end."""
+    rev = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("r")
+        )
+    )
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    s = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,0)")).alias("total"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("r")
+        ).alias("weighted"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.floor(F.col("n") / 100),
+                F.col("r"),
+            )
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("top_pct"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (2 * F.col("weighted")).cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top_pct").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("top1pct_share"),
+    )
