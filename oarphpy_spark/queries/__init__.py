@@ -58,6 +58,7 @@ _ROUND_PRIORITY = [
     "q_hll_merge",
     "q_hybrid_rrf",
     "q_revenue_gini",
+    "q_session_entropy",
     "q_graph_assortativity",
     "q_time_weighted_avg",
     "q_negative_sampling",

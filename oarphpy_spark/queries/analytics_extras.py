@@ -1695,3 +1695,69 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top1pct_share"),
     )
+
+
+@query(
+    "q_session_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(ROUND(1e6 * COUNT(*) * ln(COUNT(*))) AS BIGINT)
+               AS term_micro
+      FROM events GROUP BY user_id, event_type
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(ROUND(1e6 * (ln(SUM(ni))
+                 - CAST(SUM(term_micro) AS DOUBLE)
+                   / (1e6 * SUM(ni)))) AS BIGINT) AS h_micro
+      FROM c GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(h_micro) AS DOUBLE) / (1e6 * COUNT(*)), 4)
+             AS avg_entropy,
+           ROUND(CAST(MAX(h_micro) AS DOUBLE) / 1e6, 4) AS max_entropy
+    FROM per_user
+    """,
+)
+def q_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (nats), averaged
+    over users — the behavioral-diversity metric (0 = single-type
+    bots, ln(5) = uniform mix) that complements the PMI collocation
+    and drift queries on the information-theory axis. The discipline
+    is quantize-before-every-cross-row-sum, twice: n*ln(n) terms are
+    micro-quantized per (user, type) row before the per-user sum
+    (identical IEEE ln per row; integer sums are order-free), and
+    each user's entropy is micro-quantized before the corpus
+    average. Two partial-aggregable groupBys, no joins, no windows."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("ni")
+    ).select(
+        "user_id",
+        "ni",
+        F.round(1e6 * F.col("ni") * F.log(F.col("ni")))
+        .cast("long")
+        .alias("term_micro"),
+    )
+    per_user = c.groupBy("user_id").agg(
+        F.round(
+            1e6
+            * (
+                F.log(F.sum("ni"))
+                - F.sum("term_micro").cast("double")
+                / (1e6 * F.sum("ni"))
+            )
+        )
+        .cast("long")
+        .alias("h_micro")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.round(
+            F.sum("h_micro").cast("double") / (1e6 * F.count("*")), 4
+        ).alias("avg_entropy"),
+        F.round(F.max("h_micro").cast("double") / 1e6, 4).alias(
+            "max_entropy"
+        ),
+    )
