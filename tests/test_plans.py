@@ -487,3 +487,24 @@ def test_experiment_stats_have_no_shuffle_joins(spark):
         plan = _plan(spark, q, "simple")
         assert "SortMergeJoin" not in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_round8_batch4_plan_hygiene(spark):
+    """HLL merge, hybrid RRF, Gini, and entropy: no cartesians, no
+    shuffled sort-merge joins (everything non-broadcast is an agg),
+    and entropy is join-free entirely."""
+    for q in ("q_hll_merge", "q_revenue_gini"):
+        plan = _plan(spark, q, "simple")
+        assert "CartesianProduct" not in plan, q
+        assert "SortMergeJoin" not in plan, q
+    # RRF legitimately shuffles twice: the corpus-sized tf x dl equi
+    # join and the 50x50 full-outer fusion (full outer cannot
+    # broadcast); what must NOT appear is an unkeyed product.
+    rrf = _plan(spark, "q_hybrid_rrf", "simple")
+    assert "CartesianProduct" not in rrf
+    assert "BroadcastNestedLoopJoin" not in rrf or rrf.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 2  # the two 1-row scalar broadcasts (n, avgdl)
+    entropy = _plan(spark, "q_session_entropy", "simple")
+    assert "Join" not in entropy
+    assert entropy.count("HashAggregate") >= 4  # two partial+final pairs
