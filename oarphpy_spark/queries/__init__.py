@@ -142,3 +142,12 @@ _ROUND_PRIORITY = [
 ]
 
 registry.set_priority(_ROUND_PRIORITY)
+
+# NEXT ROUND: the window must stay SATURATED (scripts/staleness_audit
+# enforces it). This round closed with exactly 49 never-verified
+# queries + q_set_similarity_join filling all 50 slots, which pushed
+# the r7-changed iterative-graph family (pagerank/ppr/kcore/ktruss/
+# lpa/dedup_clusters, truncate_lineage refactor, last green r06) into
+# the backlog — next round's prefix should lead with the audit's
+# recommended_window: any new queries, then own-fn-changed stale,
+# then that family, then oldest helper-churn stale.
