@@ -45,3 +45,38 @@ def test_read_between_offsets_reproduces_live_slices():
     # a second reader instance (fresh process stand-in) agrees too
     again = list(ReplayStreamReader(PATH, n).readBetweenOffsets(o0, o2))
     assert again == live
+
+
+def test_restart_drain_is_exactly_once(spark, tmp_path):
+    """Each availableNow start against the SAME checkpoint advances
+    exactly one offset slice (simple stream readers snapshot one
+    batch per start); after REPLAY_SLICES restarts every row has
+    landed exactly once and a further start adds nothing — the
+    offset-log + readBetweenOffsets recovery contract end-to-end."""
+    from oarphpy_spark.sources.replay_stream import register
+
+    register(spark)
+    n = parquet_row_count(PATH)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    counts = []
+    for _ in range(REPLAY_SLICES + 1):
+        q = (
+            spark.readStream.format("events_replay")
+            .option("path", PATH)
+            .option("n_rows", str(n))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(60)
+        counts.append(spark.read.parquet(out).count())
+    per = -(-n // REPLAY_SLICES)
+    assert counts == [
+        min((i + 1) * per, n) for i in range(REPLAY_SLICES)
+    ] + [n]
+    df = spark.read.parquet(out)
+    assert df.select("event_id").distinct().count() == n
