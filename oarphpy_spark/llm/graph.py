@@ -303,9 +303,18 @@ def sssp(
         .persist()
     )
     # Seed is ONE literal row — no node-universe scan to filter it out
-    # of (the frontier only ever holds reached nodes anyway).
-    dist = edges.sparkSession.createDataFrame(
-        [(source, 0)], "node long, dist long"
+    # of (the frontier only ever holds reached nodes anyway). The
+    # seed's types derive from the INPUT columns (id type from src,
+    # dist type from the weight), so string/other non-integral node
+    # ids work exactly as they do in connected_components.
+    id_type = base.schema["s"].dataType
+    w_type = base.schema[weight].dataType
+    dist = (
+        edges.sparkSession.range(1)
+        .select(
+            F.lit(source).cast(id_type).alias("node"),
+            F.lit(0).cast(w_type).alias("dist"),
+        )
     )
     frontier = dist
     for _ in range(rounds):
@@ -675,7 +684,21 @@ def strongly_connected_components(
         eager=True,
         reliable=reliable,
     )
-    assigned = spark.createDataFrame([], "node long, scc_id long")
+    # The empty seed's schema derives from the input edge id type
+    # (scc_id = MAX node id, same type), so string/other non-integral
+    # node ids work exactly as they do in connected_components.
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = e0.schema["s"].dataType
+    assigned = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("node", id_type),
+                StructField("scc_id", id_type),
+            ]
+        ),
+    )
 
     for _outer in range(max_outer):
         if nodes.isEmpty():
@@ -721,26 +744,45 @@ def strongly_connected_components(
             ae.unpersist()
             return assigned
 
-        # 2. COLOR: forward max-id propagation to fixpoint.
+        # 2. COLOR: forward max-id propagation to fixpoint. Numeric
+        # ids get the 1-row monotone SUM(color) convergence action;
+        # non-numeric ids (where a decimal cast would NULL out and
+        # falsely report convergence) pay one small node-sized
+        # anti-check join per step instead — exact for any id type.
+        from pyspark.sql.types import NumericType
+
+        numeric_ids = isinstance(id_type, NumericType)
         color = nodes.select("node", F.col("node").alias("color"))
         prev_sum = None
         for _ in range(max_inner):
             msgs = ae.join(color, ae.s == color.node).select(
                 F.col("d").alias("node"), "color"
             )
-            color = truncate_lineage(
+            new_color = truncate_lineage(
                 color.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.max("color").alias("color")),
                 eager=False,
                 reliable=reliable,
             )
-            s = color.agg(
-                F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-            if s == prev_sum:
+            if numeric_ids:
+                s = new_color.agg(
+                    F.sum(F.col("color").cast("decimal(38,0)")).alias("s")
+                ).collect()[0]["s"]
+                converged = s == prev_sum
+                prev_sum = s
+            else:
+                converged = (
+                    new_color.join(
+                        color.withColumnRenamed("color", "pc"), "node"
+                    )
+                    .filter(F.col("color") != F.col("pc"))
+                    .limit(1)
+                    .isEmpty()
+                )
+            color = new_color
+            if converged:
                 break
-            prev_sum = s
         else:
             raise RuntimeError(
                 f"scc coloring did not converge in {max_inner} steps"

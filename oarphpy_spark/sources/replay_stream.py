@@ -50,8 +50,21 @@ def _read_slice(path: str, start_row: int, end_row: int):
             us = calendar.timegm(x.timetuple()) * 1_000_000 + x.microsecond
         return us - us % 3_600_000_000
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def centi(v: float) -> int:
+        # Half-AWAY-from-zero on the exact binary expansion of
+        # v * 100 — Decimal(float) is the same exact expansion Java's
+        # BigDecimal(double) sees, so this matches Spark F.round and
+        # DuckDB ROUND bit-for-bit. Python's builtin round() is
+        # banker's (half-to-even) and would diverge from the oracle
+        # on any value whose v*100 is an exact binary .5.
+        return int(
+            Decimal(v * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
     return [
-        (e, u, hour_us(t_), round(v * 100))
+        (e, u, hour_us(t_), centi(v))
         for e, u, t_, v in zip(ev, uid, ts, val)
     ]
 

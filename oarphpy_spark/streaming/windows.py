@@ -231,19 +231,28 @@ def distinct_users_stream(
     """EXACT distinct users per tumbling window as TWO chained
     stateful operators — the Spark 3.4+ multi-stateful pipeline in
     its documented-supported form: a streaming DEDUP keyed on
-    (user, window bucket) collapses to the first event per user per
-    hour (state linear in live distinct keys, the bound any exact
-    distinct pays; evicted when the watermark passes), then a
-    windowed aggregation counts the survivors per window. This is
-    the streaming form of the two-phase exact COUNT(DISTINCT)
-    rewrite batch planners do."""
+    (user, window struct) collapses to the first event per user per
+    window (state linear in live distinct keys, the bound any exact
+    distinct pays), then a windowed aggregation counts the
+    survivors. The dedup key MUST be the `F.window(...)` struct, not
+    a derived bucket column like date_trunc: the window struct
+    retains the event-time watermark metadata, so the dedup state
+    store evicts keys once the watermark passes their window end —
+    a date_trunc bucket loses that metadata and the dedup state
+    would grow without bound on a continuous stream (eviction is
+    pinned by tests/test_streaming_dedup.py::
+    test_distinct_users_dedup_state_evicts). The bucket is derived
+    from the same `window` argument as the downstream aggregation,
+    so non-hour windows count true per-window distincts. This is the
+    streaming form of the two-phase exact COUNT(DISTINCT) rewrite
+    batch planners do."""
     dedup = (
         events.withWatermark("ts", watermark)
-        .withColumn("hour_bucket", F.date_trunc("hour", "ts"))
-        .dropDuplicates(["user_id", "hour_bucket"])
+        .withColumn("w", F.window("ts", window))
+        .dropDuplicates(["user_id", "w"])
     )
     return (
-        dedup.groupBy(F.window("ts", window).alias("w"))
+        dedup.groupBy("w")
         .agg(F.count("*").alias("n_users"))
         .select(
             F.unix_micros("w.start").alias("window_start_us"),

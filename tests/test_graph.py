@@ -488,3 +488,50 @@ def test_scc_long_dag_chain_trims_in_one_round(spark):
     assert {(r["node"], r["scc_id"]) for r in rows} == {
         (i, i) for i in range(31)
     }
+
+
+def test_scc_string_node_ids(spark):
+    """The assigned/seed schemas derive from the INPUT id type, so
+    string node ids work exactly as in connected_components (the
+    round-7 advice defect: a hardcoded 'node long' seed made the
+    first unionByName throw). Also exercises the non-numeric COLOR
+    convergence check (the decimal-cast SUM would NULL out on
+    strings and falsely converge)."""
+    from oarphpy_spark.llm.graph import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),  # cycle {a,b,c}
+            ("e", "f"), ("f", "e"),              # cycle {e,f}
+            ("c", "d"), ("d", "e"),              # DAG bridge via d
+            ("g", "a"),                          # pendant source
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r["node"], r["scc_id"])
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "c"), ("b", "c"), ("c", "c"),
+        ("d", "d"),
+        ("e", "f"), ("f", "f"),
+        ("g", "g"),
+    }
+
+
+def test_sssp_string_ids_and_double_weights(spark):
+    """The sssp seed derives (id, dist) types from the input columns:
+    string node ids + double weights must work, and dist must come
+    back as the weight's type (double), not a hardcoded long."""
+    from oarphpy_spark.llm.graph import sssp
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.5), ("b", "c", 2.25), ("a", "c", 10.0)],
+        "s string, d string, w double",
+    )
+    got = {
+        r.node: r.dist
+        for r in sssp(df, "a", "s", "d", "w", rounds=3).collect()
+    }
+    assert got == {"a": 0.0, "b": 1.5, "c": 3.75}

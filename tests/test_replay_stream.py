@@ -80,3 +80,36 @@ def test_restart_drain_is_exactly_once(spark, tmp_path):
     ] + [n]
     df = spark.read.parquet(out)
     assert df.select("event_id").distinct().count() == n
+
+
+def test_slice_rounding_is_half_away_from_zero(tmp_path):
+    """_read_slice must quantize value→centi-units with the SAME
+    rounding as F.round / DuckDB ROUND (half away from zero on the
+    exact binary expansion). Python's builtin round() is banker's
+    (12.5→12) and silently diverges on exact binary halves; 0.125 is
+    exactly representable, so 0.125*100 == 12.5 exactly — the
+    sharpest probe for this class."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oarphpy_spark.sources.replay_stream import _read_slice
+
+    p = str(tmp_path / "ev.parquet")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:05:00"] * 3
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 1],
+            "value": [0.125, -0.125, 0.135],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+    got = {r[0]: r[3] for r in _read_slice(p, 0, 3)}
+    assert got[1] == 13  # round() would give 12
+    assert got[2] == -13  # away from zero, not toward even
+    # 0.135*100 is NOT an exact binary half (13.500000000000002) —
+    # both schemes agree; pins that ordinary values are untouched.
+    assert got[3] == 14

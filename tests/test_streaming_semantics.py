@@ -162,3 +162,80 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
         "t_state_rocksdb",
     )
     assert default and rocks == default
+
+
+def test_distinct_users_dedup_state_evicts(spark, tmp_path):
+    """The distinct-users dedup keys on the F.window struct (which
+    carries event-time watermark metadata), so StreamingDeduplicate
+    EVICTS keys once the watermark passes their window end. A
+    date_trunc-derived bucket column would lose that metadata and the
+    state would grow forever — this test drives 3 micro-batches and
+    asserts (a) rows were actually REMOVED from the dedup state store
+    and (b) the per-window distinct counts are exact for a NON-hour
+    window (the bucket derives from the `window` argument)."""
+    from oarphpy_spark.streaming.windows import (
+        distinct_users_stream,
+        stream_events,
+    )
+
+    src = tmp_path / "du_src"
+    src.mkdir()
+    # b1: 3 distinct users in 10:00-10:30, one duplicated; user 2
+    # also appears in 10:30-11:00 -> with a 30-min window it counts
+    # again (an hour-hardcoded bucket would collapse it).
+    _write_events(
+        str(src / "b1.parquet"),
+        [
+            (1, "2024-01-01 10:05:00", 1),
+            (2, "2024-01-01 10:10:00", 2),
+            (3, "2024-01-01 10:12:00", 2),
+            (4, "2024-01-01 10:20:00", 3),
+            (5, "2024-01-01 10:40:00", 2),
+        ],
+    )
+    time.sleep(1.1)
+    # b2 advances max ts to 14:00 -> watermark 13:30 after commit.
+    _write_events(str(src / "b2.parquet"), [(6, "2024-01-01 14:00:00", 9)])
+    time.sleep(1.1)
+    # b3 runs WITH watermark 13:30 in effect: every 10:xx dedup key
+    # (window end <= 11:00 < 13:30) must be evicted this batch.
+    _write_events(str(src / "b3.parquet"), [(7, "2024-01-01 14:10:00", 9)])
+
+    agg = distinct_users_stream(
+        stream_events(spark, str(src), max_files_per_trigger=1),
+        watermark="30 minutes",
+        window="30 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_du_evict")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "du_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    counts = {
+        r.window_start_us: r.n_users
+        for r in spark.table("t_du_evict").collect()
+    }
+    us = lambda s: int(  # noqa: E731
+        pd.Timestamp(s, tz="UTC").value // 1000
+    )
+    assert counts[us("2024-01-01 10:00:00")] == 3  # users 1,2,3 deduped
+    assert counts[us("2024-01-01 10:30:00")] == 1  # user 2, new window
+    assert counts[us("2024-01-01 14:00:00")] == 1
+
+    # State eviction must be observable on the dedup operator.
+    dedup_ops = [
+        op
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+        if op["operatorName"] == "dedupe"
+    ]
+    assert dedup_ops, "no dedup state operator in progress"
+    assert sum(op["numRowsRemoved"] for op in dedup_ops) >= 4, (
+        "dedup state was never evicted — the dedup key lost its "
+        "event-time watermark metadata"
+    )
