@@ -35,6 +35,7 @@ import oarphpy_spark.queries.pipeline_extras  # noqa: F401
 import oarphpy_spark.queries.profiling  # noqa: F401
 import oarphpy_spark.queries.relational  # noqa: F401
 import oarphpy_spark.queries.scalar_fns  # noqa: F401
+import oarphpy_spark.queries.spatial  # noqa: F401
 import oarphpy_spark.queries.sql_api  # noqa: F401
 import oarphpy_spark.queries.streaming_queries  # noqa: F401
 import oarphpy_spark.queries.tpch  # noqa: F401

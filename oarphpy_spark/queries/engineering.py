@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oarphpy_spark.functions.text import md5_str
 from oarphpy_spark.registry import query
 from oarphpy_spark.tables import table
 
@@ -672,3 +673,97 @@ def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
         else:
             spark.conf.set(conf_key, old_mode)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q_delete_vector_apply",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             l_extendedprice, l_discount,
+             l_orderkey % 16 AS file_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey % 16
+               ORDER BY l_orderkey, l_linenumber
+             ) - 1 AS pos
+      FROM lineitem
+    ), dv AS (
+      SELECT file_id, pos FROM base
+      WHERE CAST(('0x' || substring(
+               md5('dv|' || CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 8))
+            AS BIGINT) % 37 = 0
+    )
+    SELECT b.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           ROUND(SUM(b.l_extendedprice * (1 - b.l_discount)), 2)
+             AS revenue
+    FROM base b
+    LEFT JOIN dv ON b.file_id = dv.file_id AND b.pos = dv.pos
+    WHERE dv.pos IS NULL
+    GROUP BY b.l_returnflag ORDER BY b.l_returnflag
+    """,
+)
+def q_delete_vector_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITION DELETES, the Iceberg v2 / Delta
+    deletion-vector read path: a base scan carries (file_id, pos)
+    row coordinates, a (typically tiny) delete-vector relation lists
+    coordinates to suppress, and the read applies it as an ANTI-join
+    before any aggregation — no rewrite of base files. Positions are
+    assigned per-file by a deterministic in-file order (a per-file
+    window, each file sorts independently — the same contract a real
+    table format gets from physical row order); the demo delete
+    vector derives from a salted md5 so both engines delete the same
+    ~1/37 of rows. At scale the anti-join broadcasts: delete vectors
+    are orders of magnitude smaller than the base."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_orderkey") % 16).alias("file_id"),
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("file_id").orderBy(
+                "l_orderkey", "l_linenumber"
+            )
+        )
+        - 1,
+    )
+    dv = base.filter(
+        F.conv(
+            F.substring(
+                md5_str(
+                    F.concat_ws(
+                        "|",
+                        F.lit("dv"),
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 37
+        == 0
+    ).select("file_id", "pos")
+    live = base.join(F.broadcast(dv), ["file_id", "pos"], "left_anti")
+    return (
+        live.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_live"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

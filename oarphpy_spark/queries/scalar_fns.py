@@ -437,3 +437,63 @@ def q_cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT 'https://' || source || '.example.org/' || lang ||
+             '/doc-' || doc_id || '?sz=' || n_chars || '&v=2' AS url,
+             n_chars
+      FROM documents
+    )
+    SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(regexp_extract(url, '[?&]sz=([0-9]+)', 1)
+                         AS BIGINT)) AS BIGINT) AS sum_sz,
+           CAST(MAX(LENGTH(regexp_extract(
+               url, 'https://[^/]+(/[^?]*)', 1))) AS BIGINT)
+             AS max_path_len
+    FROM u
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's JVM-side ``parse_url`` (HOST /
+    PATH / a single QUERY parameter) over deterministically
+    constructed document URLs, rolled up per host. parse_url is the
+    idiomatic weblog primitive — one codegen'd expression, no Python,
+    no regex backtracking in the hot path; the DuckDB oracle restates
+    the same extraction with anchored regexes (DuckDB has no
+    parse_url). Integer aggregates only."""
+    docs = table(spark, sf_dir, "documents")
+    u = docs.select(
+        F.concat(
+            F.lit("https://"),
+            "source",
+            F.lit(".example.org/"),
+            "lang",
+            F.lit("/doc-"),
+            "doc_id",
+            F.lit("?sz="),
+            "n_chars",
+            F.lit("&v=2"),
+        ).alias("url")
+    )
+    return (
+        u.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("sz"))
+            .cast("bigint")
+            .alias("sz"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("sz").alias("sum_sz"),
+            F.max(F.length("path")).cast("bigint").alias("max_path_len"),
+        )
+        .orderBy("host")
+    )

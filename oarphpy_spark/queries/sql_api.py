@@ -572,3 +572,27 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+_GROUPBY_ALL_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+@query("q_sql_groupby_all", oracle=_GROUPBY_ALL_SQL)
+def q_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the analyst-facing shorthand both Spark (3.4+)
+    and DuckDB resolve to 'group by every non-aggregate select item'.
+    The SQL string is VERBATIM-shared with the oracle, so this pins
+    that the two engines infer the SAME grouping set from the same
+    text (a dialect-resolution check, not just a value check). Plan
+    is an ordinary partial-agg groupBy on two low-cardinality keys —
+    nothing about the sugar changes the physical shape at 100 TB."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_GROUPBY_ALL_SQL)

@@ -1070,3 +1070,53 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._oarphpy_persisted = purchases
     return out
+
+
+@query(
+    "q_ntile_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT c_mktsegment, c_acctbal,
+             NTILE(10) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey
+             ) AS decile
+      FROM customer
+    )
+    SELECT c_mktsegment, decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM d
+    GROUP BY c_mktsegment, decile
+    ORDER BY c_mktsegment, decile
+    """,
+)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count decile banding per market segment via NTILE(10) —
+    the positional bucketing windows give (remainder rows spread over
+    the FIRST buckets, ties broken by the deterministic
+    (c_acctbal, c_custkey) order so both engines band identically),
+    then per-band boundary/average stats. The window is PARTITIONED
+    by segment, so each sort is per-key, not global — the shape that
+    scales; a truly global NTILE at 100 TB should instead bucket by
+    pre-computed rank boundaries (see q_percentiles) because a
+    one-partition window serializes the sort."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
