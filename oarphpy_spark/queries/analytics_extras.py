@@ -1761,3 +1761,293 @@ def q_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_entropy"
         ),
     )
+
+
+@query(
+    "q_heavy_hitters_mergeable",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 8 AS shard,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT shard, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY shard, token
+    ), ranked AS (
+      SELECT shard, token, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY n DESC, token
+             ) AS rk
+      FROM cnt
+    ), summ AS (SELECT shard, token, n FROM ranked WHERE rk <= 16),
+    resid AS (
+      SELECT shard,
+             COALESCE(MAX(CASE WHEN rk > 16 THEN n END), 0) AS r
+      FROM ranked GROUP BY shard
+    ),
+    tot AS (SELECT SUM(r) AS total_r FROM resid),
+    cand AS (
+      SELECT token,
+             CAST(SUM(s.n) AS BIGINT) AS est_lo,
+             CAST(SUM(r.r) AS BIGINT) AS present_r
+      FROM summ s JOIN resid r ON s.shard = r.shard
+      GROUP BY token
+    ),
+    exact AS (
+      SELECT token, CAST(SUM(n) AS BIGINT) AS exact_n
+      FROM cnt WHERE token IN (SELECT token FROM cand)
+      GROUP BY token
+    ),
+    merged AS (
+      SELECT c.token, c.est_lo,
+             CAST(c.est_lo + t.total_r - c.present_r AS BIGINT) AS est_hi,
+             e.exact_n
+      FROM cand c CROSS JOIN tot t JOIN exact e ON c.token = e.token
+    )
+    SELECT token, est_lo, est_hi, exact_n,
+           CAST(exact_n BETWEEN est_lo AND est_hi AS BIGINT) AS in_bounds
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY est_lo DESC, token) AS rk
+      FROM merged
+    ) WHERE rk <= 10
+    ORDER BY est_lo DESC, token
+    """,
+)
+def q_heavy_hitters_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters summary — the SpaceSaving/Misra-Gries
+    ALGEBRA restated relationally so the sketch itself value-hashes:
+    each of 8 deterministic shards (doc_id % 8, standing in for data
+    partitions) ships only its exact top-16 (count, token) rows plus
+    one residual bound r_s = the largest count it DROPPED; the merge
+    scores every shipped candidate with a certain lower bound (sum
+    of counts where present) and an upper bound (+ r_s for every
+    shard where absent, restated as total_r - present_r so no
+    candidate x shard grid is materialized). The output carries the
+    exact count and an in_bounds certificate per row — the driver
+    hash therefore pins the summary's ERROR GUARANTEE, not just its
+    ranking. This is the communication pattern that finds heavy
+    hitters at 100 TB with k rows per partition instead of a full
+    token shuffle; the same merge is associative across any shard
+    tree. All-integer arithmetic."""
+    from oarphpy_spark.functions.text import norm_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            (F.col("doc_id") % 8).alias("shard"),
+            F.explode(norm_tokens(F.col("text"))).alias("token"),
+        )
+        .groupBy("shard", "token")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("n"), "token")
+    ranked = cnt.withColumn("rk", F.row_number().over(w))
+    summ = ranked.filter(F.col("rk") <= 16).select("shard", "token", "n")
+    resid = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") > 16, F.col("n"))), F.lit(0)
+        ).alias("r")
+    )
+    cand = (
+        summ.join(resid, "shard")
+        .groupBy("token")
+        .agg(
+            F.sum("n").alias("est_lo"),
+            F.sum("r").alias("present_r"),
+        )
+    )
+    exact = (
+        cnt.join(cand.select("token"), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.sum("n").alias("exact_n"))
+    )
+    # total residual is ONE row — the broadcast-of-one-row crossJoin
+    # idiom (constant-size, never a data-scale cartesian).
+    tot = resid.agg(F.sum("r").alias("total_r"))
+    merged = (
+        cand.crossJoin(F.broadcast(tot))
+        .join(exact, "token")
+        .select(
+            "token",
+            "est_lo",
+            (F.col("est_lo") + F.col("total_r") - F.col("present_r"))
+            .cast("bigint")
+            .alias("est_hi"),
+            "exact_n",
+        )
+    )
+    top = (
+        merged.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("est_lo"), "token")
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select(
+            "token",
+            "est_lo",
+            "est_hi",
+            "exact_n",
+            (
+                (F.col("exact_n") >= F.col("est_lo"))
+                & (F.col("exact_n") <= F.col("est_hi"))
+            )
+            .cast("bigint")
+            .alias("in_bounds"),
+        )
+        .orderBy(F.desc("est_lo"), "token")
+    )
+    out = top.localCheckpoint(eager=True)
+    cnt.unpersist()
+    return out
+
+
+@query(
+    "q_seasonality_index",
+    oracle="""
+    WITH base AS (
+      SELECT isodow(ts) - 1 AS dow, EXTRACT(hour FROM ts) AS hod,
+             CAST(ROUND(value * 100) AS BIGINT) AS cv
+      FROM events
+    ), cell AS (
+      SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cv) AS BIGINT) AS sum_cv
+      FROM base GROUP BY dow, hod
+    ), tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS n_tot,
+             CAST(SUM(sum_cv) AS HUGEINT) AS cv_tot
+      FROM cell
+    )
+    SELECT dow, hod, n,
+           ROUND(CAST(CAST(sum_cv AS HUGEINT) * n_tot AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * cv_tot AS DOUBLE), 6)
+             AS idx
+    FROM cell CROSS JOIN tot
+    ORDER BY dow, hod
+    """,
+)
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile: each (weekday, hour) cell's
+    average order value as a RATIO to the overall average — the
+    multiplicative seasonal index a forecasting pipeline divides out
+    before trend fitting. The ratio is restated as
+    (cell_sum * total_n) / (cell_n * total_sum): both products are
+    exact 128-bit integers (the weighted-sum overflow class the
+    sf1.0 smoke catches — bilinears of a sum and a count overflow
+    int64 long before either factor does), and the single division
+    is the only IEEE op. The grand total is a one-row broadcast
+    crossJoin; the cell table is at most 168 rows, so everything
+    after the one data-scale groupBy is constant-size."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    cell = base.groupBy("dow", "hod").agg(
+        F.count("*").alias("n"), F.sum("cv").alias("sum_cv")
+    )
+    tot = cell.agg(
+        F.sum("n").cast("decimal(38,0)").alias("n_tot"),
+        F.sum("sum_cv").cast("decimal(38,0)").alias("cv_tot"),
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.round(
+                (
+                    F.col("sum_cv").cast("decimal(38,0)") * F.col("n_tot")
+                ).cast("double")
+                / (
+                    F.col("n").cast("decimal(38,0)") * F.col("cv_tot")
+                ).cast("double"),
+                6,
+            ).alias("idx"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), st AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s
+      FROM daily GROUP BY event_type
+    ), dev AS (
+      SELECT daily.event_type, d,
+             SUM(st.n * daily.x - st.s) OVER (
+               PARTITION BY daily.event_type ORDER BY d
+             ) AS cusum
+      FROM daily JOIN st ON daily.event_type = st.event_type
+    ), pick AS (
+      SELECT event_type, d, ABS(cusum) AS a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ABS(cusum) DESC, d
+             ) AS rk
+      FROM dev
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS cp_day,
+           CAST(a AS BIGINT) AS max_abs_cusum
+    FROM pick WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type — the day where the
+    cumulative deviation from the series mean peaks, the classic
+    single-changepoint estimator. The deviation is kept INTEGER by
+    cross-multiplying out the mean (dev_i = n*x_i - S instead of
+    x_i - S/n), accumulated in 128-bit (an n*x bilinear of daily
+    totals breaks int64 at fleet scale — the overflow class the
+    sf1.0 smoke exists to catch), so the running window sum is exact
+    and the argmax is bit-deterministic with an earliest-day
+    tiebreak. One data-scale groupBy to daily totals; everything
+    after runs on |types| x |days| rows with per-type windows."""
+    ev = table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cv").alias("x"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    dev = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "d",
+        F.sum(
+            F.col("n") * F.col("x").cast(d38) - F.col("s")
+        )
+        .over(w)
+        .alias("cusum"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "d"
+    )
+    return (
+        dev.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("cp_day"),
+            F.abs(F.col("cusum")).cast("bigint").alias("max_abs_cusum"),
+        )
+        .orderBy("event_type")
+    )

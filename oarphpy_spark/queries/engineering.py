@@ -767,3 +767,74 @@ def q_delete_vector_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_bitmap_intersect",
+    oracle="""
+    WITH wa AS (
+      SELECT c_custkey // 32 AS w,
+             bit_or(1::BIGINT << CAST(c_custkey % 32 AS INTEGER)) AS bm
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1
+    ), wb AS (
+      SELECT o_custkey // 32 AS w,
+             bit_or(1::BIGINT << CAST(o_custkey % 32 AS INTEGER)) AS bm
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY 1
+    ), m AS (
+      SELECT COALESCE(wa.bm, 0) AS a, COALESCE(wb.bm, 0) AS b
+      FROM wa FULL OUTER JOIN wb ON wa.w = wb.w
+    )
+    SELECT CAST(SUM(bit_count(a)) AS BIGINT) AS n_a,
+           CAST(SUM(bit_count(b)) AS BIGINT) AS n_b,
+           CAST(SUM(bit_count(a & b)) AS BIGINT) AS n_inter,
+           CAST(SUM(bit_count(a | b)) AS BIGINT) AS n_union
+    FROM m
+    """,
+)
+def q_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra: two key sets (BUILDING-segment
+    customers; customers with an 'F' order) are compressed into
+    word-aligned bitmaps — 32 keys per int64 word via
+    bit_or(1 << key%32) grouped on key/32 — and intersected/unioned
+    with pure bitwise AND/OR + popcount, the way OLAP bitmap indexes
+    (and roaring containers) answer set predicates without
+    materializing either key list. One groupBy per side at 1/32nd
+    the key cardinality, one equi-join on the word index, and the
+    dedup is FREE (bit_or is idempotent — duplicate o_custkey rows
+    set the same bit), which is why this beats COUNT(DISTINCT)
+    joins on repeated keys at scale. All-integer output."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    wa = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy((F.col("c_custkey") / 32).cast("bigint").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(c_custkey % 32 AS INT)))"
+            ).alias("bm_a")
+        )
+    )
+    wb = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy((F.col("o_custkey") / 32).cast("bigint").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(o_custkey % 32 AS INT)))"
+            ).alias("bm_b")
+        )
+    )
+    m = (
+        wa.join(wb, "w", "full_outer")
+        .select(
+            F.coalesce("bm_a", F.lit(0)).alias("a"),
+            F.coalesce("bm_b", F.lit(0)).alias("b"),
+        )
+    )
+    return m.agg(
+        F.sum(F.bit_count("a")).cast("bigint").alias("n_a"),
+        F.sum(F.bit_count("b")).cast("bigint").alias("n_b"),
+        F.sum(F.bit_count(F.expr("a & b"))).cast("bigint").alias("n_inter"),
+        F.sum(F.bit_count(F.expr("a | b"))).cast("bigint").alias("n_union"),
+    )

@@ -252,3 +252,90 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov / varx, 6).alias("theta"),
         F.round((cov * cov) / (varx * vary), 6).alias("var_reduction"),
     )
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cv,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ), last16 AS (
+      SELECT user_id, event_id, us, cv FROM ranked WHERE rn <= 16
+    ), pairs AS (
+      SELECT a.user_id,
+             (b.cv - a.cv) * 60000000.0 / (b.us - a.us) AS slope
+      FROM last16 a JOIN last16 b
+        ON a.user_id = b.user_id
+       AND a.event_id < b.event_id
+       AND a.us <> b.us
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MEDIAN(slope), 6) AS slope
+    FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user — the median of pairwise
+    slopes over each user's 16 most recent events (centi-value per
+    MINUTE), the estimator that shrugs off outliers OLS
+    (q_grouped_linreg) chases. The pair set is formed INSIDE a
+    per-user array (collect the bounded 16-row tail once, enumerate
+    i<j positions with JVM higher-order transforms), so there is no
+    pair self-join and no second shuffle — the same in-array trick
+    as token-PMI/assoc-rules; pair slopes are direction-symmetric,
+    so any once-per-unordered-pair enumeration yields the identical
+    multiset as the oracle's event_id-ordered self-join. Median =
+    explicit sorted-array midpoint (even n: mean of the middle two),
+    which is exactly DuckDB MEDIAN's interpolation; slopes are
+    identical IEEE expressions on exact integers in both engines."""
+    events = table(spark, sf_dir, "events")
+    # Ordering by the epoch-us projection is the same total order as
+    # ts itself (unix_micros is strictly monotone).
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    last16 = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+    )
+    arr = last16.groupBy("user_id").agg(
+        F.collect_list(F.struct("us", "cv")).alias("pts")
+    )
+    slopes = F.expr(
+        """
+        sort_array(filter(
+          flatten(transform(pts, (a, i) ->
+            transform(slice(pts, i + 2, size(pts)), b ->
+              IF(b.us <> a.us,
+                 (b.cv - a.cv) * 60000000.0D / (b.us - a.us),
+                 CAST(NULL AS DOUBLE))))),
+          x -> x IS NOT NULL))
+        """
+    )
+    out = arr.select("user_id", slopes.alias("sl")).filter(
+        F.size("sl") > 0
+    )
+    med = F.expr(
+        """
+        IF(size(sl) % 2 = 1,
+           element_at(sl, CAST((size(sl) + 1) / 2 AS INT)),
+           (element_at(sl, CAST(size(sl) / 2 AS INT))
+            + element_at(sl, CAST(size(sl) / 2 AS INT) + 1)) / 2.0D)
+        """
+    )
+    return out.select(
+        "user_id",
+        F.size("sl").cast("bigint").alias("n_pairs"),
+        F.round(med, 6).alias("slope"),
+    ).orderBy("user_id")

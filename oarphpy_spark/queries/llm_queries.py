@@ -2307,3 +2307,86 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy(F.col("rrf").desc(), "doc_id")
     )
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    WITH counts AS (
+      SELECT lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                           AS BIGINT), 1) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syl
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+             CAST(ROUND((206.835
+                         - 1.015 * (CAST(w AS DOUBLE) / s)
+                         - 84.6 * (CAST(syl AS DOUBLE) / w)) * 1000000)
+                  AS BIGINT) AS score_micro
+      FROM counts WHERE w > 0
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*) / 1000000.0,
+                 4) AS avg_flesch
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per language: words (whitespace
+    tokens), sentences (runs of terminal punctuation, floored at 1),
+    and syllables approximated as vowel-group runs — the standard
+    dependency-free heuristic. All three counts are exact integers;
+    the Flesch formula is ONE fixed-shape double expression per doc
+    whose result is quantized to integer micro-points BEFORE the
+    cross-row average (the quantize-before-summing discipline: float
+    sums depend on reduction order, integer sums don't). Everything
+    is JVM regex/split — no Python in the hot path."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "lang",
+        F.size(F.split(F.lower("text"), " ", -1))
+        .cast("bigint")
+        .alias("w"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast(
+                "bigint"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("s"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        )
+        .cast("bigint")
+        .alias("syl"),
+    )
+    scored = counts.filter(F.col("w") > 0).select(
+        "lang",
+        F.round(
+            (
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("w").cast("double") / F.col("s"))
+                - F.lit(84.6)
+                * (F.col("syl").cast("double") / F.col("w"))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("score_micro").cast("double")
+                / F.count("*")
+                / 1000000.0,
+                4,
+            ).alias("avg_flesch"),
+        )
+        .orderBy("lang")
+    )

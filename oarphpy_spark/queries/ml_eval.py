@@ -214,3 +214,88 @@ def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+@query(
+    "q_rank1_als",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type AS item,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS rating
+      FROM events GROUP BY user_id, event_type
+    ),
+    -- user step with q == 1: p_u = avg rating, quantized to micro
+    p AS (
+      SELECT user_id,
+             CAST(ROUND(CAST(SUM(rating) AS DOUBLE) / COUNT(*) * 1000000)
+                  AS BIGINT) AS pm
+      FROM r GROUP BY user_id
+    ),
+    -- item step: q_i = sum(r*p) / sum(p^2), 128-bit exact partials
+    q AS (
+      SELECT r.item,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(ROUND(
+               CAST(SUM(CAST(r.rating AS HUGEINT) * p.pm) AS DOUBLE)
+               / CAST(SUM(CAST(p.pm AS HUGEINT) * p.pm) AS DOUBLE)
+               * 1000000) AS BIGINT) AS qm
+      FROM r JOIN p ON r.user_id = p.user_id
+      GROUP BY r.item
+    )
+    SELECT item, n_users, qm FROM q ORDER BY item
+    """,
+)
+def q_rank1_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One alternation of RANK-1 ALS matrix factorization over the
+    implicit (user x event_type) rating matrix — the least-squares
+    normal equations collapse to two sufficient-statistics passes:
+    p_u = sum_i(r_ui q_i)/sum_i(q_i^2) with q initialized to 1, then
+    q_i = sum_u(r_ui p_u)/sum_u(p_u^2). Each factor is QUANTIZED to
+    integer micro-units immediately after its single IEEE division,
+    so every cross-row sum in the next step is an exact 128-bit
+    integer (the decimal(38,0)/HUGEINT bilinear discipline —
+    rating x pm products overflow int64 at scale) and the whole
+    iteration is bit-reproducible across engines and partitionings.
+    Two groupBy passes + one user-keyed join — the exact shape a
+    full rank-k ALS sweep has per factor at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    r = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("item"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.sum("cv").alias("rating"))
+        .persist()
+    )
+    p = r.groupBy("user_id").agg(
+        F.round(
+            F.sum("rating").cast("double") / F.count("*") * 1000000
+        )
+        .cast("bigint")
+        .alias("pm")
+    )
+    d38 = "decimal(38,0)"
+    q = (
+        r.join(p, "user_id")
+        .groupBy("item")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(
+                F.sum(
+                    F.col("rating").cast(d38) * F.col("pm").cast(d38)
+                ).cast("double")
+                / F.sum(
+                    F.col("pm").cast(d38) * F.col("pm").cast(d38)
+                ).cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("qm"),
+        )
+    )
+    out = q.orderBy("item").localCheckpoint(eager=True)
+    r.unpersist()
+    return out

@@ -863,3 +863,39 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "measure",
         F.round("v", 4).alias("value"),
     )
+
+
+_SET_OPS_ALL_SQL = """
+WITH a AS (
+  SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'
+), b AS (
+  SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'
+), i AS (
+  SELECT p FROM a INTERSECT ALL SELECT p FROM b
+), e AS (
+  SELECT p FROM a EXCEPT ALL SELECT p FROM b
+)
+SELECT 'intersect_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n
+FROM i GROUP BY p
+UNION ALL
+SELECT 'except_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY p
+ORDER BY op, p
+"""
+
+
+@query("q_set_ops_all", oracle=_SET_OPS_ALL_SQL)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — INTERSECT ALL (per-value min of the
+    two multiplicities) and EXCEPT ALL (truncated multiplicity
+    difference), the bag semantics q_intersect_except's DISTINCT
+    forms don't exercise. The SQL is VERBATIM-shared with the
+    oracle; Spark plans both as a single hash aggregate computing
+    per-key counts on each side then replicating min(c1,c2) /
+    greatest(c1-c2,0) copies — one shuffle on the value, no join,
+    the same shape DuckDB uses. Counts re-aggregated per value so
+    the result is a compact certificate of the multiset."""
+    from oarphpy_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SET_OPS_ALL_SQL)
