@@ -451,3 +451,110 @@ def set_similarity_join(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def containment_join(
+    tok: DataFrame,
+    id_col: str = "id",
+    token_col: str = "token",
+    tau_num: int = 4,
+    tau_den: int = 5,
+) -> DataFrame:
+    """EXACT asymmetric CONTAINMENT join: every ordered pair (a, b),
+    a != b, with |A n B| / |A| >= tau — the near-SUBSET detector
+    (quotes, excerpts, boilerplate wrappers, supersets) that a
+    symmetric Jaccard join structurally misses: a 50-token quote
+    inside a 5000-token page has Jaccard ~0.01 but containment 1.0.
+
+    Prefix filtering adapts asymmetrically (Bayardo et al. WWW 2007
+    generalized): the QUERY side A needs overlap >= ceil(tau*|A|),
+    so A must share one of its first |A| - ceil(tau*|A|) + 1 tokens
+    in the global df order — but B's matching token may sit anywhere
+    in B, so the INDEX side carries all of B's tokens (no prefix).
+    Candidates therefore come from an equi-join of A-prefixes
+    (globally rarest tokens of each A, so fanout is df-bounded on
+    rare tokens) against full postings; the positional filter prunes
+    pairs where even m + (|A| - last-shared-prefix-rank) overlap
+    can't reach the bar, and the verify join matches only A's SUFFIX
+    tokens (rn > prefix length), adding the m prefix hits for free.
+    A size filter drops B's smaller than ceil(tau*|A|) (overlap
+    can't exceed |B|). All thresholds are exact integer
+    cross-multiplications.
+
+    Returns (id_a, id_b, overlap, containment) for C(A->B) >= tau.
+    """
+    t = tok.select(
+        F.col(id_col).alias("id"), F.col(token_col).alias("token")
+    ).distinct()
+    sz = t.groupBy("id").agg(F.count("*").alias("n"))
+    dfreq = t.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "token")
+    ranked = (
+        t.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, "id")
+    )
+    # prefix length = n - ceil(tau*n) + 1, integer ceil
+    ceil_tn = F.floor(
+        (F.lit(tau_num) * F.col("n") + F.lit(tau_den - 1)) / F.lit(tau_den)
+    )
+    plen = (F.col("n") - ceil_tn + 1).alias("plen")
+    probe = ranked.select("id", "token", "n", "rn", plen).filter(
+        F.col("rn") <= F.col("plen")
+    )
+    index = ranked.select(
+        F.col("id").alias("id_b"),
+        "token",
+        F.col("n").alias("nb"),
+    )
+    cand = (
+        probe.alias("a")
+        .join(index, "token")
+        .filter(F.col("a.id") != F.col("id_b"))
+        # |B| >= ceil(tau*|A|): overlap is capped by |B|
+        .filter(F.col("nb") * tau_den >= F.col("a.n") * tau_num)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("a.plen").alias("plen"),
+            F.col("nb"),
+        )
+        .agg(F.count("*").alias("m"), F.max("a.rn").alias("i_last"))
+        # positional: overlap <= m + (na - i_last); need >= ceil(tau*na)
+        .filter(
+            (F.col("m") + F.col("na") - F.col("i_last")) * tau_den
+            >= F.lit(tau_num) * F.col("na")
+        )
+    )
+    rk = ranked.select("id", "token", "rn")
+    suffix = (
+        cand.join(
+            rk.alias("ta"),
+            (F.col("id_a") == F.col("ta.id"))
+            & (F.col("ta.rn") > F.col("plen")),
+        )
+        .join(
+            rk.alias("tb"),
+            (F.col("id_b") == F.col("tb.id"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("suf"))
+    )
+    overlap = cand.join(suffix, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "na",
+        (F.col("m") + F.coalesce("suf", F.lit(0))).alias("overlap"),
+    )
+    return overlap.filter(
+        F.col("overlap") * tau_den >= F.col("na") * tau_num
+    ).select(
+        "id_a",
+        "id_b",
+        "overlap",
+        F.round(
+            F.col("overlap") / F.col("na").cast("double"), 6
+        ).alias("containment"),
+    )

@@ -5,18 +5,20 @@ Importing this package registers every declared query into
 
 External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
-queries that most need fresh verification this round.  Round 7 closed
-with FORTY-NINE never-verified queries (the 29 from the first session
-— SSSP, association rules, classical stats, recursive-CTE reach,
-streaming late-drop, OHLC, covariance, HLL — plus the 20 round-8
-additions — SCC, relational k-means, bootstrap/CUPED/Mann-Whitney,
-hybrid RRF, JL projection, streaming Python source, dynamic partition
-overwrite, Gini, entropy, and friends), so the 50-slot window is
-exactly those plus ``q_set_similarity_join`` (implementation changed
-this round).  ``scripts/staleness_audit.py`` machine-checks this
-allocation (window saturated stale-first, backlog recorded); the
-union of all rounds' windows plus the full-registry local parity
-gate covers every declared query.
+queries that most need fresh verification this round.  The round-8
+window: 15 never-verified additions (spatial grid join + DBSCAN,
+containment join, Theil-Sen, rank-1 ALS, mergeable heavy hitters,
+CUSUM, bitmap algebra, seasonality, readability, deletion vectors,
+GROUP BY ALL / set-ops-ALL / ntile / parse_url), then the FOUR slugs
+whose implementations changed closing round-7 ADVICE (SCC + SSSP
+type-generic seeds, watermark-evictable streaming dedup, half-away
+replay rounding — a changed implementation outranks helper-churn
+staleness because that's where a regression can actually hide), then
+the 31 stalest backlog slugs in audit rank.
+``scripts/staleness_audit.py`` machine-checks this allocation (window
+saturated stale-first, backlog recorded); the union of all rounds'
+windows plus the full-registry local parity gate covers every
+declared query.
 """
 
 import oarphpy_spark.queries.analytics_extras  # noqa: F401
@@ -44,70 +46,32 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 7: new queries, never seen by any driver window ---
+    # --- round 8 (this build round): new queries, never driver-seen ---
+    "q_heavy_hitters_mergeable",
+    "q_seasonality_index",
+    "q_cusum_changepoint",
+    "q_containment_join",
+    "q_delete_vector_apply",
+    "q_bitmap_intersect",
+    "q_theil_sen",
+    "q_text_readability",
+    "q_rank1_als",
+    "q_set_ops_all",
+    "q_fn_url",
+    "q_spatial_grid_join",
+    "q_dbscan_grid",
+    "q_sql_groupby_all",
+    "q_ntile_deciles",
+    # --- implementations changed this round (round-7 ADVICE closes):
+    # type-generic SCC/SSSP seeds + non-numeric color convergence,
+    # watermark-evictable window-struct dedup, half-away replay
+    # rounding ---
     "q_scc_sizes",
-    "q_kmeans_relational",
-    "q_stream_distinct_users",
-    "q_dynamic_partition_overwrite",
-    "q_bootstrap_ci",
-    "q_cuped",
-    "q_mann_whitney",
-    "q_random_projection",
-    "q_stream_python_source",
-    "q_attribution_linear",
-    "q_hll_merge",
-    "q_hybrid_rrf",
-    "q_revenue_gini",
-    "q_session_entropy",
-    "q_graph_assortativity",
-    "q_time_weighted_avg",
-    "q_negative_sampling",
-    "q_sql_lateral_topk",
-    "q_variant_shred",
-    "q_cogroup_click_purchase",
     "q_sssp",
-    "q_assoc_rules",
-    "q_chi_square",
-    "q_welch_ttest",
-    "q_ewma_dyadic",
-    "q_rolling_median",
-    "q_anomaly_rolling_z",
-    "q_sql_recursive_reach",
-    "q_embedding_norm_stats",
-    "q_component_sizes",
-    "q_stream_late_data",
-    "q_token_pmi",
-    "q_grouped_linreg",
-    "q_ohlc_bars",
-    "q_interval_coverage",
-    "q_embedding_covariance",
-    "q_funnel_latency",
-    "q_hll_relational",
-    "q_session_paths",
-    "q_pi_deterministic",
-    "q_stream_ohlc",
-    "q_confusion_matrix",
-    "q_degree_distribution",
-    "q_join_salted_skew",
-    "q_udtf_chunks",
-    "q_snapshot_time_travel",
-    "q_bpe_merge_candidates",
-    "q_histogram_2d",
-    "q_graph_modularity",
-    # --- implementations changed this round ---
-    "q_set_similarity_join",   # PPJoin positional + suffix filters
-    "q_graph_profile",         # integer wedge arithmetic
-    "q_stream_dropdup",        # wrapper-dir cleanup
-    "q_stream_upsert",         # stale-replay guard in merge_batch
-    "q_cdc_apply",             # tie-contract docs (max_by path)
-    "q_dedup_clusters",        # truncate_lineage refactor
-    "q_pagerank",              # truncate_lineage refactor
-    "q_ppr",                   # truncate_lineage refactor
-    "q_kcore",                 # truncate_lineage refactor
-    "q_ktruss",                # truncate_lineage refactor
-    "q_label_propagation",     # truncate_lineage refactor
-    # --- stalest by scripts/staleness_audit.py rank: slugs whose OWN
-    # query function changed since their last driver-green row ---
+    "q_stream_distinct_users",
+    "q_stream_python_source",
+    # --- stalest backlog, audit rank (own-fn edits first, then
+    # oldest last-green round) ---
     "q_dedup_simhash",
     "q_sim_ivf_topk",
     "q_sim_lsh_multiprobe",
@@ -115,7 +79,8 @@ _ROUND_PRIORITY = [
     "q_sim_topk",
     "q_grouped_apply_zscore",
     "q_window_distribution",
-    # --- least-recently-verified rotation (last green row: r01) ---
+    "q_graph_profile",
+    "q_stream_dropdup",
     "q_agg_sum_avg_minmax",
     "q_curation_pipeline",
     "q_dedup_embedding",
@@ -133,21 +98,20 @@ _ROUND_PRIORITY = [
     "q_multimodal_stats",
     "q_multiway_star",
     "q_percentiles",
+    "q_row_of_constants",
     "q_scan_parquet",
+    "q_size_of_deep",
+    "q_source_local_rows",
     "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_tokens",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)
 
 # NEXT ROUND: the window must stay SATURATED (scripts/staleness_audit
-# enforces it). This round closed with exactly 49 never-verified
-# queries + q_set_similarity_join filling all 50 slots, which pushed
-# the r7-changed iterative-graph family (pagerank/ppr/kcore/ktruss/
-# lpa/dedup_clusters, truncate_lineage refactor, last green r06) into
-# the backlog — next round's prefix should lead with the audit's
-# recommended_window: any new queries, then own-fn-changed stale,
-# then that family, then oldest helper-churn stale.
+# enforces it; backlog 182 after this allocation). Lead with any new
+# queries, then implementations changed during the round, then the
+# audit's recommended_window order (own-fn-changed stale first —
+# still headed by the r7-changed iterative-graph family:
+# pagerank/ppr/kcore/ktruss/lpa/dedup_clusters — then oldest
+# helper-churn stale; the r01-era curation/text family continues to
+# drain this round).

@@ -440,3 +440,58 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
     return counted.orderBy(F.col("n").desc(), "pair").limit(20)
+
+
+@query(
+    "q_containment_join",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(string_split(lower(text), ' ')) - 2 >= 1
+                      THEN list_transform(
+                             generate_series(1,
+                               len(string_split(lower(text), ' ')) - 2),
+                             i -> array_to_string(
+                               string_split(lower(text), ' ')[i:i+2], ' '))
+                      ELSE [array_to_string(
+                              string_split(lower(text), ' '), ' ')]
+                      END) AS tok
+        FROM documents
+      )
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, o AS overlap,
+           ROUND(o / CAST(sa.n AS DOUBLE), 6) AS containment
+    FROM ov JOIN sz sa ON id_a = sa.doc_id
+    WHERE o * 5 >= sa.n * 4
+    """,
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment >= 0.8 ordered pairs over 3-word shingle
+    sets (llm/dedup.py:containment_join) — the asymmetric companion
+    to q_set_similarity_join: |A n B| / |A|, which catches excerpts
+    and boilerplate-wrapped near-subsets whose Jaccard is tiny. The
+    prefix filter adapts asymmetrically (query-side prefixes probe a
+    FULL postings index, since B's matching token can sit anywhere),
+    with positional pruning and a suffix-only verify. The oracle is
+    the quadratic all-pairs restatement with the same integer
+    threshold. Training-corpus use: drop documents mostly contained
+    in another (keep the superset), the dedup rule exact-hash,
+    MinHash and Jaccard joins all miss."""
+    from oarphpy_spark.llm.dedup import containment_join
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(shingles(norm_tokens(F.col("text")), 3)).alias("tok"),
+    )
+    return containment_join(
+        tok, id_col="doc_id", token_col="tok", tau_num=4, tau_den=5
+    )

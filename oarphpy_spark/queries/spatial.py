@@ -27,22 +27,33 @@ from oarphpy_spark.functions.text import md5_str
 from oarphpy_spark.registry import query
 from oarphpy_spark.tables import table
 
-# World is [0, 10000)^2; radius/eps 300 => ~33x33 cells of side 300.
-_WORLD = 10_000
+# Base world is [0, 10000)^2 at the 1500-customer reference scale;
+# radius/eps 300 => ~33x33 cells of side 300. The world SIDE grows
+# with sqrt(n) (see _world_side) so point DENSITY — and therefore
+# per-cell occupancy and pair counts per point — is scale-invariant:
+# a 10x-replicated smoke run exercises 10x the data, not a 100x
+# denser (quadratically harder) workload. Both engines compute the
+# same side from the same count with one correctly-rounded IEEE sqrt.
+_BASE_WORLD = 10_000
+_BASE_N = 1500
 _R = 300
 _MINPTS = 5  # neighbors within eps INCLUDING the point itself
 
-_COORD_ORACLE = """
+_COORD_ORACLE = f"""
       SELECT c_custkey AS k,
              CAST(('0x' || substring(md5('px|' || CAST(c_custkey AS VARCHAR)),
-                   1, 6)) AS BIGINT) % 10000 AS x,
+                   1, 6)) AS BIGINT)
+               % (SELECT CAST({_BASE_WORLD} * CEIL(SQRT(COUNT(*) / {_BASE_N}.0))
+                       AS BIGINT) FROM customer) AS x,
              CAST(('0x' || substring(md5('py|' || CAST(c_custkey AS VARCHAR)),
-                   1, 6)) AS BIGINT) % 10000 AS y
+                   1, 6)) AS BIGINT)
+               % (SELECT CAST({_BASE_WORLD} * CEIL(SQRT(COUNT(*) / {_BASE_N}.0))
+                       AS BIGINT) FROM customer) AS y
       FROM customer
 """
 
 
-def _coord(salt: str) -> F.Column:
+def _coord(salt: str, world: int) -> F.Column:
     return (
         F.conv(
             F.substring(
@@ -55,18 +66,24 @@ def _coord(salt: str) -> F.Column:
             16,
             10,
         ).cast("bigint")
-        % _WORLD
+        % world
     )
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic point cloud: one point per customer, integer
-    coords in [0, _WORLD)^2 derived from md5 so Spark and the oracle
-    agree bit-for-bit."""
-    return table(spark, sf_dir, "customer").select(
+    coords in [0, world)^2 derived from md5 so Spark and the oracle
+    agree bit-for-bit. The one-row count that sizes the world is a
+    bounded driver-side probe (the same class as the histogram
+    edge probes), NOT a data collect."""
+    import math
+
+    cust = table(spark, sf_dir, "customer")
+    world = _BASE_WORLD * math.ceil(math.sqrt(cust.count() / _BASE_N))
+    return cust.select(
         F.col("c_custkey").alias("k"),
-        _coord("px|").alias("x"),
-        _coord("py|").alias("y"),
+        _coord("px|", world).alias("x"),
+        _coord("py|", world).alias("y"),
     )
 
 

@@ -59,6 +59,14 @@ EXTRA_SCALE = [f"q_sql_tpch_q{i}" for i in range(1, 23)] + [
     "q_kmeans_relational",  # 3 integer-exact Lloyd iterations (round 8)
     "q_negative_sampling",  # candidate explode + anti-join (round 8)
     "q_time_weighted_avg",  # per-user LEAD dwell weights (round 8)
+    "q_spatial_grid_join",  # cell-stencil radius self-join (round 9)
+    "q_dbscan_grid",        # grid DBSCAN: pairs + CC + border (round 9)
+    "q_containment_join",   # asymmetric prefix-filter join (round 9)
+    "q_theil_sen",          # per-user in-array pair slopes (round 9)
+    "q_heavy_hitters_mergeable",  # sharded top-k + residual merge (r9)
+    "q_rank1_als",          # two-pass ALS sufficient stats (round 9)
+    "q_cusum_changepoint",  # 128-bit integer CUSUM windows (round 9)
+    "q_delete_vector_apply",  # per-file position anti-join (round 9)
 ]
 
 DIM_TABLES = ("region", "nation", "supplier", "part")

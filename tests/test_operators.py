@@ -387,3 +387,56 @@ def test_ts_gapfill_matches_python_locf(spark):
         for r in rows
     }
     assert got == want
+
+
+def test_containment_join_no_false_negatives(spark):
+    """Asymmetric prefix filtering must return EXACTLY the brute-force
+    containment pairs (both directions, a != b) on random token sets,
+    including subset/superset extremes."""
+    import random
+
+    from oarphpy_spark.llm.dedup import containment_join
+
+    rng = random.Random(29)
+    vocab = [f"t{i}" for i in range(40)]
+    sets = {
+        d: set(rng.sample(vocab, rng.randint(2, 14))) for d in range(50)
+    }
+    # guaranteed exact subsets: doc 100 contained in doc 101
+    sets[100] = set(rng.sample(vocab, 5))
+    sets[101] = sets[100] | set(rng.sample(vocab, 10))
+    rows = [(d, t) for d, toks in sets.items() for t in toks]
+    tok = spark.createDataFrame(rows, "id long, token string")
+    for tau_num, tau_den in ((4, 5), (1, 2), (1, 1)):
+        got = {
+            (r.id_a, r.id_b): r.overlap
+            for r in containment_join(
+                tok, tau_num=tau_num, tau_den=tau_den
+            ).collect()
+        }
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a == b:
+                    continue
+                o = len(sets[a] & sets[b])
+                if o > 0 and o * tau_den >= len(sets[a]) * tau_num:
+                    want[(a, b)] = o
+        assert got == want, (tau_num, tau_den)
+        if tau_num == 1 and tau_den == 1:
+            assert (100, 101) in got  # the planted exact subset
+
+
+def test_containment_join_degenerate_inputs(spark):
+    from oarphpy_spark.llm.dedup import containment_join
+
+    empty = spark.createDataFrame([], "id long, token string")
+    assert containment_join(empty).count() == 0
+    tok = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b"), (3, "c")], "id long, token string"
+    )
+    rows = containment_join(tok, tau_num=1, tau_den=1).collect()
+    # 1's single token is fully inside 2 -> (1, 2); NOT (2, 1).
+    assert [(r.id_a, r.id_b, r.overlap, r.containment) for r in rows] == [
+        (1, 2, 1, 1.0)
+    ]
