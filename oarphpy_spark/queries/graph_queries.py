@@ -668,3 +668,93 @@ def q_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sccs"))
         .orderBy("scc_size")
     )
+
+
+@query(
+    "q_link_prediction",
+    oracle=f"""
+    WITH pr AS ({_COPURCHASE_EDGES_SQL}),
+    und AS (
+      SELECT s, d FROM pr UNION ALL SELECT d, s FROM pr
+    ),
+    deg AS (SELECT s AS node, COUNT(*) AS dg FROM und GROUP BY s),
+    cn AS (
+      SELECT a.d AS u, b.d AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM und a JOIN und b ON a.s = b.s AND a.d < b.d
+      GROUP BY a.d, b.d
+    ),
+    nonedge AS (
+      SELECT cn.u, cn.v, cn.common FROM cn
+      LEFT JOIN pr ON pr.s = cn.u AND pr.d = cn.v
+      WHERE pr.s IS NULL
+    )
+    SELECT u, v, common,
+           ROUND(common / CAST(du.dg + dv.dg - common AS DOUBLE), 6)
+             AS jaccard
+    FROM nonedge
+    JOIN deg du ON u = du.node
+    JOIN deg dv ON v = dv.node
+    ORDER BY jaccard DESC, u, v
+    LIMIT 20
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph by neighborhood
+    Jaccard — the classic unsupervised recommender baseline: for
+    every NON-adjacent pair sharing at least one common neighbor,
+    score = |N(u) n N(v)| / |N(u) u N(v)|, top-20. Candidates come
+    from the wedge join through common neighbors (each shared
+    neighbor contributes one (u, v) row, partial-aggregated
+    map-side), then an anti-join against the edge set keeps only
+    non-edges — predicted links, not existing ones. Wedge volume is
+    hub-quadratic, the same consideration as q_triangle_count; at
+    100 TB the DOULION-style sampled companion
+    (q_triangle_count_sampled's md5-coin) or neighborhood MinHash is
+    the scale path, and the top-k is TakeOrderedAndProject — never a
+    global sort. Integer common-neighbor counts; one IEEE division
+    per surviving pair."""
+    pr = _copurchase_edges(spark, sf_dir).persist()
+    und = pr.unionAll(
+        pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("dg")
+    )
+    a, b = und.alias("a"), und.alias("b")
+    cn = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.d").alias("u"), F.col("b.d").alias("v"))
+        .agg(F.count("*").alias("common"))
+    )
+    nonedge = cn.join(
+        pr,
+        (F.col("u") == F.col("s")) & (F.col("v") == F.col("d")),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    out = (
+        nonedge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("du") + F.col("dv") - F.col("common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(20)
+    )
+    out = out.localCheckpoint(eager=True)
+    pr.unpersist()
+    return out

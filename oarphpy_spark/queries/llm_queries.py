@@ -2390,3 +2390,40 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_exact_global_median",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MEDIAN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 / 100.0, 4) AS median_price
+    FROM lineitem
+    """,
+)
+def q_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of a 6M+-row column WITHOUT a global sort
+    (operators/quantiles.py:exact_ranks) — the two-phase bucket-prune
+    plan: one partial-aggregable bucket histogram locates which
+    narrow value range holds the middle ranks, a second pass with a
+    PUSHED-DOWN range filter sorts only that sliver. This is the
+    scale path q_percentiles' docstring promises ('the exact form
+    needs a per-group sort') — a total ORDER BY of the column never
+    happens, so the plan survives 100 TB where a global sort is the
+    textbook anti-pattern and percentile_approx trades exactness
+    away. Integer cents end-to-end; the even-n interpolation (mean
+    of the two middle order statistics) matches DuckDB MEDIAN."""
+    from oarphpy_spark.operators.quantiles import exact_ranks
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    n = li.count()
+    lo, hi = (n + 1) // 2, n // 2 + 1
+    got = exact_ranks(li, "cents", sorted({lo, hi}))
+    median_cents = (got[lo] + got[hi]) / 2.0
+    return spark.createDataFrame(
+        [(n, round(median_cents / 100.0, 4))], "n long, median_price double"
+    )

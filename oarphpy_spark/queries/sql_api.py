@@ -596,3 +596,40 @@ def q_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing about the sugar changes the physical shape at 100 TB."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_GROUPBY_ALL_SQL)
+
+
+_PIVOT_SQL = """
+SELECT * FROM (
+  SELECT c.c_mktsegment AS segment, o.o_orderstatus AS st
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+PIVOT (
+  COUNT(*) FOR st IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p)
+)
+ORDER BY segment
+"""
+
+
+@query(
+    "q_sql_pivot_clause",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) FILTER (o.o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (o.o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (o.o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (Spark 2.4+ dialect surface — distinct
+    from q_pivot_counts' DataFrame groupBy().pivot()): order counts
+    per (segment x status) rotated into columns, with the pivot
+    value list DECLARED so the output schema is static — the form
+    that plans as one hash aggregate with conditional counters, no
+    second pass to discover columns. The DuckDB oracle restates it
+    with FILTER aggregates (DuckDB's PIVOT ON syntax differs; the
+    FILTER form is the engine-portable equivalent every planner
+    lowers pivot to anyway)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_PIVOT_SQL)

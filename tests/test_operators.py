@@ -440,3 +440,35 @@ def test_containment_join_degenerate_inputs(spark):
     assert [(r.id_a, r.id_b, r.overlap, r.containment) for r in rows] == [
         (1, 2, 1, 1.0)
     ]
+
+
+def test_exact_ranks_matches_sorted_reference(spark):
+    """Two-phase bucket-prune order statistics == sorted() picks on
+    random multisets, across bucket widths (width 1 = one bucket per
+    value; huge width = everything in one bucket) and with requested
+    ranks landing in NON-contiguous buckets (the in-sub prefix
+    arithmetic that a naive offset would get wrong)."""
+    import random
+
+    from oarphpy_spark.operators.quantiles import exact_ranks
+
+    rng = random.Random(41)
+    vals = [rng.randrange(0, 100_000) for _ in range(3000)]
+    vals += [vals[0]] * 25  # heavy duplicate block crossing a rank
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    s = sorted(vals)
+    n = len(vals)
+    ranks = [1, 2, n // 4, n // 2, n // 2 + 1, 3 * n // 4, n]
+    for width in (1, 7, 10_000, 10**9):
+        got = exact_ranks(df, "x", ranks, bucket_width=width)
+        assert got == {r: s[r - 1] for r in ranks}, width
+
+
+def test_exact_ranks_out_of_range_raises(spark):
+    import pytest as _pytest
+
+    from oarphpy_spark.operators.quantiles import exact_ranks
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    with _pytest.raises(ValueError):
+        exact_ranks(df, "x", [3])
