@@ -6,15 +6,17 @@ Importing this package registers every declared query into
 External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
 queries that most need fresh verification this round.  The round-8
-window: 15 never-verified additions (spatial grid join + DBSCAN,
+window: 25 never-verified additions (spatial grid join + DBSCAN,
 containment join, Theil-Sen, rank-1 ALS, mergeable heavy hitters,
 CUSUM, bitmap algebra, seasonality, readability, deletion vectors,
-GROUP BY ALL / set-ops-ALL / ntile / parse_url), then the FOUR slugs
+link prediction, Holt smoothing, chained streaming rollup, exact
+global median, GROUP BY ALL / set-ops-ALL / ntile / PIVOT /
+parse_url), then the FOUR slugs
 whose implementations changed closing round-7 ADVICE (SCC + SSSP
 type-generic seeds, watermark-evictable streaming dedup, half-away
 replay rounding — a changed implementation outranks helper-churn
 staleness because that's where a regression can actually hide), then
-the 31 stalest backlog slugs in audit rank.
+the 21 stalest backlog slugs in audit rank.
 ``scripts/staleness_audit.py`` machine-checks this allocation (window
 saturated stale-first, backlog recorded); the union of all rounds'
 windows plus the full-registry local parity gate covers every
@@ -62,6 +64,16 @@ _ROUND_PRIORITY = [
     "q_dbscan_grid",
     "q_sql_groupby_all",
     "q_ntile_deciles",
+    "q_link_prediction",
+    "q_sql_pivot_clause",
+    "q_exact_global_median",
+    "q_stream_hierarchical_rollup",
+    "q_holt_linear",
+    "q_fn_listagg",
+    "q_sql_exists_decorrelate",
+    "q_event_pattern",
+    "q_stream_dedup_within_watermark",
+    "q_trimmed_mean",
     # --- implementations changed this round (round-7 ADVICE closes):
     # type-generic SCC/SSSP seeds + non-numeric color convergence,
     # watermark-evictable window-struct dedup, half-away replay
@@ -93,22 +105,12 @@ _ROUND_PRIORITY = [
     "q_join_left_right_full",
     "q_join_semi_anti",
     "q_join_theta_range",
-    "q_multimodal_blob",
-    "q_multimodal_features",
-    "q_multimodal_stats",
-    "q_multiway_star",
-    "q_percentiles",
-    "q_row_of_constants",
-    "q_scan_parquet",
-    "q_size_of_deep",
-    "q_source_local_rows",
-    "q_text_fingerprint",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)
 
 # NEXT ROUND: the window must stay SATURATED (scripts/staleness_audit
-# enforces it; backlog 182 after this allocation). Lead with any new
+# enforces it; backlog 187 after this allocation). Lead with any new
 # queries, then implementations changed during the round, then the
 # audit's recommended_window order (own-fn-changed stale first —
 # still headed by the r7-changed iterative-graph family:

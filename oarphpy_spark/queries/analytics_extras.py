@@ -2051,3 +2051,101 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_holt_linear",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 1e3) AS BIGINT) AS v
+      FROM events
+    ), arr AS (
+      SELECT user_id, list(v ORDER BY event_id) AS a
+      FROM q GROUP BY user_id
+    ), tail16 AS (
+      SELECT user_id,
+             a[greatest(len(a) - 15, 1):len(a)] AS vs
+      FROM arr
+    ), fold AS (
+      -- state is a [level, trend] LIST, not a struct: DuckDB 1.0's
+      -- list_reduce mis-evaluates multi-field STRUCT accumulators
+      -- past the second step (verified: 3-step fold reuses the new
+      -- level inside the trend field), while list accumulators fold
+      -- correctly.
+      SELECT user_id, len(vs) AS n,
+             list_reduce(
+               list_transform(vs,
+                 x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]),
+               (a, b) -> [
+                 0.5::DOUBLE * b[1] + 0.5::DOUBLE * a[1]
+                   + 0.5::DOUBLE * a[2],
+                 0.25::DOUBLE * b[1] - 0.25::DOUBLE * a[1]
+                   + 0.75::DOUBLE * a[2]]
+             ) AS st
+      FROM tail16
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           ROUND(st[1] / 1e3, 6) AS level,
+           ROUND(st[2] / 1e3, 6) AS trend,
+           ROUND((st[1] + st[2]) / 1e3, 6) AS forecast_1
+    FROM fold ORDER BY user_id
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha =
+    beta = 1/2) over each user's last 16 event values, with a 1-step
+    forecast — the recurrence that can't be a window aggregate
+    because each state depends on the previous state. It runs as a
+    JVM higher-order STRUCT FOLD over an order-pinned array (the
+    q_ewma_dyadic idiom generalized from a scalar to a (level,
+    trend) accumulator): both engines left-fold the identical
+    expression tree over the identical sequence, so every
+    intermediate double matches bit-for-bit — the value hash checks
+    the whole recurrence, not a rounded summary. One shuffle on
+    user_id; no UDF, no iteration, no driver loop."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1e3).cast("bigint").alias("v"),
+    )
+    arr = q.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_id, v))),"
+            " p -> p.v)"
+        ).alias("a")
+    )
+    tail = arr.select(
+        "user_id",
+        F.expr("slice(a, greatest(size(a) - 15, 1), 16)").alias("vs"),
+    )
+    # Same closed-form update as the oracle (nl = b/2 + l/2 + t/2;
+    # nt = b/4 - l/4 + 3t/4 — the algebraic expansion of the textbook
+    # nested form), written with the identical op shapes so every
+    # intermediate double matches the oracle's fold bit-for-bit.
+    st = F.expr(
+        """
+        aggregate(
+          slice(vs, 2, size(vs) - 1),
+          named_struct('l', CAST(element_at(vs, 1) AS DOUBLE), 't', 0.0D),
+          (a, b) -> named_struct(
+            'l', 0.5D * CAST(b AS DOUBLE) + 0.5D * a.l + 0.5D * a.t,
+            't', 0.25D * CAST(b AS DOUBLE) - 0.25D * a.l + 0.75D * a.t))
+        """
+    )
+    return (
+        tail.select(
+            "user_id", F.size("vs").cast("bigint").alias("n_obs"), st.alias("st")
+        )
+        .select(
+            "user_id",
+            "n_obs",
+            F.round(F.col("st.l") / 1e3, 6).alias("level"),
+            F.round(F.col("st.t") / 1e3, 6).alias("trend"),
+            F.round((F.col("st.l") + F.col("st.t")) / 1e3, 6).alias(
+                "forecast_1"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -339,3 +339,68 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sl").cast("bigint").alias("n_pairs"),
         F.round(med, 6).alias("slope"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_trimmed_mean",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cv,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(cv) AS DOUBLE) / COUNT(*) / 100.0, 4)
+             AS trimmed_mean
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean per event type — the robust
+    location estimate between the mean (outlier-hostile) and the
+    median (throws away 98% of the data): rank rows per type on
+    exact centi-values with an event_id tiebreak (rank boundaries
+    must be bit-deterministic or the kept SET differs between
+    engines), drop the bottom and top floor(n/10), average the
+    integer sum of the rest with ONE division. Companion to
+    q_outlier_mad (flagging) and q_winsor-free by design — rows are
+    dropped, not clamped, so the statistic is a pure function of the
+    kept multiset. Per-type windows, one shuffle."""
+    ev = table(spark, sf_dir, "events")
+    cv = F.round(F.col("value") * 100).cast("bigint")
+    r = ev.select(
+        "event_type", "event_id", cv.alias("cv")
+    ).select(
+        "event_type",
+        "cv",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("cv", "event_id")
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rn") > F.expr("n div 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(
+                F.sum("cv").cast("double") / F.count("*") / 100.0, 4
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -555,3 +555,63 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (cand.neg_partkey == bought.l_partkey),
         "left_anti",
     ).orderBy("c_custkey", "i")
+
+
+@query(
+    "q_event_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT user_id,
+             CAST(len(regexp_extract_all(s, 'cv*p')) AS BIGINT) AS hits,
+             CAST(len(s) AS BIGINT) AS seq_len
+      FROM seq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_matched,
+           CAST(SUM(hits) AS BIGINT) AS total_matches,
+           CAST(MAX(hits) AS BIGINT) AS max_per_user,
+           CAST(SUM(seq_len) AS BIGINT) AS total_events
+    FROM m
+    """,
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over event streams — the
+    MATCH_RECOGNIZE workload relationally: each user's event types
+    collapse to an order-pinned initial string ('cvvp...'), and a
+    regex counts non-overlapping 'click (view)* purchase' runs —
+    browse-then-buy journeys with any amount of window shopping in
+    between. Encoding the sequence as a string turns pattern logic
+    into ONE codegen'd regexp per user instead of a per-row state
+    machine; both engines scan left-to-right non-overlapping, and the
+    5 event types map to distinct initials so the alphabet is
+    unambiguous. One shuffle on user_id; the regex runs on
+    |user|-bounded strings. Complements q_markov_transitions (1-step
+    stats) and q_session_paths (exact prefixes) with unbounded-gap
+    pattern runs."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "  collect_list(struct(ts, event_id, event_type))),"
+            "  p -> substring(p.event_type, 1, 1)), '')"
+        ).alias("s")
+    )
+    m = seq.select(
+        F.expr("regexp_count(s, 'cv*p')").cast("bigint").alias("hits"),
+        F.length("s").cast("bigint").alias("seq_len"),
+    )
+    return m.agg(
+        F.count("*").alias("n_users"),
+        F.sum((F.col("hits") > 0).cast("bigint")).alias(
+            "n_users_matched"
+        ),
+        F.sum("hits").alias("total_matches"),
+        F.max("hits").alias("max_per_user"),
+        F.sum("seq_len").alias("total_events"),
+    )

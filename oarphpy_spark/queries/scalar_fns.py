@@ -497,3 +497,39 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@query(
+    "q_fn_listagg",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment)
+             AS segments
+    FROM (
+      SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    )
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q_fn_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's ANSI LISTAGG ... WITHIN
+    GROUP (ORDER BY ...) vs DuckDB's ordered string_agg: the
+    deterministic-concatenation contract (an ORDER-less listagg is a
+    nondeterminism footgun — row order varies per shuffle) that
+    makes a concatenated column value-hashable at all. Applied to
+    the distinct (nation, segment) pairs so the aggregate input is
+    bounded; the WITHIN GROUP sort is per-key over <= 5 rows."""
+    cust = table(spark, sf_dir, "customer")
+    pairs = cust.select("c_nationkey", "c_mktsegment").distinct()
+    pairs.createOrReplaceTempView("_listagg_pairs")
+    return spark.sql(
+        """
+        SELECT c_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               listagg(c_mktsegment, '|')
+                 WITHIN GROUP (ORDER BY c_mktsegment) AS segments
+        FROM _listagg_pairs
+        GROUP BY c_nationkey ORDER BY nationkey
+        """
+    )

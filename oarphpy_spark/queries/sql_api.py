@@ -633,3 +633,36 @@ def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowers pivot to anyway)."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_PIVOT_SQL)
+
+
+_EXISTS_SQL = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_with_urgent,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+              SELECT 1 FROM orders o2
+              WHERE o2.o_custkey = c.c_custkey
+                AND o2.o_orderstatus = 'F'
+            ) THEN 1 ELSE 0 END) AS BIGINT) AS n_no_finished
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
+@query("q_sql_exists_decorrelate", oracle=_EXISTS_SQL)
+def q_sql_exists_decorrelate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries, VERBATIM-shared SQL:
+    customers with at least one urgent order, split by whether they
+    also lack any finished order. Catalyst decorrelates both
+    predicates into LeftSemi / LeftAnti hash joins on o_custkey — a
+    per-outer-row re-scan never happens (the difference between an
+    O(n) plan and the O(n*m) nested loop naive EXISTS implies), and
+    the orders scans carry the pushed-down status/priority filters.
+    Complements q_sql_correlated_scalar (scalar subquery) and
+    q_sql_lateral_topk (LATERAL) on the correlation surface."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)

@@ -596,3 +596,149 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink).orderBy("hour_us")
+
+
+@query(
+    "q_stream_hierarchical_rollup",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+             AS n_hours,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_centi
+    FROM events
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    GROUP BY 1
+    """,
+)
+def q_stream_hierarchical_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED streaming window aggregations — hourly totals rolled
+    into daily totals inside ONE streaming query, the Spark 3.5+
+    multi-window pipeline (the second groupBy windows over
+    window_time() of the first, which preserves the event-time
+    column so the global watermark stays correct). This is the
+    incremental form of every hierarchical rollup dashboard: the
+    hourly state finalizes and flows upward without a batch
+    re-aggregation; daily output is append-mode, so only days whose
+    END the watermark passed are emitted — the oracle restates
+    exactly that cutoff (max ts - 1 hour delay). Counts and
+    centi-value sums are integers; n_hours doubles as a structural
+    check that the first stage really emitted one row per hour."""
+    from pyspark.sql import functions as F
+
+    hourly = (
+        _events_feed(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "hv"
+            )
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("dw")
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("hv").alias("sum_centi"),
+        )
+        .select(
+            F.unix_micros("dw.start").alias("day_us"),
+            "n_hours",
+            "sum_centi",
+        )
+    )
+    return run_to_memory_sink(
+        daily, "q_stream_hier_rollup_sink", output_mode="append"
+    )
+
+
+@query(
+    "q_stream_dedup_within_watermark",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_centi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the Spark 3.5+ dedup
+    variant whose KEY carries no event time at all (here: bare
+    event_id), exactly the at-least-once-delivery shape
+    ``dropDuplicates`` can't bound: state for a key is retained only
+    within the watermark horizon of its first sighting, then
+    evicted, so duplicates from retried deliveries collapse without
+    the key needing a window struct. The feed replays the ENTIRE
+    events table as a second micro-batch (a full redelivery); the
+    watermark delay spans the data, so every replayed row is inside
+    the horizon and must be eliminated by dedup STATE, not by the
+    late-row filter (q_stream_late_data covers that path). Counts
+    equal the batch aggregate over unique events — one surviving
+    duplicate doubles a bucket and breaks the hash. Chained into a
+    windowed aggregation downstream (the supported multi-stateful
+    pipeline)."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oarphpy_spark.tables import table as _table
+    from oarphpy_spark.util.fs import scratch_dir
+
+    work = os.path.join(
+        scratch_dir(), f"oarphpy_spark_stream_ddww_{os.getpid()}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        ev = _table(spark, sf_dir, "events").select(
+            "event_id", "ts", "value"
+        )
+        now = time.time()
+        for name, age in (("orig", 300), ("replay", 100)):
+            tmp = os.path.join(work, f"tmp_{name}")
+            ev.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(feed, f"{name}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now - age, now - age))
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        deduped = stream.withWatermark(
+            "ts", "60 days"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        agg = (
+            deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("bigint")
+                ).alias("sum_centi"),
+            )
+            .select(
+                F.unix_micros("w.start").alias("hour_us"),
+                "n",
+                "sum_centi",
+            )
+        )
+        out = run_to_memory_sink(agg, "q_stream_ddww_sink")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

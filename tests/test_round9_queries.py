@@ -86,3 +86,38 @@ def test_heavy_hitters_bounds_hold_and_cover_true_top(spark):
     for r in rows:
         assert r.in_bounds == 1
         assert r.est_lo <= r.exact_n <= r.est_hi
+
+
+def test_holt_linear_matches_textbook_recurrence(spark):
+    """The closed-form fold (nl = b/2+l/2+t/2, nt = b/4-l/4+3t/4) must
+    equal the TEXTBOOK nested Holt recurrence (nl = a*x + (1-a)(l+t);
+    nt = b*(nl-l) + (1-b)*t) computed in plain Python: with dyadic
+    alpha=beta=1/2 and bounded centi-int inputs every intermediate is
+    an exactly-representable dyadic rational, so the two algebraic
+    forms are bit-identical doubles."""
+    from oarphpy_spark.queries.analytics_extras import q_holt_linear
+
+    got = {
+        r.user_id: (r.n_obs, r.level, r.trend, r.forecast_1)
+        for r in q_holt_linear(spark, SF_SMALL).collect()
+    }
+
+    t = pq.read_table(
+        f"{SF_SMALL}/events.parquet", columns=["user_id", "event_id", "value"]
+    ).to_pandas()
+    t["v"] = (t["value"] * 1e3).round().astype("int64")
+    want = {}
+    for uid, g in t.groupby("user_id"):
+        vs = list(g.sort_values("event_id")["v"])[-16:]
+        l, tr = float(vs[0]), 0.0
+        for x in vs[1:]:
+            nl = 0.5 * x + 0.5 * (l + tr)
+            tr = 0.5 * (nl - l) + 0.5 * tr
+            l = nl
+        want[uid] = (
+            len(vs),
+            round(l / 1e3, 6),
+            round(tr / 1e3, 6),
+            round((l + tr) / 1e3, 6),
+        )
+    assert got == want
