@@ -2149,3 +2149,124 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH span AS (SELECT MAX(ts) AS mx FROM events),
+    life AS (
+      SELECT user_id,
+             CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                  // 86400000000 AS BIGINT) AS dur,
+             CAST(MAX(ts) >= (SELECT mx FROM span) - INTERVAL 3 DAYS
+                  AS INTEGER) AS censored
+      FROM events GROUP BY user_id
+    ),
+    at_t AS (
+      SELECT dur,
+             CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM life GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             CAST((SELECT COUNT(*) FROM life) AS BIGINT)
+               - CAST(COALESCE(SUM(leaving) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM at_t
+    ),
+    folded AS (
+      SELECT dur, d, n_risk,
+             list_reduce(
+               list_prepend(CAST(1 AS DOUBLE),
+                 list(CAST(n_risk - d AS DOUBLE)
+                      / CAST(n_risk AS DOUBLE)) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+               (a, b) -> a * b) AS surv
+      FROM risk
+    )
+    SELECT dur AS duration_days, d AS n_deaths, n_risk,
+           ROUND(surv, 6) AS survival
+    FROM folded WHERE d > 0 ORDER BY duration_days
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over user lifetimes (first to
+    last event, in days), with RIGHT-CENSORING: users still active in
+    the final 3 days of the data are censored, not dead — the
+    distinction that makes KM different from 1 - ECDF and that naive
+    retention curves get wrong. S(t) = prod_{t_i <= t} (1 - d_i/n_i)
+    over death times, computed as an ordered-array FOLD of per-time
+    hazard factors (the running-product analogue of the Holt fold;
+    both engines left-multiply the identical factor sequence, so
+    every intermediate double matches). The curve table is bounded
+    by distinct durations, so the fold arrays are tiny; the only
+    data-scale work is the per-user min/max aggregation — one
+    shuffle. Risk sets via a lagged cumulative count, exact
+    integers."""
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts").alias("mx"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            (
+                (F.unix_micros("hi") - F.unix_micros("lo"))
+                / F.lit(86400000000)
+            )
+            .cast("bigint")
+            .alias("dur"),
+            (
+                F.col("hi")
+                >= F.col("mx") - F.expr("INTERVAL 3 DAYS")
+            )
+            .cast("int")
+            .alias("censored"),
+        )
+    )
+    at_t = life.groupBy("dur").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    total = life.agg(F.count("*").alias("n_total"))
+    w_prev = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = at_t.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_run = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    factors = F.collect_list(
+        (F.col("n_risk") - F.col("d")).cast("double")
+        / F.col("n_risk").cast("double")
+    ).over(w_run)
+    folded = risk.select(
+        "dur",
+        "d",
+        "n_risk",
+        F.aggregate(
+            factors, F.lit(1.0), lambda a, b: a * b
+        ).alias("surv"),
+    )
+    return (
+        folded.filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            F.col("d").alias("n_deaths"),
+            "n_risk",
+            F.round("surv", 6).alias("survival"),
+        )
+        .orderBy("duration_days")
+    )

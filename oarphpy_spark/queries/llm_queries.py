@@ -2427,3 +2427,102 @@ def q_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, round(median_cents / 100.0, 4))], "n long, median_price double"
     )
+
+
+@query(
+    "q_emb_pq_codebook",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS v
+      FROM embeddings
+    ), subs AS (
+      SELECT vec_id, s.s AS s, q.v[s.s * 16 + 1 : s.s * 16 + 16] AS sv
+      FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) s
+    ), cents AS (
+      SELECT s, vec_id AS code, sv AS cv FROM subs WHERE vec_id < 8
+    ), scored AS (
+      SELECT subs.vec_id, subs.s, cents.code,
+             list_sum(list_transform(
+               list_zip(subs.sv, cents.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      FROM subs JOIN cents ON subs.s = cents.s
+    ), assigned AS (
+      SELECT vec_id, s, code, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT s, code, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dist) AS BIGINT) AS sse
+    FROM assigned GROUP BY s, code ORDER BY s, code
+    """,
+)
+def q_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al., TPAMI 2011) — the vector
+    COMPRESSION half of the ANN stack (q_emb_quantize_int8 compresses
+    precision; PQ compresses dimensionality x codebook): each 64-dim
+    embedding splits into 4 x 16-dim subvectors, each assigned to its
+    nearest of 8 deterministic codewords (the first 8 vectors'
+    subvectors — the same self-seeding trick as the IVF oracle, so no
+    RNG), giving a 4-byte code per vector. Output is the per-cell
+    codebook OCCUPANCY + quantization SSE — the two numbers that
+    decide whether a codebook is usable — in exact micro-int
+    arithmetic (components quantized BEFORE any distance, so the
+    argmin and the SSE are integer-deterministic). Scale shape: the
+    codebook (32 rows) broadcasts; assignment is one narrow
+    broadcast-join + per-(vec, subspace) argmin, embarrassingly
+    parallel over vectors; at 100 TB the SSE partial-aggregates
+    map-side."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("v"),
+    )
+    subs = q.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("s"),
+        "v",
+    ).select(
+        "vec_id",
+        "s",
+        F.expr("slice(v, s * 16 + 1, 16)").alias("sv"),
+    )
+    cents = (
+        subs.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("s").alias("cs"),
+            F.col("vec_id").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    scored = subs.join(
+        F.broadcast(cents), F.col("s") == F.col("cs")
+    ).select(
+        "vec_id",
+        "s",
+        "code",
+        F.expr(
+            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("s", "code")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dist").alias("sse"),
+        )
+        .orderBy("s", "code")
+    )

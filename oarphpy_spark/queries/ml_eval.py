@@ -299,3 +299,80 @@ def q_rank1_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = q.orderBy("item").localCheckpoint(eager=True)
     r.unpersist()
     return out
+
+
+@query(
+    "q_target_encoding_loo",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS cat,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ), g AS (
+      SELECT cat, y,
+             CAST(SUM(y) OVER (PARTITION BY cat) AS BIGINT) AS s,
+             CAST(COUNT(*) OVER (PARTITION BY cat) AS BIGINT) AS n
+      FROM r
+    ), enc AS (
+      SELECT cat, n,
+             CAST(ROUND(CAST(s - y AS DOUBLE) / (n - 1) / 100.0
+                        * 1000000) AS BIGINT) AS loo_micro
+      FROM g WHERE n > 1
+    )
+    SELECT cat, MAX(n) AS n_rows,
+           ROUND(CAST(SUM(loo_micro) AS DOUBLE) / COUNT(*)
+                 / 1000000.0, 4) AS avg_loo,
+           ROUND(MIN(loo_micro) / 1000000.0, 4) AS min_loo,
+           ROUND(MAX(loo_micro) / 1000000.0, 4) AS max_loo
+    FROM enc GROUP BY cat ORDER BY cat
+    """,
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature
+    workhorse that replaces a category with the mean target of the
+    OTHER rows in its group ((S_cat - y_i)/(n_cat - 1)), the
+    leakage-avoidance form naive mean-encoding gets wrong: a row
+    never sees its own label. Per-category sum and count come from
+    ONE window pass (no self-join), the per-row encoding is a single
+    division on exact integers, micro-quantized before the summary
+    aggregates so cross-row sums stay exact. At 100 TB this is one
+    shuffle on the category + a map-side expression per row —
+    exactly how feature pipelines compute fold-safe encodings."""
+    r = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    w = Window.partitionBy("cat")
+    g = r.select(
+        "cat",
+        "y",
+        F.sum("y").over(w).alias("s"),
+        F.count("*").over(w).alias("n"),
+    )
+    enc = g.filter(F.col("n") > 1).select(
+        "cat",
+        "n",
+        F.round(
+            (F.col("s") - F.col("y")).cast("double")
+            / (F.col("n") - 1)
+            / 100.0
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("loo_micro"),
+    )
+    return (
+        enc.groupBy("cat")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.round(
+                F.sum("loo_micro").cast("double")
+                / F.count("*")
+                / 1000000.0,
+                4,
+            ).alias("avg_loo"),
+            F.round(F.min("loo_micro") / 1000000.0, 4).alias("min_loo"),
+            F.round(F.max("loo_micro") / 1000000.0, 4).alias("max_loo"),
+        )
+        .orderBy("cat")
+    )

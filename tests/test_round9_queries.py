@@ -121,3 +121,41 @@ def test_holt_linear_matches_textbook_recurrence(spark):
             round((l + tr) / 1e3, 6),
         )
     assert got == want
+
+
+def test_kaplan_meier_matches_python_reference(spark):
+    """Relational KM == textbook product-limit estimator computed in
+    plain Python over the same lifetimes + censoring rule."""
+    import pandas as pd
+
+    from oarphpy_spark.queries.analytics_extras import q_kaplan_meier
+
+    got = {
+        r.duration_days: (r.n_deaths, r.n_risk, r.survival)
+        for r in q_kaplan_meier(spark, SF_SMALL).collect()
+    }
+
+    t = pq.read_table(
+        f"{SF_SMALL}/events.parquet", columns=["user_id", "ts"]
+    ).to_pandas()
+    mx = t["ts"].max()
+    g = t.groupby("user_id")["ts"].agg(["min", "max"])
+    dur = ((g["max"] - g["min"]).dt.total_seconds() * 1e6 // 86400000000)
+    dur = dur.astype("int64")
+    censored = g["max"] >= mx - pd.Timedelta(days=3)
+    total = len(g)
+    rows = (
+        pd.DataFrame({"dur": dur, "dead": (~censored).astype(int)})
+        .groupby("dur")
+        .agg(d=("dead", "sum"), leaving=("dead", "count"))
+        .sort_index()
+    )
+    surv, left_before = 1.0, 0
+    want = {}
+    for dd, r in rows.iterrows():
+        n_risk = total - left_before
+        surv *= (n_risk - r["d"]) / n_risk
+        if r["d"] > 0:
+            want[dd] = (r["d"], n_risk, round(surv, 6))
+        left_before += r["leaving"]
+    assert got == want
