@@ -507,3 +507,39 @@ def test_round8_batch4_plan_hygiene(spark):
     entropy = _plan(spark, "q_session_entropy", "simple")
     assert "Join" not in entropy
     assert entropy.count("HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_delete_vector_anti_join_broadcasts(spark):
+    """The deletion-vector apply must plan as a BROADCAST anti-join —
+    delete vectors are orders of magnitude smaller than the base, so
+    a shuffled anti-join would waste a full base-table exchange."""
+    plan = _plan(spark, "q_delete_vector_apply", "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pq_codebook_assignment_broadcasts(spark):
+    """PQ assignment joins each (vector, subspace) against the 32-row
+    codebook — must be a broadcast join, never an exchange of the
+    vector side keyed on subspace (4 keys = instant skew)."""
+    plan = _plan(spark, "q_emb_pq_codebook", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_no_cartesian(spark):
+    """Wedge join + anti-join must stay hash/sort-merge equi-joins;
+    top-20 must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "q_link_prediction", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exists_subqueries_decorrelate(spark):
+    """EXISTS / NOT EXISTS must decorrelate to semi/anti hash joins —
+    a correlated re-scan per outer row would be O(n*m)."""
+    plan = _plan(spark, "q_sql_exists_decorrelate", "simple")
+    assert "LeftSemi" in plan
+    # NOT EXISTS used inside a projection decorrelates to an
+    # ExistenceJoin (a semi join emitting a boolean column) rather
+    # than a LeftAnti — either is the O(n) hash form.
+    assert "LeftAnti" in plan or "ExistenceJoin" in plan
