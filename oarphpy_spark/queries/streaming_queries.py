@@ -742,3 +742,113 @@ def q_stream_dedup_within_watermark(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_stream_running_anomaly",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cv
+      FROM events
+    ), lagged AS (
+      SELECT user_id, cv,
+             COUNT(*) OVER w AS n,
+             CAST(COALESCE(SUM(cv) OVER w, 0) AS HUGEINT) AS s,
+             CAST(COALESCE(SUM(CAST(cv AS HUGEINT) * cv) OVER w, 0)
+                  AS HUGEINT) AS ss
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN n >= 8
+                 AND (n * CAST(cv AS HUGEINT) - s)
+                     * (n * CAST(cv AS HUGEINT) - s)
+                     > 9 * (n * ss - s * s)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
+    FROM lagged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_stream_running_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator under the exact oracle:
+    per-user running 3-sigma anomaly detection via
+    ``applyInPandasWithState`` (streaming/stateful.py:
+    running_anomaly_flags) — state is three exact integers (n, sum,
+    sumsq of centi-values) per user, each arriving event is judged
+    against the PRIOR state only, and the z^2 threshold is a pure
+    integer cross-multiplication in arbitrary-precision Python ints.
+    The feed splits the events table at its time MIDPOINT into two
+    micro-batches (mtime-ordered, maxFilesPerTrigger=1), so state
+    provably carries across a trigger boundary — the flag a
+    mid-stream event gets depends on statistics accumulated in the
+    previous batch. The oracle restates the whole run as
+    lagged-cumulative windows (UNBOUNDED PRECEDING TO 1 PRECEDING) in
+    128-bit — the batch form of 'judge against prior state'. This is
+    the operator class (custom per-key accumulators) the built-in
+    windowed aggregations can't express."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oarphpy_spark.streaming.stateful import running_anomaly_flags
+    from oarphpy_spark.streaming.windows import run_to_memory_sink
+    from oarphpy_spark.tables import table as _table
+    from oarphpy_spark.util.fs import scratch_dir
+
+    work = os.path.join(
+        scratch_dir(), f"oarphpy_spark_stream_anom_{os.getpid()}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    try:
+        ev = _table(spark, sf_dir, "events").select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+        mid = ev.agg(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+            .cast("bigint")
+            .alias("m")
+        ).collect()[0]["m"]
+        now = time.time()
+        halves = [
+            ("a", ev.filter(F.unix_micros("ts") < mid), 300),
+            ("b", ev.filter(F.unix_micros("ts") >= mid), 100),
+        ]
+        for name, df, age in halves:
+            tmp = os.path.join(work, f"tmp_{name}")
+            df.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(feed, f"{name}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now - age, now - age))
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp, event_id bigint, cv bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        out = run_to_memory_sink(
+            running_anomaly_flags(stream),
+            "q_stream_anom_sink",
+            output_mode="update",
+        )
+        final = (
+            out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.sum("n_flags").alias("n_flags"),
+            )
+            .orderBy("user_id")
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

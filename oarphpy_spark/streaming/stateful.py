@@ -47,3 +47,58 @@ def running_user_totals(events) -> "pd.DataFrame":
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_SCHEMA = "user_id bigint, n_events bigint, n_flags bigint"
+_ANOM_STATE_SCHEMA = "n bigint, s bigint, ss bigint"
+_ANOM_MIN_N = 8
+_ANOM_K = 3  # flag when (x - mean)^2 > K^2 * var
+
+
+def _update_running_anomaly(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Per-user running 3-sigma anomaly detector: state is the exact
+    integer sufficient statistics (n, sum, sumsq) over centi-values;
+    each arriving row is judged against the PRIOR state only (no
+    peeking at itself), then folded in. The z^2 threshold compare is
+    cross-multiplied to pure integers in arbitrary-precision Python
+    ints, so the flag set is bit-deterministic and restatable as a
+    lagged-cumulative-window batch query — the oracle
+    q_stream_running_anomaly hash-checks it."""
+    (user_id,) = key
+    n, s, ss = state.get if state.exists else (0, 0, 0)
+    flags = 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    for cv in rows["cv"].astype(object):  # object => Python ints, exact
+        if n >= _ANOM_MIN_N:
+            lhs = (n * cv - s) ** 2
+            rhs = _ANOM_K * _ANOM_K * (n * ss - s * s)
+            if lhs > rhs:
+                flags += 1
+        n += 1
+        s += cv
+        ss += cv * cv
+    # n_events is the running total (caller maxes per user); n_flags
+    # is this trigger's DELTA (caller sums per user) — state stays
+    # three integers regardless of trigger count.
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "n_flags": flags}]
+    )
+    state.update((n, s, ss))
+
+
+def running_anomaly_flags(events) -> "pd.DataFrame":
+    """Streaming (user-keyed) running anomaly detection via
+    applyInPandasWithState. Input needs columns
+    (user_id, ts, event_id, cv). Emits per-trigger cumulative
+    (n_events, per-trigger n_flags) rows in update mode; the caller
+    sums n_flags and maxes n_events per user after the drain."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_anomaly,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

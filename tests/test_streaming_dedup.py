@@ -131,3 +131,53 @@ def test_streaming_dedup_equals_batch(spark, tmp_path):
         assert got_map == want_map
     finally:
         spark.conf.unset(key)
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_running_anomaly_state_carries_across_triggers():
+    """The flag an event gets in trigger 2 must depend on statistics
+    accumulated in trigger 1 — the whole point of keyed state. 9
+    tight values arrive first (n=9 >= MIN_N, tiny variance), then one
+    wild value: processed in a SECOND trigger it must still be
+    flagged, and a fresh-state run of only trigger 2 must NOT flag it
+    (n too small)."""
+    from oarphpy_spark.streaming.stateful import _update_running_anomaly
+
+    def emit(state, rows):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [f"2024-01-01 10:{i:02d}:00" for i in range(len(rows))]
+                ),
+                "event_id": range(len(rows)),
+                "cv": rows,
+            }
+        )
+        (out,) = list(_update_running_anomaly((7,), iter([pdf]), state))
+        return out.iloc[0]
+
+    st = _FakeGroupState()
+    first = emit(st, [100, 101, 99, 100, 100, 101, 99, 100, 100])
+    assert first["n_events"] == 9 and first["n_flags"] == 0
+
+    second = emit(st, [5000])
+    assert second["n_events"] == 10
+    assert second["n_flags"] == 1  # judged against trigger-1 stats
+
+    fresh = emit(_FakeGroupState(), [5000])
+    assert fresh["n_flags"] == 0  # alone, n < MIN_N: nothing to judge by
