@@ -838,3 +838,90 @@ def q_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count(F.expr("a & b"))).cast("bigint").alias("n_inter"),
         F.sum(F.bit_count(F.expr("a | b"))).cast("bigint").alias("n_union"),
     )
+
+
+@query(
+    "q_table_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT 'orders' AS tbl,
+             md5('ck|' || CAST(o_orderkey AS VARCHAR) || '|'
+                 || CAST(o_custkey AS VARCHAR) || '|'
+                 || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR)) AS hx
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem',
+             md5('ck|' || CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR) || '|'
+                 || CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         AS VARCHAR))
+      FROM lineitem
+    )
+    SELECT tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substring(hx, 1, 7)) AS BIGINT))
+                AS BIGINT) AS sum28,
+           CAST(bit_xor(CAST(('0x' || substring(hx, 18, 15)) AS BIGINT))
+                AS BIGINT) AS xor60
+    FROM h GROUP BY tbl ORDER BY tbl
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the replication /
+    migration integrity check: every row hashes to md5 over its key
+    columns + integer-cents amounts (floats enter only through an
+    explicit integer quantization, so no formatting divergence), and
+    the table digest is a pair of commutative folds — a 28-bit-slice
+    SUM (sized so even billions of rows stay in int64) and a
+    60-bit-slice XOR. Both are partial-aggregable and
+    partitioning-insensitive, so two 100 TB replicas compare with one
+    scan each and a 2-row exchange; any single-row difference flips
+    the XOR channel with probability 1 - 2^-60. Companion to
+    q_table_diff (which localizes differences; this certifies
+    equality cheaply)."""
+    def hx(df, tbl, cols):
+        return df.select(
+            F.lit(tbl).alias("tbl"),
+            md5_str(F.concat_ws("|", F.lit("ck"), *cols)).alias("hx"),
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    h = hx(
+        orders,
+        "orders",
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+        ],
+    ).unionAll(
+        hx(
+            li,
+            "lineitem",
+            [
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+            ],
+        )
+    )
+    sl = lambda a, b: F.conv(F.substring("hx", a, b), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    return (
+        h.groupBy("tbl")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(sl(1, 7)).alias("sum28"),
+            F.expr(
+                "bit_xor(CAST(conv(substring(hx, 18, 15), 16, 10)"
+                " AS BIGINT))"
+            ).alias("xor60"),
+        )
+        .orderBy("tbl")
+    )

@@ -2526,3 +2526,57 @@ def q_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s", "code")
     )
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             md5(repeat(chr(97 + CAST(doc_id % 26 AS INT)),
+                 CAST((16 + (doc_id % 5) * 8) * (16 + (doc_id % 3) * 8)
+                      AS INT))) AS digest,
+             CAST((16 + (doc_id % 5) * 8) * (16 + (doc_id % 3) * 8)
+                  AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           CAST(SUM(n_bytes) - MIN(n_bytes) AS BIGINT)
+             AS reclaimable_bytes
+    FROM b GROUP BY digest HAVING COUNT(*) >= 2
+    ORDER BY n_copies DESC, digest
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT dedup over the MULTIMODAL binary column: group blobs by
+    content digest (md5 of the raw bytes, computed JVM-side on the
+    binary column — never a Python loop), keep the min-id copy,
+    report duplicate groups and the bytes a dedup pass would
+    reclaim. This is content-addressed storage dedup applied to
+    media columns — the first pass every multimodal corpus runs
+    before any near-dup model, and the binary-column twin of
+    q_dedup_exact's text path. One shuffle on the 16-byte digest
+    (32 bytes/row exchanged regardless of blob size, since the hash
+    reduces at the scan side); the oracle re-derives every blob's
+    bytes closed-form, so the whole Arrow blob-synthesis path is
+    value-checked too."""
+    blobs = synth_blob_table(table(spark, sf_dir, "documents"))
+    return (
+        blobs.select(
+            "doc_id",
+            F.md5("data").alias("digest"),
+            F.length("data").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            (F.sum("n_bytes") - F.min("n_bytes")).alias(
+                "reclaimable_bytes"
+            ),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy(F.desc("n_copies"), "digest")
+    )

@@ -20,7 +20,7 @@ distance compare is exact integer arithmetic — no floats anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oarphpy_spark.functions.text import md5_str
@@ -285,3 +285,96 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     core.unpersist()
     pts.unpersist()
     return out
+
+
+@query(
+    "q_spatial_density",
+    oracle=f"""
+    WITH p AS ({_COORD_ORACLE}),
+    cells AS (
+      SELECT x // {_R} AS cx, y // {_R} AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    )
+    SELECT cx, cy, n FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, cx, cy) AS rk
+      FROM cells
+    ) WHERE rk <= 20 ORDER BY n DESC, cx, cy
+    """,
+)
+def q_spatial_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density heatmap: bucket every point into its grid cell
+    and rank the 20 densest — the aggregation that backs every map
+    heatmap and the skew diagnostic for the stencil join (a cell in
+    this top-20 is exactly a candidate hot bucket for
+    q_spatial_grid_join's equi-join; AQE's skew split keys on the
+    same cell id). One partial-aggregable groupBy at cell
+    granularity, then TakeOrderedAndProject — never a global sort of
+    the cell table."""
+    pts = _points(spark, sf_dir)
+    cells = (
+        pts.groupBy(
+            (F.col("x") / _R).cast("bigint").alias("cx"),
+            (F.col("y") / _R).cast("bigint").alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cells.orderBy(F.desc("n"), "cx", "cy")
+        .limit(20)
+        .select("cx", "cy", "n")
+    )
+
+
+@query(
+    "q_spatial_knn_bounded",
+    oracle=f"""
+    WITH p AS ({_COORD_ORACLE}),
+    pairs AS (
+      SELECT a.k AS ak, b.k AS bk,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM p a JOIN p b
+        ON a.k <> b.k
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= {_R * _R}
+    ),
+    ranked AS (
+      SELECT ak, bk, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY ak ORDER BY d2, bk) AS rk
+      FROM pairs
+    )
+    SELECT ak AS k, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(d2) AS BIGINT) AS sum_d2,
+           CAST(MIN(bk) AS BIGINT) AS nearest_min_id
+    FROM ranked WHERE rk <= 3
+    GROUP BY ak ORDER BY ak
+    """,
+)
+def q_spatial_knn_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded k-nearest-neighbors (k=3 within distance 300):
+    per-point nearest neighbors from the grid-stencil candidate set,
+    ranked by exact integer distance with a deterministic id
+    tiebreak. The radius bound is what keeps this exact AND
+    scale-correct — candidates never leave the 3x3 stencil, so the
+    per-point ranking window sees only cell-local rows (an UNBOUNDED
+    exact kNN needs expanding-ring search or an index; the bounded
+    form is what feature pipelines actually use for local density /
+    nearest-facility features). Summarized per point (count, sum of
+    squared distances, min neighbor id) so the certificate pins the
+    full neighbor SET."""
+    pts = _points(spark, sf_dir)
+    pairs = radius_pairs(pts, _R)
+    w = Window.partitionBy("ak").orderBy("d2", "bk")
+    top = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
+    )
+    return (
+        top.groupBy(F.col("ak").alias("k"))
+        .agg(
+            F.count("*").alias("n_neighbors"),
+            F.sum("d2").alias("sum_d2"),
+            F.min("bk").alias("nearest_min_id"),
+        )
+        .orderBy("k")
+    )
