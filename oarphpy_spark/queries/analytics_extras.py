@@ -2270,3 +2270,109 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+@query(
+    "q_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, lag.l AS l, x,
+             LAG(x, lag.l) OVER (
+               PARTITION BY event_type, lag.l ORDER BY d) AS xl
+      FROM daily, (SELECT unnest([1, 2, 3]) AS l) lag
+    ), s AS (
+      SELECT event_type, l,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(xl) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * xl) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(xl AS HUGEINT) * xl) AS HUGEINT) AS syy
+      FROM lagged WHERE xl IS NOT NULL
+      GROUP BY event_type, l
+    )
+    SELECT event_type, l AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM s ORDER BY event_type, lag_days
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-3 days) of each event type's
+    daily totals — the seasonality/persistence diagnostic every
+    forecasting pipeline runs before model choice. Per (type, lag):
+    Pearson correlation of the series against its lag from six exact
+    128-bit integer sufficient statistics (the q_grouped_linreg /
+    CUPED bilinear discipline), one sqrt + one division at the end —
+    both engines evaluate the identical IEEE expression on identical
+    integers. The lag explode is 3x the DAILY table (bounded), not
+    the event table; the only data-scale work is the daily groupBy."""
+    d38 = "decimal(38,0)"
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cv").alias("x"))
+    )
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("l"),
+    )
+    # lag amount must be a literal, so build one branch per lag
+    parts = []
+    for lv in (1, 2, 3):
+        parts.append(
+            lagged.filter(F.col("l") == lv).withColumn(
+                "xl",
+                F.lag("x", lv).over(
+                    Window.partitionBy("event_type", "l").orderBy("d")
+                ),
+            )
+        )
+    lg = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    s = (
+        lg.filter(F.col("xl").isNotNull())
+        .groupBy("event_type", "l")
+        .agg(
+            F.count("*").cast(d38).alias("n"),
+            F.sum("x").cast(d38).alias("sx"),
+            F.sum("xl").cast(d38).alias("sy"),
+            F.sum(F.col("x").cast(d38) * F.col("xl").cast(d38))
+            .cast(d38)
+            .alias("sxy"),
+            F.sum(F.col("x").cast(d38) * F.col("x").cast(d38))
+            .cast(d38)
+            .alias("sxx"),
+            F.sum(F.col("xl").cast(d38) * F.col("xl").cast(d38))
+            .cast(d38)
+            .alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "event_type",
+        F.col("l").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    ).orderBy("event_type", "lag_days")

@@ -310,3 +310,47 @@ def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
     )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             COUNT(*) AS k
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT LEAST(k, 5) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_people
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (segment,
+    nation, coarse balance band): how many equivalence classes — and
+    how many PEOPLE — sit at each anonymity level k (capped at 5+,
+    the usual release threshold). Rows in a k=1 class are uniquely
+    re-identifiable by the quasi-identifiers alone; this is the
+    privacy gate a dataset passes before leaving a clean room, the
+    audit side of q_pii_scrub's redaction side. One groupBy at
+    quasi-identifier granularity, then a bounded second aggregate
+    over class sizes — the k histogram is at most 5 rows whatever
+    the data volume."""
+    cust = table(spark, sf_dir, "customer")
+    q = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) div 100000"
+        ).alias("bal_band"),
+    ).agg(F.count("*").alias("k"))
+    return (
+        q.groupBy(F.least(F.col("k"), F.lit(5)).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").alias("n_people"),
+        )
+        .orderBy("k_bucket")
+    )
