@@ -110,7 +110,7 @@ _ROUND_PRIORITY = [
 registry.set_priority(_ROUND_PRIORITY)
 
 # NEXT ROUND: the window must stay SATURATED (scripts/staleness_audit
-# enforces it; backlog 187 after this allocation). Lead with any new
+# enforces it; backlog 202 after this allocation). Lead with any new
 # queries, then implementations changed during the round, then the
 # audit's recommended_window order (own-fn-changed stale first —
 # still headed by the r7-changed iterative-graph family:

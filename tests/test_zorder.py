@@ -77,10 +77,20 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     assert ztotal == nfiles and ltotal == nfiles
     # z-order: the corner lives in a contiguous z-range -> few files.
     assert zkept <= nfiles // 2, f"z-order kept {zkept}/{nfiles}"
-    # and strictly better than the linear layout on the same predicate
-    # (linear prunes on the leading column only: ~1/8 of files by
-    # l_partkey, all of which survive the l_suppkey bound).
-    assert zkept <= lkept
+    # On a corner predicate the LINEAR layout also prunes (its leading
+    # column is constrained), so comparing the two on it is
+    # file-boundary luck — flaked once under full-suite session-state
+    # drift. The property that actually motivates z-order is the
+    # SECOND-column-only predicate: a layout sorted on l_partkey
+    # cannot prune by l_suppkey at all, while z-order keeps only the
+    # files whose interleaved y-bits intersect the slab (top-4 z-bits
+    # = x1 y1 x2 y2, y1=y2=0 -> 4 of 16 files).
+    pred_b = {"l_suppkey": (0, stats.smax // 8)}
+    _, zkept_b = file_prune_stats(zpath, pred_b)
+    _, lkept_b = file_prune_stats(lpath, pred_b)
+    assert lkept_b == nfiles, "linear layout unexpectedly pruned on col B"
+    assert zkept_b <= nfiles // 2, f"z-order kept {zkept_b}/{nfiles}"
+    assert zkept_b < lkept_b
 
 
 def test_zorder_bits_guard(spark):
