@@ -2376,3 +2376,116 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(num / den, 6).alias("acf"),
     ).orderBy("event_type", "lag_days")
+
+
+@query(
+    "q_p99_contributors",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cv
+      FROM events
+    ), thr AS (
+      SELECT CAST(quantile_disc(cv, 0.99) AS BIGINT) AS p99 FROM v
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_extreme,
+           CAST(SUM(cv) AS BIGINT) AS sum_extreme,
+           (SELECT p99 FROM thr) AS p99_centi
+    FROM v WHERE cv > (SELECT p99 FROM thr)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_p99_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-contributor analysis: which event types drive the values
+    ABOVE the exact global p99 — the question behind every cost /
+    latency tail investigation. The threshold is the exact
+    DISCRETE 99th percentile (the ceil(0.99 n)-th order statistic)
+    found by operators/quantiles.exact_ranks — bucket histogram +
+    rank-located second pass, NO global sort — then one filtered
+    aggregation whose predicate (cv > literal) pushes into the scan.
+    Demonstrates exact_ranks as a reusable primitive beyond the
+    median; the oracle's quantile_disc is the same order
+    statistic."""
+    from oarphpy_spark.operators.quantiles import exact_ranks
+
+    v = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cv"),
+    )
+    n = v.count()
+    rank = -(-99 * n // 100)  # ceil(0.99 n): quantile_disc semantics
+    p99 = exact_ranks(v, "cv", [rank])[rank]
+    return (
+        v.filter(F.col("cv") > p99)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_extreme"),
+            F.sum("cv").alias("sum_extreme"),
+        )
+        .withColumn("p99_centi", F.lit(p99).cast("bigint"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cv,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, cv, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cv) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS total
+      FROM g
+    )
+    SELECT flag, CAST(MAX(total) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN cum * 2 >= total THEN cv END) AS BIGINT)
+             AS wmedian_centi
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median price per return flag, weighted by
+    quantity — the summary a plain median gets wrong whenever rows
+    represent different volumes. Computed as a pure cumulative-weight
+    sweep: aggregate weights per distinct value first (so the window
+    runs over |distinct values| rows, not raw rows), one per-flag
+    ordered cumsum, and the median is the smallest value whose
+    cumulative weight reaches half the total — an integer-exact
+    definition with no interpolation to disagree on. Two shuffles
+    (value-level groupBy, then per-flag window over the compacted
+    relation)."""
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cv"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("flag", "cv")
+        .agg(F.sum("q").alias("w"))
+    )
+    wc = Window.partitionBy("flag").orderBy("cv")
+    wt = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cv",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    return (
+        c.groupBy("flag")
+        .agg(
+            F.max("total").alias("total_weight"),
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("total"), F.col("cv"))
+            ).alias("wmedian_centi"),
+        )
+        .orderBy("flag")
+    )

@@ -758,3 +758,105 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     pr.unpersist()
     return out
+
+
+@query(
+    "q_graph_reciprocity",
+    oracle="""
+    WITH w AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT COALESCE(a.src, b.dst) AS src,
+             COALESCE(a.dst, b.src) AS dst,
+             COALESCE(a.w, 0) AS w_fwd,
+             COALESCE(b.w, 0) AS w_rev
+      FROM w a FULL OUTER JOIN w b
+        ON a.src = b.dst AND a.dst = b.src
+      WHERE COALESCE(a.w, 0) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(w_fwd) AS BIGINT) AS total_weight,
+           ROUND(CAST(SUM(LEAST(w_fwd, w_rev)) AS DOUBLE)
+                 / CAST(SUM(w_fwd) AS DOUBLE), 6) AS reciprocity
+    FROM m
+    """,
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reciprocity of the DIRECTED nation-to-nation trade
+    graph (supplier nation ships to customer nation): the fraction of
+    flow that is returned, sum(min(w_ij, w_ji)) / sum(w_ij) — the
+    directed-graph counterpart to assortativity in the profile suite,
+    and a structure metric SCC/PageRank don't capture (a graph can be
+    one giant SCC at near-zero reciprocity). The heavy work is the
+    star join down to (src_nation, dst_nation) counts — dims
+    broadcast, one fact shuffle; the reciprocity combine runs on a
+    |nations|^2-bounded relation via a self full-outer join on the
+    reversed key. All-integer until the single final division."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("src"),
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("dst"),
+    )
+    w = (
+        li.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(sn), "s_nationkey")
+        .join(F.broadcast(cn), "c_nationkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    rev = w.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("w").alias("w_rev"),
+    )
+    m = w.join(rev, ["src", "dst"], "left").select(
+        F.col("w").alias("w_fwd"),
+        F.coalesce("w_rev", F.lit(0)).alias("w_rev"),
+    )
+    out = m.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("w_fwd").alias("total_weight"),
+        F.round(
+            F.sum(F.least("w_fwd", "w_rev")).cast("double")
+            / F.sum("w_fwd").cast("double"),
+            6,
+        ).alias("reciprocity"),
+    )
+    out = out.localCheckpoint(eager=True)
+    w.unpersist()
+    return out

@@ -666,3 +666,29 @@ def q_sql_exists_decorrelate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sql_lateral_topk (LATERAL) on the correlation surface."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_EXISTS_SQL)
+
+
+_GROUPING_ID_SQL = """
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+       CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey)
+            AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
+                        (c_mktsegment), ())
+ORDER BY gid, segment, nation
+"""
+
+
+@query("q_sql_grouping_id", oracle=_GROUPING_ID_SQL)
+def q_sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers over GROUPING SETS, VERBATIM-shared SQL:
+    the standard way a consumer distinguishes 'NULL because rolled
+    up' from 'NULL in the data' — COALESCE folds each rolled-up key
+    to a sentinel and the composed grouping id (2*g1 + g2) labels
+    the aggregation level. Complements q_grouping_sets (which pins
+    the row sets) with the indicator-function surface; one expand +
+    hash aggregate, same plan shape either way."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_GROUPING_ID_SQL)
