@@ -6,7 +6,7 @@ Importing this package registers every declared query into
 External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
 queries that most need fresh verification this round.  The round-8
-window: 39 never-verified additions (spatial grid join + DBSCAN,
+window: 40 never-verified additions (spatial grid join + DBSCAN,
 containment join, Theil-Sen, rank-1 ALS, mergeable heavy hitters,
 CUSUM, bitmap algebra, seasonality, readability, deletion vectors,
 link prediction, Holt smoothing, chained streaming rollup, exact
@@ -16,7 +16,7 @@ whose implementations changed closing round-7 ADVICE (SCC + SSSP
 type-generic seeds, watermark-evictable streaming dedup, half-away
 replay rounding — a changed implementation outranks helper-churn
 staleness because that's where a regression can actually hide), then
-the 7 stalest backlog slugs in audit rank.
+the 6 stalest backlog slugs in audit rank.
 ``scripts/staleness_audit.py`` machine-checks this allocation (window
 saturated stale-first, backlog recorded); the union of all rounds'
 windows plus the full-registry local parity gate covers every
@@ -88,6 +88,7 @@ _ROUND_PRIORITY = [
     "q_p99_contributors",
     "q_weighted_median",
     "q_graph_reciprocity",
+    "q_benford_digits",
     # --- implementations changed this round (round-7 ADVICE closes):
     # type-generic SCC/SSSP seeds + non-numeric color convergence,
     # watermark-evictable window-struct dedup, half-away replay
@@ -104,7 +105,6 @@ _ROUND_PRIORITY = [
     "q_sim_lsh_topk",
     "q_sim_topk",
     "q_grouped_apply_zscore",
-    "q_window_distribution",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)

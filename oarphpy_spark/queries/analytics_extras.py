@@ -2489,3 +2489,63 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "q_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / t.total, 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / CAST(digit AS BIGINT)), 6)
+             AS benford_p
+    FROM c CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order amounts — the
+    fraud/anomaly screen auditors run on any financial column:
+    observed leading-digit frequencies against the log10(1 + 1/d)
+    expectation. The digit is extracted by STRING slicing of the
+    exact integer cents (no logarithms touch the data path — the only
+    transcendental is the 9-row expectation column, an identical
+    fixed-shape expression in both engines). One map-side
+    partial-aggregable groupBy into 9 rows; the total joins back as a
+    broadcast one-row crossJoin."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "observed_p"
+            ),
+            F.round(
+                F.log10(1.0 + 1.0 / F.col("digit").cast("bigint")), 6
+            ).alias("benford_p"),
+        )
+        .orderBy("digit")
+    )
