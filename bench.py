@@ -52,11 +52,32 @@ EXTRAS = [
 ]
 
 
+def _settle_load(max_load: float, max_wait_sec: float) -> tuple[float, float, bool]:
+    """Wait for the machine to go idle before timing anything.
+
+    Readings taken at 1-min load > ~2 are contaminated by concurrent
+    work (measured: +30% uniform right after a test-suite run — the
+    r07/r08 driver benches were taken at load 6.9/9.5 and drifted the
+    headline 7.6→9.8 s with zero plan changes).  Poll until the load
+    drops below `max_load` or `max_wait_sec` elapses; return
+    (initial_load, settled_load, contaminated_flag).
+    """
+    initial = os.getloadavg()[0]
+    load = initial
+    deadline = time.monotonic() + max_wait_sec
+    while load > max_load and time.monotonic() < deadline:
+        time.sleep(10.0)
+        load = os.getloadavg()[0]
+    return round(initial, 2), round(load, 2), load > max_load
+
+
 def main() -> None:
     # Sample load BEFORE the run: the bench itself pins all cores, so
     # a reading at finish only measures the bench. What matters is
     # what ELSE was running when the timings were taken.
-    load_before = round(os.getloadavg()[0], 2)
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
+    load_initial, load_before, contaminated = _settle_load(max_load, max_wait)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -121,12 +142,15 @@ def main() -> None:
         "queries": timings,
         "extras": extras,
         "sf": sf,
-        # 1-min load average BEFORE the run: readings started at
-        # load > ~4 are contaminated by concurrent work (+30% uniform
-        # was measured right after a test-suite run) — the judge
-        # should discount those, and so should round-over-round
-        # comparisons.
+        # 1-min load average when timing STARTED (after the settle
+        # wait).  bench now refuses to start hot: it polls until load
+        # < $SPARK_GRAFT_MAX_LOAD (default 2.0) or the wait budget
+        # ($SPARK_GRAFT_LOAD_WAIT_SEC, default 600 s) runs out; if it
+        # still couldn't settle, load_contaminated=true marks the
+        # reading as untrustworthy for round-over-round comparison.
         "load_avg_before": load_before,
+        "load_avg_initial": load_initial,
+        "load_contaminated": contaminated,
     }
     print(json.dumps(out))
 

@@ -692,7 +692,7 @@ def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
       WHERE CAST(('0x' || substring(
                md5('dv|' || CAST(l_orderkey AS VARCHAR) || '|'
                    || CAST(l_linenumber AS VARCHAR)), 1, 8))
-            AS BIGINT) % 37 = 0
+            AS BIGINT) % 997 = 0
     )
     SELECT b.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_live,
@@ -714,8 +714,12 @@ def q_delete_vector_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, each file sorts independently — the same contract a real
     table format gets from physical row order); the demo delete
     vector derives from a salted md5 so both engines delete the same
-    ~1/37 of rows. At scale the anti-join broadcasts: delete vectors
-    are orders of magnitude smaller than the base."""
+    ~1/997 of rows — genuinely orders of magnitude smaller than the
+    base, as real deletion vectors are. No forced broadcast hint:
+    AQE sees the dv side's runtime size and picks broadcast when it
+    fits autoBroadcastJoinThreshold (it does at every tested SF),
+    and degrades to a shuffled anti-join instead of an OOM if a
+    pathological workload ever grows the dv side."""
     li = table(spark, sf_dir, "lineitem")
     base = li.select(
         "l_orderkey",
@@ -750,10 +754,10 @@ def q_delete_vector_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("bigint")
-        % 37
+        % 997
         == 0
     ).select("file_id", "pos")
-    live = base.join(F.broadcast(dv), ["file_id", "pos"], "left_anti")
+    live = base.join(dv, ["file_id", "pos"], "left_anti")
     return (
         live.groupBy("l_returnflag")
         .agg(

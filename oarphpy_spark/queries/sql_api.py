@@ -599,7 +599,11 @@ def q_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PIVOT_SQL = """
-SELECT * FROM (
+SELECT segment,
+       COALESCE(n_f, 0) AS n_f,
+       COALESCE(n_o, 0) AS n_o,
+       COALESCE(n_p, 0) AS n_p
+FROM (
   SELECT c.c_mktsegment AS segment, o.o_orderstatus AS st
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 )
@@ -630,7 +634,11 @@ def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass to discover columns. The DuckDB oracle restates it
     with FILTER aggregates (DuckDB's PIVOT ON syntax differs; the
     FILTER form is the engine-portable equivalent every planner
-    lowers pivot to anyway)."""
+    lowers pivot to anyway). Spark's PIVOT leaves a (segment,
+    status) cell NULL when it has zero rows while COUNT(*) FILTER
+    yields 0, so the pivoted counts are COALESCEd to 0 — without
+    that the parity breaks at any SF where some segment lacks a
+    status (rare 'P' is the realistic case)."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_PIVOT_SQL)
 

@@ -9,6 +9,7 @@ batches per key per trigger.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import Decimal
 
 import pandas as pd
 
@@ -50,7 +51,11 @@ def running_user_totals(events) -> "pd.DataFrame":
 
 
 ANOMALY_SCHEMA = "user_id bigint, n_events bigint, n_flags bigint"
-_ANOM_STATE_SCHEMA = "n bigint, s bigint, ss bigint"
+# sumsq of centi-values grows as n * cv^2: a bigint column would wrap
+# after ~1e9 events per user at cv~1e5.  decimal(38,0) holds ~1e38 —
+# enough for 1e28 events per key — so the PERSISTED state is as exact
+# as the Python-int math that produces it.
+_ANOM_STATE_SCHEMA = "n bigint, s bigint, ss decimal(38,0)"
 _ANOM_MIN_N = 8
 _ANOM_K = 3  # flag when (x - mean)^2 > K^2 * var
 
@@ -68,6 +73,7 @@ def _update_running_anomaly(
     q_stream_running_anomaly hash-checks it."""
     (user_id,) = key
     n, s, ss = state.get if state.exists else (0, 0, 0)
+    ss = int(ss)  # decimal(38,0) state deserializes as Decimal
     flags = 0
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["ts", "event_id"])
@@ -86,7 +92,7 @@ def _update_running_anomaly(
     yield pd.DataFrame(
         [{"user_id": user_id, "n_events": n, "n_flags": flags}]
     )
-    state.update((n, s, ss))
+    state.update((n, s, Decimal(ss)))
 
 
 def running_anomaly_flags(events) -> "pd.DataFrame":

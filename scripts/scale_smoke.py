@@ -55,18 +55,18 @@ EXTRA_SCALE = [f"q_sql_tpch_q{i}" for i in range(1, 23)] + [
     "q_assoc_rules",     # basket-bounded pair expansion (round 7)
     "q_token_pmi",       # posexplode + positional self-join (round 7)
     "q_component_sizes",  # CC + size histogram (round 7)
-    "q_scc_sizes",        # trim+coloring SCC peel (round 8)
-    "q_kmeans_relational",  # 3 integer-exact Lloyd iterations (round 8)
-    "q_negative_sampling",  # candidate explode + anti-join (round 8)
-    "q_time_weighted_avg",  # per-user LEAD dwell weights (round 8)
-    "q_spatial_grid_join",  # cell-stencil radius self-join (round 9)
-    "q_dbscan_grid",        # grid DBSCAN: pairs + CC + border (round 9)
-    "q_containment_join",   # asymmetric prefix-filter join (round 9)
-    "q_theil_sen",          # per-user in-array pair slopes (round 9)
-    "q_heavy_hitters_mergeable",  # sharded top-k + residual merge (r9)
-    "q_rank1_als",          # two-pass ALS sufficient stats (round 9)
-    "q_cusum_changepoint",  # 128-bit integer CUSUM windows (round 9)
-    "q_delete_vector_apply",  # per-file position anti-join (round 9)
+    "q_scc_sizes",        # trim+coloring SCC peel (round 7)
+    "q_kmeans_relational",  # 3 integer-exact Lloyd iterations (round 7)
+    "q_negative_sampling",  # candidate explode + anti-join (round 7)
+    "q_time_weighted_avg",  # per-user LEAD dwell weights (round 7)
+    "q_spatial_grid_join",  # cell-stencil radius self-join (round 8)
+    "q_dbscan_grid",        # grid DBSCAN: pairs + CC + border (round 8)
+    "q_containment_join",   # asymmetric prefix-filter join (round 8)
+    "q_theil_sen",          # per-user in-array pair slopes (round 8)
+    "q_heavy_hitters_mergeable",  # sharded top-k + residual merge (round 8)
+    "q_rank1_als",          # two-pass ALS sufficient stats (round 8)
+    "q_cusum_changepoint",  # 128-bit integer CUSUM windows (round 8)
+    "q_delete_vector_apply",  # per-file position anti-join (round 8)
 ]
 
 DIM_TABLES = ("region", "nation", "supplier", "part")
