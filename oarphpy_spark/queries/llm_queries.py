@@ -335,6 +335,8 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text statistics (length, token count, avg token length)
+    — the profile scan every corpus-curation pipeline starts with."""
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -135,11 +135,15 @@ def _sink_roundtrip(spark: SparkSession, sf_dir: str, codec: str) -> DataFrame:
 
 @query("q_sink_parquet_zstd", oracle=_SINK_ORACLE)
 def q_sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink with zstd codec + re-scan roundtrip: written bytes
+    must agg identically to the source (codecs change size, not data)."""
     return _sink_roundtrip(spark, sf_dir, "zstd")
 
 
 @query("q_sink_parquet_lz4", oracle=_SINK_ORACLE)
 def q_sink_parquet_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink with lz4 codec + re-scan roundtrip — same contract
+    as the zstd twin, exercising the other splittable codec."""
     return _sink_roundtrip(spark, sf_dir, "lz4")
 
 
@@ -194,6 +198,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_project", oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
 def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruning projection: 3 of 9 order columns — ReadSchema
+    in the parquet scan must list only the projected columns."""
     return table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
 
 
@@ -205,6 +211,8 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality predicate pushed to the parquet scan (PushedFilters
+    shows EqualTo) — selected segment only ever leaves the reader."""
     return (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -220,6 +228,8 @@ def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-open range predicate, pushed down as GreaterThanOrEqual +
+    LessThan so row groups outside [10, 20) never decompress."""
     li = table(spark, sf_dir, "lineitem")
     return li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 20)).select(
         "l_orderkey", "l_linenumber", "l_quantity"
@@ -328,6 +338,8 @@ def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
 )
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a 2-column projection — hash aggregate with
+    map-side partials; only unique pairs cross the shuffle."""
     return table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
 
@@ -567,6 +579,8 @@ def q_mview_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (flag, status): grand total, per-flag, and per-pair rows
+    from ONE scan — Catalyst expands the grouping sets in-plan."""
     return (
         table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -617,6 +631,8 @@ def q_collect_list_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY via range partitioning (sampled bounds), the
+    scalable total sort — no single-task gather."""
     return (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
@@ -659,6 +675,8 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned UNION ALL of two differently-named inputs —
+    unionByName after projection, no dedup shuffle."""
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_name").alias("name"),
         F.round("c_acctbal", 2).alias("acctbal"),
@@ -689,6 +707,8 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT in one result: customers with and without
+    orders — both lower to aggregate + semi/anti join shapes."""
     cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     okeys = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     both = cust.intersect(okeys).withColumn("kind", F.lit("with_orders"))

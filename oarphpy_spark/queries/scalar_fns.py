@@ -29,6 +29,8 @@ from oarphpy_spark.tables import table
     """,
 )
 def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (concat/substr/upper/trim/lpad/regexp)
+    — all JVM codegen expressions, no Python in the loop."""
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -52,6 +54,8 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery: trunc, extract, datediff, add
+    months, day-of-week arithmetic on order dates."""
     orders = table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
@@ -79,6 +83,8 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery: abs/ceil/floor/round/pmod/power on
+    integer-safe inputs so both engines agree bitwise."""
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -105,6 +111,8 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery: split, slice, array_contains, sort,
+    size over rebuilt token arrays."""
     emb = table(spark, sf_dir, "embeddings")
     sum8 = F.aggregate(
         F.slice("embedding", 1, 8),
@@ -149,6 +157,8 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions: get_json_object paths into the event props
+    column, the schema-on-read escape hatch."""
     events = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return events.select(
