@@ -5,18 +5,12 @@ Importing this package registers every declared query into
 
 External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
-queries that most need fresh verification this round.  The round-8
-window: 40 never-verified additions (spatial grid join + DBSCAN,
-containment join, Theil-Sen, rank-1 ALS, mergeable heavy hitters,
-CUSUM, bitmap algebra, seasonality, readability, deletion vectors,
-link prediction, Holt smoothing, chained streaming rollup, exact
-global median, GROUP BY ALL / set-ops-ALL / ntile / PIVOT /
-parse_url), then the FOUR slugs
-whose implementations changed closing round-7 ADVICE (SCC + SSSP
-type-generic seeds, watermark-evictable streaming dedup, half-away
-replay rounding — a changed implementation outranks helper-churn
-staleness because that's where a regression can actually hide), then
-the 6 stalest backlog slugs in audit rank.
+queries that most need fresh verification this round.  The round-9
+window spends 49 of 50 slots on verification (VERDICT r8 item 1): the
+single new query (q_link_prediction_sketch), the 6 implementations
+changed closing round-8 ADVICE / this round's performance work, the 3
+rows-only-by-design slugs (stale since r04), and 40 slots of stalest
+backlog in audit rank.
 ``scripts/staleness_audit.py`` machine-checks this allocation (window
 saturated stale-first, backlog recorded); the union of all rounds'
 windows plus the full-registry local parity gate covers every
@@ -48,72 +42,76 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 8 (this build round): new queries, never driver-seen ---
-    "q_heavy_hitters_mergeable",
-    "q_seasonality_index",
-    "q_cusum_changepoint",
+    # --- round 9: the one new query (HT link-prediction sketch) ---
+    "q_link_prediction_sketch",
+    # --- implementations changed this round (round-8 ADVICE closes +
+    # the containment array-verify and link-prediction degree cap):
+    # changed code outranks helper-churn staleness because that is
+    # where a regression can actually hide ---
     "q_containment_join",
-    "q_delete_vector_apply",
-    "q_bitmap_intersect",
-    "q_theil_sen",
-    "q_text_readability",
-    "q_rank1_als",
-    "q_set_ops_all",
-    "q_fn_url",
-    "q_spatial_grid_join",
-    "q_dbscan_grid",
-    "q_sql_groupby_all",
-    "q_ntile_deciles",
     "q_link_prediction",
+    "q_delete_vector_apply",
+    "q_dynamic_partition_overwrite",
     "q_sql_pivot_clause",
-    "q_exact_global_median",
-    "q_stream_hierarchical_rollup",
-    "q_holt_linear",
-    "q_fn_listagg",
-    "q_sql_exists_decorrelate",
-    "q_event_pattern",
-    "q_stream_dedup_within_watermark",
-    "q_trimmed_mean",
-    "q_emb_pq_codebook",
-    "q_target_encoding_loo",
-    "q_kaplan_meier",
     "q_stream_running_anomaly",
-    "q_spatial_density",
-    "q_spatial_knn_bounded",
-    "q_table_checksum",
-    "q_multimodal_dedup",
-    "q_acf",
-    "q_k_anonymity",
-    "q_sql_grouping_id",
-    "q_p99_contributors",
-    "q_weighted_median",
-    "q_graph_reciprocity",
-    "q_benford_digits",
-    # --- implementations changed this round (round-7 ADVICE closes):
-    # type-generic SCC/SSSP seeds + non-numeric color convergence,
-    # watermark-evictable window-struct dedup, half-away replay
-    # rounding ---
-    "q_scc_sizes",
-    "q_sssp",
-    "q_stream_distinct_users",
-    "q_stream_python_source",
-    # --- stalest backlog, audit rank (own-fn edits first, then
-    # oldest last-green round) ---
-    "q_dedup_simhash",
-    "q_sim_ivf_topk",
-    "q_sim_lsh_multiprobe",
-    "q_sim_lsh_topk",
-    "q_sim_topk",
-    "q_grouped_apply_zscore",
+    # --- the 3 rows-only-by-design slugs (last driver rows r04;
+    # VERDICT r8 item 8: keep 'rows-only by design' an observed
+    # fact, not a remembered one) ---
+    "q_cluster_cpu_count",
+    "q_for_each_executor",
+    "q_monte_carlo_pi",
+    # --- 40 slots of stalest backlog, audit rank (own-fn edits
+    # first — the 16 docstring-filled r01-era slugs — then oldest
+    # last-green; VERDICT r8 item 1: drain the driver backlog) ---
+    "q_text_stats",
+    "q_distinct",
+    "q_filter_eq",
+    "q_filter_range",
+    "q_fn_array",
+    "q_fn_date",
+    "q_fn_json",
+    "q_fn_math",
+    "q_fn_string",
+    "q_grouping_sets",
+    "q_intersect_except",
+    "q_orderby",
+    "q_project",
+    "q_union_all",
+    "q_sink_parquet_lz4",
+    "q_sink_parquet_zstd",
+    "q_window_distribution",
+    "q_graph_profile",
+    "q_stream_dropdup",
+    "q_agg_sum_avg_minmax",
+    "q_curation_pipeline",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash_hamming",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_inner_hash",
+    "q_join_left_right_full",
+    "q_join_semi_anti",
+    "q_join_theta_range",
+    "q_multimodal_blob",
+    "q_multimodal_features",
+    "q_multimodal_stats",
+    "q_multiway_star",
+    "q_percentiles",
+    "q_row_of_constants",
+    "q_scan_parquet",
+    "q_size_of_deep",
+    "q_source_local_rows",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)
 
 # NEXT ROUND: the window must stay SATURATED (scripts/staleness_audit
-# enforces it; backlog 202 after this allocation). Lead with any new
-# queries, then implementations changed during the round, then the
-# audit's recommended_window order (own-fn-changed stale first —
-# still headed by the r7-changed iterative-graph family:
-# pagerank/ppr/kcore/ktruss/lpa/dedup_clusters — then oldest
-# helper-churn stale; the r01-era curation/text family continues to
-# drain this round).
+# enforces it). Lead with any new queries, then implementations
+# changed during the round, then the audit's recommended_window order.
+# After this round's 40-slot drain the backlog is ~167; the oldest
+# remaining last-green cohort (r01/r02 text/curation family tail plus
+# the r02 window/join families) continues next round — at 40+
+# verification slots per round the whole registry re-greens in ~4
+# rounds.
