@@ -7,9 +7,9 @@ External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
 queries that most need fresh verification this round.  The round-9
 window spends 49 of 50 slots on verification (VERDICT r8 item 1): the
-single new query (q_link_prediction_sketch), the 6 implementations
+single new query (q_link_prediction_sketch), the 7 implementations
 changed closing round-8 ADVICE / this round's performance work, the 3
-rows-only-by-design slugs (stale since r04), and 40 slots of stalest
+rows-only-by-design slugs (stale since r04), and 39 slots of stalest
 backlog in audit rank.
 ``scripts/staleness_audit.py`` machine-checks this allocation (window
 saturated stale-first, backlog recorded); the union of all rounds'
@@ -54,14 +54,15 @@ _ROUND_PRIORITY = [
     "q_dynamic_partition_overwrite",
     "q_sql_pivot_clause",
     "q_stream_running_anomaly",
+    "q_set_similarity_join",
     # --- the 3 rows-only-by-design slugs (last driver rows r04;
     # VERDICT r8 item 8: keep 'rows-only by design' an observed
     # fact, not a remembered one) ---
     "q_cluster_cpu_count",
     "q_for_each_executor",
     "q_monte_carlo_pi",
-    # --- 40 slots of stalest backlog, audit rank (own-fn edits
-    # first — the 16 docstring-filled r01-era slugs — then oldest
+    # --- 39 slots of stalest backlog, audit rank (own-fn edits
+    # first — the docstring-filled r01-era slugs — then oldest
     # last-green; VERDICT r8 item 1: drain the driver backlog) ---
     "q_text_stats",
     "q_distinct",
@@ -102,7 +103,6 @@ _ROUND_PRIORITY = [
     "q_row_of_constants",
     "q_scan_parquet",
     "q_size_of_deep",
-    "q_source_local_rows",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)
