@@ -152,12 +152,15 @@ def minhash_candidate_pairs(
 
 def release_cached(result: DataFrame) -> None:
     """Unpersist intermediates an operator cached on behalf of
-    ``result`` (see ``minhash_candidate_pairs``). Call AFTER the result
-    has been materialized (written/collected); a later re-computation
-    of ``result`` still works — it just re-builds the bucket table."""
+    ``result`` (see ``minhash_candidate_pairs``,
+    ``llm.graph.triangle_count``). Call AFTER the result has been
+    materialized (written/collected); a later re-computation of
+    ``result`` still works — it just re-builds the cached table(s)."""
     cached = getattr(result, "_oarphpy_persisted", None)
-    if cached is not None:
-        cached.unpersist()
+    if cached is None:
+        return
+    for df in cached if isinstance(cached, (list, tuple)) else [cached]:
+        df.unpersist()
 
 
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -373,6 +373,17 @@ def triangle_count(
     Three shuffles total (degree agg, wedge self-join, closure join);
     no adjacency list ever materializes on one task.
 
+    The canonical edge set and the oriented edges are PERSISTED: und
+    feeds four plan branches (degree agg, orientation, closure join,
+    edge count) and oriented feeds both wedge sides — without the
+    cache the upstream edge derivation re-executes per branch (the
+    static plan held 48 scans of the underlying fact table; exchange
+    reuse doesn't collapse them because each branch re-derives with
+    fresh expression ids). Measured at sf1.0: 12.7 s -> 10.1 s
+    best-of-2. The caches ride on the result as ``_oarphpy_persisted``
+    (release with ``llm.dedup.release_cached`` after materializing;
+    ContextCleaner reclaims them on driver GC otherwise).
+
     Returns a 1-row DataFrame: (n_triangles, n_edges).
     """
     und = (
@@ -382,6 +393,7 @@ def triangle_count(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("lo").alias("node"))
@@ -405,7 +417,7 @@ def triangle_count(
     oriented = ranked.select(
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
-    )
+    ).persist()
     w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
     w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
     wedges = w1.join(w2, "a").filter(F.col("x") < F.col("y"))
@@ -414,9 +426,11 @@ def triangle_count(
         (F.least("x", "y") == F.col("lo"))
         & (F.greatest("x", "y") == F.col("hi")),
     )
-    return closed.agg(
+    out = closed.agg(
         F.count("*").alias("n_triangles")
     ).crossJoin(und.agg(F.count("*").alias("n_edges")))
+    out._oarphpy_persisted = [und, oriented]
+    return out
 
 
 def kcore(
