@@ -535,3 +535,40 @@ def test_sssp_string_ids_and_double_weights(spark):
         for r in sssp(df, "a", "s", "d", "w", rounds=3).collect()
     }
     assert got == {"a": 0.0, "b": 1.5, "c": 3.75}
+
+
+def test_triangle_count_caches_shared_subtrees(spark):
+    """Regression gate for the round-9 persist fix: the canonical edge
+    set feeds four plan branches and the oriented edges feed both wedge
+    sides — without caching, the final plan re-derives the edge subtree
+    per branch (the static sf1.0 plan held 48 scans of the fact table).
+    Post-cache, every LEAF of the optimized logical plan must be an
+    InMemoryRelation (cache scan) — a Range/LogicalRDD leaf means a
+    branch re-derives the base relation — and release_cached must
+    unpersist both caches."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from oarphpy_spark.llm.dedup import release_cached
+    from oarphpy_spark.llm.graph import triangle_count
+
+    e = spark.range(3000).select(
+        (F.col("id") % 83).alias("src"), (F.col("id") % 79 + 7).alias("dst")
+    )
+    out = triangle_count(e)
+    out.collect()  # materialize => caches are built
+
+    leaves = out._jdf.queryExecution().optimizedPlan().collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    assert names and all(n == "InMemoryRelation" for n in names), (
+        f"post-cache plan still re-derives the edge subtree: {names}"
+    )
+    # und feeds >=2 live branches (edge count + degree/orientation
+    # chain); oriented feeds both wedge sides.
+    assert len(names) >= 3, names
+
+    cached = out._oarphpy_persisted
+    assert isinstance(cached, list) and len(cached) == 2
+    assert all(df.storageLevel != StorageLevel.NONE for df in cached)
+    release_cached(out)
+    assert all(df.storageLevel == StorageLevel.NONE for df in cached)
