@@ -1,0 +1,56 @@
+"""bench.py load gate: the recorded evidence must not silently degrade.
+
+The r07/r08 driver benches were taken at 1-min load 6.9/9.5 and the
+headline drifted 7.6 -> 9.8 s with zero plan changes; `_settle_load`
+is the fix (wait for idle, flag contamination into the JSON). These
+tests pin its contract without running Spark.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_settle_load_returns_immediately_when_idle(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 1.0, 1.0))
+    sleeps: list[float] = []
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    initial, settled, contaminated = bench._settle_load(2.0, 600.0)
+    assert (initial, settled, contaminated) == (0.5, 0.5, False)
+    assert sleeps == []  # no polling when already idle
+
+
+def test_settle_load_waits_until_load_drops(monkeypatch):
+    bench = _load_bench()
+    readings = iter([(8.0, 0, 0), (5.0, 0, 0), (1.4, 0, 0)])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: next(readings))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    initial, settled, contaminated = bench._settle_load(2.0, 600.0)
+    assert initial == 8.0
+    assert settled == 1.4
+    assert contaminated is False
+
+
+def test_settle_load_flags_contamination_on_timeout(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.0, 9.0, 9.0))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    # Drive the monotonic clock past the deadline after the first poll
+    # so the loop exits with load still high.
+    ticks = iter([0.0, 1000.0, 2000.0])
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(ticks))
+    initial, settled, contaminated = bench._settle_load(2.0, 500.0)
+    assert initial == 9.0
+    assert settled == 9.0
+    assert contaminated is True
