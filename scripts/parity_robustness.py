@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Robustness parity sweeps: prove oracle-parity holds independent of
+physical strategy and session state, not just on the default config's
+single pass.
+
+Modes (combine freely):
+
+* ``--config-sweep`` — run the full registry against the DuckDB
+  oracles with ADVERSARIAL configs: AQE disabled, a prime shuffle
+  partition count (7), and a 4 KB autoBroadcastJoinThreshold that
+  flips every borderline broadcast into a shuffle join. A query that
+  stays green here cannot be leaning on a plan accident (broadcast-
+  preserved ordering, partition-count-dependent hashing/sampling,
+  an AQE-only coalesce).
+* ``--double-run`` — run the full registry TWICE in ONE SparkSession,
+  second pass in REVERSED order. Catches session-stateful
+  interference a single-pass gate misses by construction: temp-view
+  name collisions, CacheManager entries keyed on a stale plan,
+  session-scoped registration conflicts, cross-query persisted-state
+  leaks.
+
+Both append a machine-checkable line to PROGRESS.jsonl and exit
+nonzero on any mismatch. The default gate (scripts/parity_gate.py)
+remains the per-round closing check; these are the depth passes.
+
+Usage:
+  python scripts/parity_robustness.py [--config-sweep] [--double-run]
+      [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from oarphpy_spark import registry  # noqa: E402
+from oarphpy_spark.testing.parity import run_parity  # noqa: E402
+
+
+def _run_all(spark, names, sf_dir, label):
+    failed = []
+    for name in names:
+        try:
+            probs = run_parity(spark, name, sf_dir)
+        except Exception as ex:  # noqa: BLE001
+            probs = [f"error: {ex}"]
+        if probs:
+            failed.append(name)
+            print(f"FAIL {label} {name}: {probs[:2]}", flush=True)
+    return failed
+
+
+def _log(record):
+    with open(f"{REPO}/PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def config_sweep(sf_dir: str) -> list[str]:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "7")
+        .config("spark.sql.autoBroadcastJoinThreshold", "4096")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    try:
+        qs = sorted(registry.queries())
+        t0 = time.time()
+        failed = _run_all(spark, qs, sf_dir, "config-sweep")
+        _log({
+            "ts": time.time(),
+            "event": "parity_config_sweep",
+            "configs": {"adaptive": False, "shuffle_partitions": 7,
+                        "autoBroadcastJoinThreshold": 4096},
+            "sf_dir": sf_dir,
+            "declared": len(qs),
+            "failed": failed,
+            "wall_s": round(time.time() - t0, 1),
+        })
+        print(f"CONFIG SWEEP: {len(qs) - len(failed)}/{len(qs)} pass, "
+              f"failed={failed}")
+        return failed
+    finally:
+        spark.stop()
+
+
+def double_run(sf_dir: str) -> dict[str, list[str]]:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    try:
+        qs = sorted(registry.queries())
+        t0 = time.time()
+        failed = {
+            "pass1": _run_all(spark, qs, sf_dir, "pass1"),
+            "pass2": _run_all(spark, list(reversed(qs)), sf_dir, "pass2"),
+        }
+        _log({
+            "ts": time.time(),
+            "event": "parity_double_run",
+            "note": "full registry twice in one session, 2nd pass reversed",
+            "sf_dir": sf_dir,
+            "declared": len(qs),
+            "failed": failed,
+            "wall_s": round(time.time() - t0, 1),
+        })
+        print(f"DOUBLE RUN: pass1 {len(qs) - len(failed['pass1'])}/{len(qs)}"
+              f", pass2 {len(qs) - len(failed['pass2'])}/{len(qs)}, "
+              f"failed={failed}")
+        return failed
+    finally:
+        spark.stop()
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    do_sweep = "--config-sweep" in argv
+    do_double = "--double-run" in argv
+    pos = [a for a in argv if not a.startswith("--")]
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
+    if not (do_sweep or do_double):
+        do_sweep = do_double = True
+    bad = 0
+    if do_sweep:
+        bad += len(config_sweep(sf_dir))
+    if do_double:
+        d = double_run(sf_dir)
+        bad += len(d["pass1"]) + len(d["pass2"])
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
