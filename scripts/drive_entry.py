@@ -27,6 +27,7 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", os.environ.get("PARITY_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

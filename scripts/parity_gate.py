@@ -11,6 +11,7 @@ Exits nonzero if any oracle-checked query mismatches.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -27,6 +28,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
+        # A plain session gets a 1g heap: enough at sf0.01, but the
+        # heavy graph/set-join queries OOM the JVM at sf0.1 (the gate
+        # then reports "Connection refused" for everything after).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("PARITY_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

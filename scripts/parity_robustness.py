@@ -31,6 +31,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -64,6 +65,7 @@ def _log(record):
 def config_sweep(sf_dir: str) -> list[str]:
     spark = (
         SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", os.environ.get("PARITY_DRIVER_MEM", "8g"))
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.shuffle.partitions", "7")
         .config("spark.sql.autoBroadcastJoinThreshold", "4096")
@@ -95,6 +97,7 @@ def config_sweep(sf_dir: str) -> list[str]:
 def double_run(sf_dir: str) -> dict[str, list[str]]:
     spark = (
         SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", os.environ.get("PARITY_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
