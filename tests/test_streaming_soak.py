@@ -179,3 +179,133 @@ def test_anomaly_state_plateaus_at_user_population(spark, tmp_path):
         .collect()
     }
     assert final == {u: n_batches for u in range(n_users)}
+
+
+def test_anomaly_state_survives_restart(spark, tmp_path):
+    """Stop/extend/RESTART of the custom stateful operator: the
+    persisted (n, s, ss decimal) state must be restored from the
+    checkpoint, not rebuilt from zero. Feed 8 batches, drain, stop;
+    add 8 more (with injected spikes) and restart on the SAME
+    checkpoint. With _ANOM_MIN_N=8 and one event per user per batch,
+    flagging only begins after the restart — a spike is flagged iff
+    the restored statistics are the phase-A ones. The split run's
+    union of emissions must equal an uninterrupted baseline run
+    EXACTLY (same files, same mtime-pinned trigger order), and the
+    final per-user n_events must count both phases once each."""
+    from pyspark.sql import types as T
+
+    from oarphpy_spark.streaming.stateful import running_anomaly_flags
+
+    n_users, half = 4, 8
+    t0 = 1_700_000_000.0
+
+    def write_batch(dirpath, i):
+        cvs = []
+        for u in range(n_users):
+            cv = 100 + ((i * 7 + u * 13) % 40)
+            if i >= half and i % 3 == 0:
+                cv = 500  # spike: flaggable only with restored state
+            cvs.append(cv)
+        pdf = pd.DataFrame(
+            {
+                "user_id": list(range(n_users)),
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00"] * n_users
+                ).astype("datetime64[ns]")
+                + pd.to_timedelta(
+                    [i * 60 + u for u in range(n_users)], "s"
+                ),
+                "event_id": [i * 1000 + u for u in range(n_users)],
+                "cv": cvs,
+            }
+        )
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"),
+            "ts",
+            tbl.column("ts").cast(pa.timestamp("us")),
+        )
+        path = str(dirpath / f"a{i:03d}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (t0 + i, t0 + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("cv", T.LongType()),
+        ]
+    )
+
+    def drain(srcdir, ckpt, outdir):
+        """foreachBatch parquet sink: unlike the memory sink it
+        SUPPORTS restart-from-checkpoint. Rows are tagged with the
+        batch id and deduped on read, making the sink idempotent
+        under the one-batch replay a restart can legally perform."""
+        from pyspark.sql import functions as F
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(srcdir))
+        )
+
+        def sink(df, batch_id):
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(str(outdir))
+
+        q = (
+            running_anomaly_flags(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return sorted(
+            {
+                (r.batch_id, r.user_id, r.n_events, r.n_flags)
+                for r in spark.read.parquet(str(outdir)).collect()
+            }
+        )
+
+    # Split run: phase A (files 0..7), restart for phase B (8..15),
+    # same checkpoint, same output dir.
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    for i in range(half):
+        write_batch(src, i)
+    ckpt = tmp_path / "restart_ckpt"
+    out = tmp_path / "restart_out"
+    rows_a = drain(src, ckpt, out)
+    for i in range(half, 2 * half):
+        write_batch(src, i)
+    rows_split = drain(src, ckpt, out)
+
+    # Uninterrupted baseline over the identical 16 files.
+    base_src = tmp_path / "baseline_src"
+    base_src.mkdir()
+    for i in range(2 * half):
+        write_batch(base_src, i)
+    rows_base = drain(
+        base_src, tmp_path / "baseline_ckpt", tmp_path / "baseline_out"
+    )
+
+    # Batch ids CONTINUE across the restart (8..15), so the split
+    # run's full emission history must equal the uninterrupted run's,
+    # batch-for-batch.
+    assert rows_split == rows_base
+    assert len(rows_a) == half * n_users
+    # State restored: n_events continues 9..16 after restart (a lost
+    # state would restart at 1), and the spikes got flagged — which
+    # requires n >= _ANOM_MIN_N (8), reachable in phase B only via
+    # the restored phase-A statistics.
+    phase_b = [r for r in rows_split if r[0] >= half]
+    finals = {}
+    for _, u, n_ev, _f in phase_b:
+        finals[u] = max(finals.get(u, 0), n_ev)
+    assert finals == {u: 2 * half for u in range(n_users)}
+    assert sum(f for *_, f in phase_b) > 0, "no spike was ever flagged"
