@@ -67,6 +67,8 @@ EXTRA_SCALE = [f"q_sql_tpch_q{i}" for i in range(1, 23)] + [
     "q_rank1_als",          # two-pass ALS sufficient stats (round 8)
     "q_cusum_changepoint",  # 128-bit integer CUSUM windows (round 8)
     "q_delete_vector_apply",  # per-file position anti-join (round 8)
+    "q_link_prediction",         # degree-capped wedge join (round 9)
+    "q_link_prediction_sketch",  # Horvitz-Thompson T=128 sample (round 9)
 ]
 
 DIM_TABLES = ("region", "nation", "supplier", "part")
