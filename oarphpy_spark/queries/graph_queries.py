@@ -741,9 +741,14 @@ def _link_prediction_exact(
     und = pr.unionAll(
         pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
+    # deg feeds the cap filter + both final degree joins (3 branches)
+    # and capped feeds both wedge sides — persist the shared subtrees
+    # or each branch re-runs the 2|E|-row aggregation / semi-join
+    # (same pathology the triangle operator had; released after the
+    # localCheckpoint materializes the 20-row output).
     deg = und.groupBy(F.col("s").alias("node")).agg(
         F.count("*").alias("dg")
-    )
+    ).persist()
     # Wedge centers above the cap never enter the self-join: the
     # filter lands on the (small) degree table and semi-joins the
     # adjacency BEFORE the quadratic expansion.
@@ -753,7 +758,7 @@ def _link_prediction_exact(
         ),
         "s",
         "left_semi",
-    )
+    ).persist()
     a, b = capped.alias("a"), capped.alias("b")
     cn = (
         a.join(
@@ -791,6 +796,8 @@ def _link_prediction_exact(
     )
     out = out.localCheckpoint(eager=True)
     pr.unpersist()
+    capped.unpersist()
+    deg.unpersist()
     return out
 
 
@@ -867,9 +874,12 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pr.unionAll(
         pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
+    # deg feeds the sample join + both final degree joins; persisted
+    # (released after the localCheckpoint) so the 2|E|-row aggregation
+    # runs once instead of per branch.
     deg = und.groupBy(F.col("s").alias("node")).agg(
         F.count("*").alias("dg")
-    )
+    ).persist()
     rk_w = Window.partitionBy("s").orderBy(
         F.md5(
             F.concat_ws(
@@ -885,6 +895,9 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(rk_w))
         .filter(F.col("rk") <= T)
     )
+    # w feeds BOTH wedge sides: without the persist each side re-runs
+    # the WindowGroupLimit sort over the full 2|E| adjacency — the
+    # single most expensive stage in this plan.
     w = samp.select(
         "s",
         "d",
@@ -895,7 +908,7 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("wm"),
-    )
+    ).persist()
     a, b = w.alias("a"), w.alias("b")
     cn = (
         a.join(
@@ -934,6 +947,8 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.localCheckpoint(eager=True)
     pr.unpersist()
+    w.unpersist()
+    deg.unpersist()
     return out
 
 
