@@ -360,9 +360,15 @@ def set_similarity_join(
 
     Returns (id_a, id_b, overlap, jaccard), id_a < id_b.
     """
+    # t feeds FIVE branches (sizes, df, ranked join, verify arrays)
+    # and upstream is typically an explode+distinct over the whole
+    # corpus — persist it or every branch re-runs that derivation.
+    # prefix feeds both self-join sides (the per-doc rank window
+    # would otherwise sort the full token relation twice). The caches
+    # ride on the result as `_oarphpy_persisted` (see release_cached).
     t = tok.select(
         F.col(id_col).alias("id"), F.col(token_col).alias("token")
-    ).distinct()
+    ).distinct().persist()
     sz = t.groupBy("id").agg(F.count("*").alias("n"))
     dfreq = t.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "token")
@@ -376,7 +382,7 @@ def set_similarity_join(
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.floor(ceil_tn) + 1
-    ).select("id", "token", "n", "rn")
+    ).select("id", "token", "n", "rn").persist()
     a = prefix.alias("a")
     b = prefix.alias("b")
     # minoverlap o: o >= ceil(num*(na+nb)/(num+den)); integer-exact
@@ -412,10 +418,11 @@ def set_similarity_join(
         .select("id_a", "id_b", "na", "nb")
     )
     # Array-local verify: exact overlap from the two sorted
-    # distinct-token arrays, one row per doc per side.
+    # distinct-token arrays, one row per doc per side. arr feeds both
+    # pair sides — persisted so the collect_list aggregation runs once.
     arr = t.groupBy("id").agg(
         F.sort_array(F.collect_list("token")).alias("toks")
-    )
+    ).persist()
     overlap = (
         cand.join(
             arr.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
@@ -437,7 +444,7 @@ def set_similarity_join(
     # o*den >= (na+nb-o)*num — integer compare, no float boundary.
     union_n = F.col("na") + F.col("nb") - F.col("overlap")
     jac = F.col("overlap") / union_n.cast("double")
-    return (
+    out = (
         overlap.filter(
             F.col("overlap") * tau_den >= union_n * tau_num
         )
@@ -448,6 +455,8 @@ def set_similarity_join(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+    out._oarphpy_persisted = [t, prefix, arr]
+    return out
 
 
 def containment_join(
@@ -492,7 +501,11 @@ def containment_join(
     """
     t = tok.select(
         F.col(id_col).alias("id"), F.col(token_col).alias("token")
-    ).distinct()
+    ).distinct().persist()
+    # t (persisted, released via `_oarphpy_persisted`/release_cached)
+    # feeds five branches — sizes, df, the ranked probe, the postings
+    # index, and the verify arrays; without the cache each re-runs
+    # the upstream corpus explode+distinct.
     sz = t.groupBy("id").agg(F.count("*").alias("n"))
     dfreq = t.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "token")
@@ -537,7 +550,7 @@ def containment_join(
     )
     arr = t.groupBy("id").agg(
         F.sort_array(F.collect_list("token")).alias("toks")
-    )
+    ).persist()
     overlap = (
         cand.join(
             arr.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
@@ -554,7 +567,7 @@ def containment_join(
             F.size(F.array_intersect("ta", "tb")).alias("overlap"),
         )
     )
-    return overlap.filter(
+    out = overlap.filter(
         F.col("overlap") * tau_den >= F.col("na") * tau_num
     ).select(
         "id_a",
@@ -564,3 +577,5 @@ def containment_join(
             F.col("overlap") / F.col("na").cast("double"), 6
         ).alias("containment"),
     )
+    out._oarphpy_persisted = [t, arr]
+    return out
