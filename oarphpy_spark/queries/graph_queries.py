@@ -340,7 +340,11 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew knobs all read off these numbers)."""
     from oarphpy_spark.llm.graph import triangle_count
 
-    und = _copurchase_edges(spark, sf_dir)
+    # und feeds the degree stats AND the triangle operator's cache
+    # build — persist it or the lineitem self-join + distinct (the
+    # single biggest subtree here) derives twice. Rides on the result
+    # with the triangle operator's own caches (release_cached).
+    und = _copurchase_edges(spark, sf_dir).persist()
     deg = (
         und.select(F.col("s").alias("v"))
         .unionByName(und.select(F.col("d").alias("v")))
@@ -359,7 +363,7 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_wedges"),
     )
     tri = triangle_count(und, "s", "d")
-    return (
+    out = (
         dstats.crossJoin(tri)
         .select(
             "n_nodes",
@@ -374,6 +378,10 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+    out._oarphpy_persisted = [und] + list(
+        getattr(tri, "_oarphpy_persisted", [])
+    )
+    return out
 
 
 @query(
