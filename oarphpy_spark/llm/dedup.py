@@ -251,14 +251,19 @@ def ngram_jaccard_pairs(
     Output: doc_a, doc_b, jaccard (rounded 6dp) for pairs >= threshold.
     """
     sh = F.array_distinct(shingles(norm_tokens(F.col(text_col)), shingle_n))
+    # The shingled relation feeds BOTH self-join sides; identical
+    # sides do not get a ReusedExchange (verified: 4 scans of the
+    # source without the cache), so persist it — tokenizing and
+    # shingling every document twice is the dominant map cost at
+    # corpus scale. Rides on the result (release_cached).
     docs = df.select(
         F.col(id_col).alias("doc"), F.col(block_col).alias("block"), sh.alias("sh")
-    )
+    ).persist()
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = inter.cast("double") / union.cast("double")
-    return (
+    out = (
         a.join(b, F.col("a.block") == F.col("b.block"))
         .filter(F.col("a.doc") < F.col("b.doc"))
         .select(
@@ -268,6 +273,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    out._oarphpy_persisted = [docs]
+    return out
 
 
 def incremental_dedup(
