@@ -18,6 +18,11 @@ Modes (combine freely):
   name collisions, CacheManager entries keyed on a stale plan,
   session-scoped registration conflicts, cross-query persisted-state
   leaks.
+* ``--arrow-sweep`` — ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  forced to 7, so every Pandas-UDF / mapInPandas / applyInPandas
+  input arrives as 7-row Arrow batches. An operator that accumulates
+  per batch and forgets to merge — or assumes batch == partition —
+  passes the default 10k-batch gate and breaks here.
 
 Both append a machine-checkable line to PROGRESS.jsonl and exit
 nonzero on any mismatch. The default gate (scripts/parity_gate.py)
@@ -94,6 +99,37 @@ def config_sweep(sf_dir: str) -> list[str]:
         spark.stop()
 
 
+def arrow_sweep(sf_dir: str) -> list[str]:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", os.environ.get("PARITY_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        .config("spark.sql.shuffle.partitions", "5")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    try:
+        qs = sorted(registry.queries())
+        t0 = time.time()
+        failed = _run_all(spark, qs, sf_dir, "arrow-sweep")
+        _log({
+            "ts": time.time(),
+            "event": "parity_arrow_fragmentation_sweep",
+            "configs": {"arrow.maxRecordsPerBatch": 7,
+                        "shuffle_partitions": 5},
+            "sf_dir": sf_dir,
+            "declared": len(qs),
+            "failed": failed,
+            "wall_s": round(time.time() - t0, 1),
+        })
+        print(f"ARROW SWEEP: {len(qs) - len(failed)}/{len(qs)} pass, "
+              f"failed={failed}")
+        return failed
+    finally:
+        spark.stop()
+
+
 def double_run(sf_dir: str) -> dict[str, list[str]]:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -131,13 +167,16 @@ def main() -> int:
     argv = sys.argv[1:]
     do_sweep = "--config-sweep" in argv
     do_double = "--double-run" in argv
+    do_arrow = "--arrow-sweep" in argv
     pos = [a for a in argv if not a.startswith("--")]
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
-    if not (do_sweep or do_double):
-        do_sweep = do_double = True
+    if not (do_sweep or do_double or do_arrow):
+        do_sweep = do_double = do_arrow = True
     bad = 0
     if do_sweep:
         bad += len(config_sweep(sf_dir))
+    if do_arrow:
+        bad += len(arrow_sweep(sf_dir))
     if do_double:
         d = double_run(sf_dir)
         bad += len(d["pass1"]) + len(d["pass2"])
