@@ -49,6 +49,8 @@ EXTRAS = [
     "q_triangle_count",        # degree-ordered wedge join
     "q_set_similarity_join",   # PPJoin prefix/positional/suffix
     "q_stream_upsert",         # stateful streaming CDC merge
+    "q_link_prediction",       # capped-exact wedge join (slowest sf1.0 extra)
+    "q_link_prediction_sketch",  # Horvitz-Thompson T-sample companion
 ]
 
 
@@ -114,8 +116,19 @@ def main() -> None:
     # pools), then record best-of-3 steady-state — min is the standard
     # low-variance estimator for a fixed workload (single-pass wall
     # time swung ±20% run-to-run on the same data).
+    from oarphpy_spark.llm.dedup import release_cached
+
     def run(name: str) -> None:
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        df = qs[name](spark, sf_dir)
+        try:
+            df.write.mode("overwrite").format("noop").save()
+        finally:
+            # Release `_oarphpy_persisted` ride-along caches: the SQL
+            # CacheManager holds persisted plans until explicit
+            # unpersist, and a lingering cache from query A would
+            # contaminate query B's timing wherever their plans share
+            # a fragment.
+            release_cached(df)
 
     def best_of(names: list[str], reps: int) -> dict[str, float]:
         for name in names:  # warm pass

@@ -381,8 +381,11 @@ def triangle_count(
     reuse doesn't collapse them because each branch re-derives with
     fresh expression ids). Measured at sf1.0: 12.7 s -> 10.1 s
     best-of-2. The caches ride on the result as ``_oarphpy_persisted``
-    (release with ``llm.dedup.release_cached`` after materializing;
-    ContextCleaner reclaims them on driver GC otherwise).
+    — release with ``llm.dedup.release_cached`` after materializing.
+    This is NOT optional hygiene: SQL-persisted plans are held by the
+    session's CacheManager until an explicit ``unpersist()``, so
+    driver GC of the DataFrame does NOT reclaim them (ContextCleaner
+    only collects RDD-level caches, not SQL cache entries).
 
     Returns a 1-row DataFrame: (n_triangles, n_edges).
     """

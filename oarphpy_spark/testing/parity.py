@@ -136,10 +136,20 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 def run_parity(spark, name: str, sf_dir: str) -> list[str]:
     """Run one declared query against its oracle; [] == match."""
     from oarphpy_spark import registry
+    from oarphpy_spark.llm.dedup import release_cached
 
     qfn = registry.queries()[name]
     sql = registry.oracle_sql().get(name)
-    spark_pdf = qfn(spark, sf_dir).toPandas()
+    df = qfn(spark, sf_dir)
+    try:
+        spark_pdf = df.toPandas()
+    finally:
+        # Operators that persist shared subtrees ride the caches on the
+        # result via `_oarphpy_persisted`; SQL-cached plans are held by
+        # the CacheManager until explicit unpersist, so a full-registry
+        # run in one session would otherwise accumulate them for the
+        # session lifetime.
+        release_cached(df)
     if sql is None:
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     with duckdb_connection(sf_dir) as conn:

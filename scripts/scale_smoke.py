@@ -208,13 +208,25 @@ def main() -> None:
         build_scaled(spark, args.src, data_dir, args.replicas)
         build_sec = round(time.perf_counter() - t0, 2)
 
+        from oarphpy_spark.llm.dedup import release_cached
+
+        def run(name: str) -> float:
+            t0 = time.perf_counter()
+            df = qs[name](spark, data_dir)
+            try:
+                df.write.mode("overwrite").format("noop").save()
+            finally:
+                # SQL-cached plans persist until explicit unpersist;
+                # a 40-query single-session smoke would otherwise
+                # accumulate every operator's ride-along caches.
+                release_cached(df)
+            return round(time.perf_counter() - t0, 4)
+
         qs = registry.queries()
         names = [n for n in bench.HEADLINE if n in qs]
         timings: dict[str, float] = {}
         for name in names:
-            t0 = time.perf_counter()
-            qs[name](spark, data_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            timings[name] = run(name)
         # Heavy non-headline paths whose scale behavior the smoke
         # should witness too (kept OUT of bench.HEADLINE so the bench
         # total stays comparable to the recorded baseline): the
@@ -224,9 +236,7 @@ def main() -> None:
         for name in EXTRA_SCALE:
             if name not in qs:
                 continue
-            t0 = time.perf_counter()
-            qs[name](spark, data_dir).write.mode("overwrite").format("noop").save()
-            extra_timings[name] = round(time.perf_counter() - t0, 4)
+            extra_timings[name] = run(name)
     finally:
         spark.stop()
 

@@ -50,6 +50,12 @@ MEM_QUERIES = [
     "q_kcore",
     "q_sql_tpch_q9",
     "q_sql_tpch_q21",
+    # The two slowest sf1.0 extras (VERDICT r09 item 3): the capped
+    # wedge join and its Horvitz-Thompson sketch — both persist shared
+    # subtrees, so the squeeze also exercises cache-eviction-to-disk
+    # through an InMemoryRelation instead of silent recompute.
+    "q_link_prediction",
+    "q_link_prediction_sketch",
 ]
 
 
@@ -107,18 +113,23 @@ def main() -> None:
         windows: dict[str, tuple[float, float]] = {}
         timings: dict[str, float] = {}
         failures: dict[str, str] = {}
+        from oarphpy_spark.llm.dedup import release_cached
+
         for name in MEM_QUERIES:
             if name not in qs:
                 continue
             w0 = time.time() * 1000.0
             t0 = time.perf_counter()
+            df = None
             try:
-                qs[name](spark, data_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
+                df = qs[name](spark, data_dir)
+                df.write.mode("overwrite").format("noop").save()
                 timings[name] = round(time.perf_counter() - t0, 4)
             except Exception as ex:  # noqa: BLE001
                 failures[name] = f"{type(ex).__name__}: {ex}"[:500]
+            finally:
+                if df is not None:
+                    release_cached(df)
             windows[name] = (w0, time.time() * 1000.0)
     finally:
         spark.stop()
