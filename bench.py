@@ -118,29 +118,38 @@ def main() -> None:
     # time swung ±20% run-to-run on the same data).
     from oarphpy_spark.llm.dedup import release_cached
 
-    def run(name: str) -> None:
+    def run(name: str):
         df = qs[name](spark, sf_dir)
-        try:
-            df.write.mode("overwrite").format("noop").save()
-        finally:
-            # Release `_oarphpy_persisted` ride-along caches: the SQL
-            # CacheManager holds persisted plans until explicit
-            # unpersist, and a lingering cache from query A would
-            # contaminate query B's timing wherever their plans share
-            # a fragment.
-            release_cached(df)
+        df.write.mode("overwrite").format("noop").save()
+        return df
 
     def best_of(names: list[str], reps: int) -> dict[str, float]:
-        for name in names:  # warm pass
-            run(name)
-        timings: dict[str, float] = {name: float("inf") for name in names}
-        for _rep in range(reps):
-            for name in names:
+        # Per-name: warm pass + all timed reps run WITHOUT releasing the
+        # `_oarphpy_persisted` ride-along caches, so timed reps reuse the
+        # subtrees the warm pass persisted (the CacheManager matches
+        # semantically-equal plans, so a re-invoked query's persist()
+        # hits the warm entry).  This is the r01-r09 measurement
+        # semantics the baseline was recorded under.  Caches are
+        # released only BETWEEN different queries — that is the only
+        # place a lingering cache could contaminate a timing (query A's
+        # cache inflating query B wherever their plans share a
+        # fragment).  SQL-cached plans are held by the CacheManager
+        # until explicit unpersist, so the release is mandatory hygiene,
+        # not optional.
+        timings: dict[str, float] = {}
+        for name in names:
+            dfs = [run(name)]  # warm pass (builds caches, codegen, pools)
+            best = float("inf")
+            for _rep in range(reps):
                 t0 = time.perf_counter()
-                run(name)
-                timings[name] = min(
-                    timings[name], round(time.perf_counter() - t0, 4)
-                )
+                dfs.append(run(name))
+                best = min(best, round(time.perf_counter() - t0, 4))
+            timings[name] = best
+            for df in dfs:  # release between queries only
+                try:
+                    release_cached(df)
+                except Exception:  # noqa: BLE001 — teardown must not kill the bench
+                    pass
         return timings
 
     timings = best_of([n for n in HEADLINE if n in qs], reps=3)
@@ -164,6 +173,15 @@ def main() -> None:
         "load_avg_before": load_before,
         "load_avg_initial": load_initial,
         "load_contaminated": contaminated,
+        # Measurement-semantics version.  v1 = r01-r09 (reps reuse the
+        # warm pass's ride-along caches; no cross-query release).
+        # BENCH_r10 was taken under an unversioned interim harness that
+        # released caches between REPS (each rep rebuilt its persisted
+        # subtrees) — its cached-operator timings (q_dedup_minhash,
+        # q_triangle_count, ...) are NOT comparable to any other round.
+        # v2 = v1 rep semantics restored + caches released between
+        # different queries only.
+        "harness_version": 2,
     }
     print(json.dumps(out))
 

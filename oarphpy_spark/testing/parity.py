@@ -149,7 +149,10 @@ def run_parity(spark, name: str, sf_dir: str) -> list[str]:
         # the CacheManager until explicit unpersist, so a full-registry
         # run in one session would otherwise accumulate them for the
         # session lifetime.
-        release_cached(df)
+        try:
+            release_cached(df)
+        except Exception:  # noqa: BLE001 — teardown must not kill the gate
+            pass
     if sql is None:
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     with duckdb_connection(sf_dir) as conn:

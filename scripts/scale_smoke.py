@@ -219,7 +219,10 @@ def main() -> None:
                 # SQL-cached plans persist until explicit unpersist;
                 # a 40-query single-session smoke would otherwise
                 # accumulate every operator's ride-along caches.
-                release_cached(df)
+                try:
+                    release_cached(df)
+                except Exception:  # noqa: BLE001 — teardown must not kill the sweep
+                    pass
             return round(time.perf_counter() - t0, 4)
 
         qs = registry.queries()

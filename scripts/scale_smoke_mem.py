@@ -128,8 +128,16 @@ def main() -> None:
             except Exception as ex:  # noqa: BLE001
                 failures[name] = f"{type(ex).__name__}: {ex}"[:500]
             finally:
+                # unpersist itself can raise after an executor loss /
+                # dead context — the exact regime this mem-squeeze
+                # targets; one query's teardown failure must not abort
+                # the remaining sweep (its failure is already captured
+                # in `failures`).
                 if df is not None:
-                    release_cached(df)
+                    try:
+                        release_cached(df)
+                    except Exception:  # noqa: BLE001
+                        pass
             windows[name] = (w0, time.time() * 1000.0)
     finally:
         spark.stop()
