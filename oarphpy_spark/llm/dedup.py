@@ -155,7 +155,18 @@ def release_cached(result: DataFrame) -> None:
     ``result`` (see ``minhash_candidate_pairs``,
     ``llm.graph.triangle_count``). Call AFTER the result has been
     materialized (written/collected); a later re-computation of
-    ``result`` still works — it just re-builds the cached table(s)."""
+    ``result`` still works — it just re-builds the cached table(s).
+
+    Storage-level policy: every ride-along cache is created with an
+    ARGLESS ``DataFrame.persist()``, whose default is
+    ``MEMORY_AND_DISK_DESER`` — under memory pressure the cached
+    blocks spill to disk instead of being evicted and silently
+    re-derived mid-query (the RDD ``cache()``/MEMORY_ONLY failure
+    mode).  tests/test_persist_policy.py machine-checks both halves:
+    no source site may pass a memory-only level, and live
+    ``_oarphpy_persisted`` entries must report ``useDisk=True``; the
+    sf1.0 4 GB-squeeze smoke (scripts/scale_smoke_mem.py) exercises
+    the actual spill path."""
     cached = getattr(result, "_oarphpy_persisted", None)
     if cached is None:
         return

@@ -882,26 +882,44 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pr.unionAll(
         pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
-    # deg feeds the sample join + both final degree joins; persisted
-    # (released after the localCheckpoint) so the 2|E|-row aggregation
-    # runs once instead of per branch.
+    # deg feeds the two final degree joins; persisted (released after
+    # the localCheckpoint) so the 2|E|-row aggregation runs once
+    # instead of per branch.
     deg = und.groupBy(F.col("s").alias("node")).agg(
         F.count("*").alias("dg")
     ).persist()
-    rk_w = Window.partitionBy("s").orderBy(
-        F.md5(
-            F.concat_ws(
-                "|", F.lit("lps"), F.col("s").cast("string"),
-                F.col("d").cast("string"),
-            )
-        ),
-        "d",
-    )
+    # Top-T selection as ONE hash aggregation instead of a
+    # row_number() window: the window form paid a WindowGroupLimit
+    # SORT of the full 2|E| adjacency (plus a join against `deg` to
+    # carry dg) — the single most expensive stage in the old plan.
+    # Here a single groupBy(s) computes dg (= group size, so the deg
+    # join disappears from the sample path entirely) and the sorted
+    # top-T in the same pass; array_sort on struct(h, d) orders
+    # lexicographically by the md5 string then d — exactly the old
+    # window's ORDER BY, so the surviving sample rows (and hence the
+    # oracle) are unchanged.  collect_list partial-aggregates
+    # map-side (list concat), so the shuffle carries per-key partial
+    # lists, not a global sort.
     samp = (
-        und.join(deg, und["s"] == deg["node"])
-        .select("s", "d", "dg")
-        .withColumn("rk", F.row_number().over(rk_w))
-        .filter(F.col("rk") <= T)
+        und.select(
+            "s",
+            "d",
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("lps"), F.col("s").cast("string"),
+                    F.col("d").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count("*").alias("dg"),
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "d"))), 1, T
+            ).alias("top"),
+        )
+        .select("s", "dg", F.explode("top").alias("e"))
+        .select("s", F.col("e.d").alias("d"), "dg")
     )
     # w feeds BOTH wedge sides: without the persist each side re-runs
     # the WindowGroupLimit sort over the full 2|E| adjacency — the
