@@ -82,6 +82,33 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH band-bucket table: one row per (doc, band) with the band's
+    32-char bucket hash — the joinable index both the self-join
+    (``minhash_candidate_pairs``) and the batch-vs-corpus incremental
+    path (``incremental_minhash_dedup``) build on.  At 100 TB the
+    corpus side of this table is what a production pipeline
+    materializes once and re-joins every ingest batch against."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), md5_str(F.concat(*parts)).alias("h"))
+        )
+    return sigs.select(
+        F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bh")
+    ).select("doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -93,17 +120,9 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become a candidate pair.
     Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), md5_str(F.concat(*parts)).alias("h"))
-        )
-    buckets = sigs.select(
-        F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bh")
-    ).select("doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
     # Pair generation: persist the tiny bucket table (bands x (id +
     # 32-byte hash) per doc — a sliver of the corpus) and self-join on
     # (band, h). A one-shuffle alternative (collect_list each bucket
@@ -320,6 +339,46 @@ def incremental_dedup(
         "fingerprint",
         F.coalesce("in_corpus", F.lit(False)).alias("dup_of_corpus"),
         F.count("*").over(w).alias("batch_copies"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-dup companion to :func:`incremental_dedup`: flag incoming
+    batch docs whose content is a MinHash-LSH near-duplicate of the
+    standing corpus, without re-clustering the corpus.  Both sides
+    reduce to band-bucket tables (``minhash_band_buckets``: one row
+    per (doc, band), 32-char key) and meet in ONE equi-join on
+    (band, h) — never a pairwise text compare.  At 100 TB the corpus
+    band table is materialized once (it is the LSH index) and each
+    ingest batch's bands — a sliver — broadcast- or shuffle-join
+    against it; per-batch cost is proportional to the batch, not the
+    corpus.
+
+    Output per flagged batch doc: (doc_id, n_corpus_candidates =
+    distinct corpus near-dup candidates, best_shared_bands = strongest
+    band support among them)."""
+    nb = minhash_band_buckets(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(F.col("doc").alias("doc_id"), "band", "h")
+    cb = minhash_band_buckets(
+        corpus_df, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(F.col("doc").alias("corpus_doc"), "band", "h")
+    per_pair = (
+        nb.join(cb, ["band", "h"])
+        .groupBy("doc_id", "corpus_doc")
+        .agg(F.count("*").alias("shared"))
+    )
+    return per_pair.groupBy("doc_id").agg(
+        F.count("*").alias("n_corpus_candidates"),
+        F.max("shared").alias("best_shared_bands"),
     )
 
 

@@ -82,7 +82,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_oracle(num_hashes: int = 8, bands: int = 4, n: int = 3) -> str:
+def _minhash_bands_cte(num_hashes: int = 8, bands: int = 4, n: int = 3) -> str:
+    """The shared CTE chain docs -> shingles -> signatures -> band
+    buckets; composed by the self-join (`_minhash_oracle`) and the
+    batch-vs-corpus (`q_dedup_minhash_incremental`) oracles."""
     mh_cols = ",\n      ".join(
         f"list_min(list_transform(s, x -> substring(md5(x), {j * 4 + 1}, 4))) AS mh{j}"
         for j in range(num_hashes)
@@ -93,8 +96,7 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4, n: int = 3) -> str:
         f"md5({' || '.join(f'mh{b * r + i}' for i in range(r))}) AS h FROM sig"
         for b in range(bands)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -109,7 +111,12 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4, n: int = 3) -> str:
       FROM sh
     ), bands AS (
       {band_selects}
-    )
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4, n: int = 3) -> str:
+    return f"""
+    WITH {_minhash_bands_cte(num_hashes, bands, n)}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
     FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
@@ -1662,6 +1669,45 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return incremental_dedup(new_docs, corpus, "text", "doc_id")
+
+
+@query(
+    "q_dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_minhash_bands_cte()},
+    nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+    m AS (
+      SELECT nb.doc_id AS doc_id, cb.doc_id AS corpus_doc,
+             COUNT(*) AS shared
+      FROM nb JOIN cb ON nb.band = cb.band AND nb.h = cb.h
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus_candidates,
+           CAST(MAX(shared) AS BIGINT) AS best_shared_bands
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup ingestion gate, the minhash companion to
+    ``q_dedup_incremental``'s exact-hash gate: flag incoming batch docs
+    (doc_id % 5 == 0) that are LSH near-duplicates of the standing
+    corpus, without re-clustering the corpus.  Both sides reduce to
+    band-bucket tables and meet in one (band, h) equi-join
+    (llm/dedup.py:incremental_minhash_dedup) — per-batch cost scales
+    with the batch, not the corpus, because at 100 TB the corpus band
+    table is a materialized LSH index each nightly crawl joins
+    against."""
+    from oarphpy_spark.llm.dedup import incremental_minhash_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text",
+        "doc_id",
+    )
 
 
 @query(

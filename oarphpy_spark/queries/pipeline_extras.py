@@ -615,3 +615,60 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hits").alias("max_per_user"),
         F.sum("seq_len").alias("total_events"),
     )
+
+
+@query(
+    "q_group_holdout_split",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CASE WHEN CAST(('0x' || substring(md5('ghs|' || source), 1, 4))
+                       AS INTEGER) % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS sum_chars
+    FROM g GROUP BY split
+    """,
+)
+def q_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level holdout split: every document of a SOURCE lands on
+    the same side (80/20 by salted hash of the source key), the
+    leakage-safe variant of ``q_train_val_split``'s row-level split —
+    near-duplicate documents cluster within a source/domain, so a
+    row-level split leaks train content into validation; splitting by
+    group is how training pipelines keep the eval honest. Same
+    deterministic 16-bit-hex-prefix hash idiom as the row split, so
+    assignment is stable across runs, engines, and cluster sizes.
+    One partial-aggregated shuffle on source, then a rollup to the
+    two split rows — no assignment table is materialized (at 100 TB
+    the split column is computed inline wherever it's needed; it is a
+    pure function of the group key)."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                md5_str(F.concat(F.lit("ghs|"), F.col("source"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    split = F.when(bucket < 8, "train").otherwise("val")
+    per_source = docs.groupBy(
+        F.col("source"), split.alias("split")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return per_source.groupBy("split").agg(
+        F.count("*").alias("n_sources"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("chars").alias("sum_chars"),
+    )
