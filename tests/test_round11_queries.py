@@ -1,0 +1,87 @@
+"""Round-11 additions: incremental minhash dedup + group holdout split.
+
+Parity vs DuckDB is covered by the registry gate; these tests pin the
+SEMANTIC properties the oracles can't state directly."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_incremental_minhash_flags_planted_near_dup(spark):
+    """A batch doc that shares most shingles with a corpus doc must be
+    flagged with full band support; an unrelated doc must not match."""
+    from oarphpy_spark.llm.dedup import incremental_minhash_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "completely different corpus content about spark shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (one trailing word changed)
+            (10, "the quick brown fox jumps over the lazy dog near the creek"),
+            # unrelated
+            (11, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            batch, corpus, "text", "doc_id"
+        ).collect()
+    }
+    assert 10 in out, "near-dup batch doc not flagged"
+    assert out[10]["n_corpus_candidates"] >= 1
+    assert out[10]["best_shared_bands"] >= 1
+    assert 11 not in out, "unrelated doc flagged as near-dup"
+
+
+def test_incremental_minhash_identical_doc_all_bands(spark):
+    """A verbatim copy must share ALL bands with its corpus twin."""
+    from oarphpy_spark.llm.dedup import incremental_minhash_dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(10, text)], ["doc_id", "text"])
+    row = incremental_minhash_dedup(batch, corpus, "text", "doc_id").collect()
+    assert len(row) == 1
+    assert row[0]["best_shared_bands"] == 4  # default bands=4
+
+
+def test_group_holdout_split_no_source_leakage(spark):
+    """Every source must land in exactly one split, and the split
+    totals must account for every document."""
+    from oarphpy_spark import registry
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = registry.queries()["q_group_holdout_split"](spark, SF).collect()
+    splits = {r["split"]: r for r in out}
+    assert set(splits) <= {"train", "val"}
+    n_sources = docs.select("source").distinct().count()
+    n_docs = docs.count()
+    assert sum(r["n_sources"] for r in out) == n_sources
+    assert sum(r["n_docs"] for r in out) == n_docs
+    # leakage check from first principles: assignment is a pure
+    # function of source, so distinct (source, split) pairs == sources
+    from oarphpy_spark.functions.text import md5_str
+
+    bucket = (
+        F.conv(
+            F.substring(
+                md5_str(F.concat(F.lit("ghs|"), F.col("source"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    split = F.when(bucket < 8, "train").otherwise("val")
+    pairs = docs.select("source", split.alias("split")).distinct().count()
+    assert pairs == n_sources
