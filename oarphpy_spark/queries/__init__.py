@@ -5,12 +5,12 @@ Importing this package registers every declared query into
 
 External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
-queries that most need fresh verification this round.  The round-9
-window spends 49 of 50 slots on verification (VERDICT r8 item 1): the
-single new query (q_link_prediction_sketch), the 7 implementations
-changed closing round-8 ADVICE / this round's performance work, the 3
-rows-only-by-design slugs (stale since r04), and 39 slots of stalest
-backlog in audit rank.
+queries that most need fresh verification this round.  The round-11
+window spends 48 of 50 slots on verification (VERDICT r9 item 1): the
+2 new queries, the 5 implementations changed by the sketch top-T
+rewrite and the minhash band-bucket refactor, and 43 slots of stalest
+backlog in audit rank — covering every remaining r01-era and r02-era
+slug.
 ``scripts/staleness_audit.py`` machine-checks this allocation (window
 saturated stale-first, backlog recorded); the union of all rounds'
 windows plus the full-registry local parity gate covers every
@@ -42,67 +42,65 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 9: the one new query (HT link-prediction sketch) ---
+    # --- round 11: the two new queries (batch-vs-corpus LSH
+    # near-dup gate; leakage-safe group split) ---
+    "q_dedup_minhash_incremental",
+    "q_group_holdout_split",
+    # --- implementations changed this round: the sketch top-T
+    # partial-aggregation rewrite, and the minhash family whose
+    # band-bucket construction was factored into
+    # minhash_band_buckets (changed code outranks staleness) ---
     "q_link_prediction_sketch",
-    # --- implementations changed this round (round-8 ADVICE closes +
-    # the containment array-verify and link-prediction degree cap):
-    # changed code outranks helper-churn staleness because that is
-    # where a regression can actually hide ---
-    "q_containment_join",
-    "q_link_prediction",
-    "q_delete_vector_apply",
-    "q_dynamic_partition_overwrite",
-    "q_sql_pivot_clause",
-    "q_stream_running_anomaly",
-    "q_set_similarity_join",
-    # --- the 3 rows-only-by-design slugs (last driver rows r04;
-    # VERDICT r8 item 8: keep 'rows-only by design' an observed
-    # fact, not a remembered one) ---
-    "q_cluster_cpu_count",
-    "q_for_each_executor",
-    "q_monte_carlo_pi",
-    # --- 39 slots of stalest backlog, audit rank (own-fn edits
-    # first — the docstring-filled r01-era slugs — then oldest
-    # last-green; VERDICT r8 item 1: drain the driver backlog) ---
-    "q_text_stats",
-    "q_distinct",
-    "q_filter_eq",
-    "q_filter_range",
-    "q_fn_array",
-    "q_fn_date",
-    "q_fn_json",
-    "q_fn_math",
-    "q_fn_string",
-    "q_grouping_sets",
-    "q_intersect_except",
-    "q_orderby",
-    "q_project",
-    "q_union_all",
-    "q_sink_parquet_lz4",
-    "q_sink_parquet_zstd",
-    "q_window_distribution",
-    "q_graph_profile",
-    "q_stream_dropdup",
-    "q_agg_sum_avg_minmax",
-    "q_curation_pipeline",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash_hamming",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_inner_hash",
-    "q_join_left_right_full",
-    "q_join_semi_anti",
-    "q_join_theta_range",
-    "q_multimodal_blob",
-    "q_multimodal_features",
-    "q_multimodal_stats",
-    "q_multiway_star",
-    "q_percentiles",
-    "q_row_of_constants",
-    "q_scan_parquet",
-    "q_size_of_deep",
+    "q_dedup_minhash",
+    "q_dedup_minhash_verified",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    # --- 43 slots of stalest backlog in audit rank (VERDICT r09
+    # item 1: all 5 r01-era and every r02-era slug fit in this
+    # window; the drain completes next round) ---
+    "q_source_local_rows",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_case_when",
+    "q_collect_list_examples",
+    "q_cube",
+    "q_emb_quantize_int8",
+    "q_events_funnel",
+    "q_events_session",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_filter_sql_string",
+    "q_fn_hash",
+    "q_fn_map",
+    "q_groupby_count",
+    "q_join_bloom_prune",
+    "q_join_full_outer",
+    "q_join_range_bucketed",
+    "q_limit_topk",
+    "q_multimodal_frames",
+    "q_nested_path_predicate",
+    "q_pandas_udf_norm",
+    "q_select_nested_field",
+    "q_seq_packing",
+    "q_sim_ivf_multiprobe",
+    "q_skew_salted_agg",
+    "q_sql_tpch_q18",
+    "q_sql_tpch_q3",
+    "q_sql_tpch_q5",
+    "q_sql_tpch_q6",
+    "q_text_clean",
+    "q_token_doc_freq",
+    "q_token_topk",
+    "q_train_val_split",
+    "q_window_rank",
+    "q_window_running_agg",
+    "q_window_topk_per_group",
+    "q_balanced_sample",
+    "q_bm25_rank",
+    "q_bucket_case_when",
+    "q_cdc_latest",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)
@@ -110,8 +108,6 @@ registry.set_priority(_ROUND_PRIORITY)
 # NEXT ROUND: the window must stay SATURATED (scripts/staleness_audit
 # enforces it). Lead with any new queries, then implementations
 # changed during the round, then the audit's recommended_window order.
-# After this round's 40-slot drain the backlog is ~167; the oldest
-# remaining last-green cohort (r01/r02 text/curation family tail plus
-# the r02 window/join families) continues next round — at 40+
-# verification slots per round the whole registry re-greens in ~4
-# rounds.
+# After this round's 43-slot drain the remaining backlog is ~150 and
+# no slug's last green row predates r04; one more disciplined window
+# re-greens everything through r05.
