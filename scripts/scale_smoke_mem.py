@@ -91,7 +91,17 @@ def main() -> None:
                 "spark.eventLog.enabled": "true",
                 "spark.eventLog.dir": f"file://{evlog}",
                 "spark.eventLog.compress": "false",
-                "spark.sql.shuffle.partitions": str(cpus * 2),
+                # Shuffle partitions sized to the SQUEEZE, not the core
+                # count: under a ~750 MB unified pool shared by 32
+                # concurrent tasks, cpus*2 partitions give the heavy
+                # wedge/join aggregations per-task hash state far above
+                # the per-task share (q_link_prediction died with
+                # AGGREGATE_OUT_OF_MEMORY at 64 partitions after 10 GB
+                # of spill). 8x cpus quarters per-task state — exactly
+                # the "size partitions so per-task state fits executor
+                # memory" discipline a 100 TB deployment applies; AQE
+                # coalesces the small stages back down.
+                "spark.sql.shuffle.partitions": str(cpus * 8),
                 "spark.sql.files.maxPartitionBytes": str(16 << 20),
             },
         )
@@ -181,6 +191,7 @@ def main() -> None:
         "driver_mem": args.driver_mem,
         "memory_fraction": args.mem_fraction,
         "jvm_max_heap_bytes": int(heap),
+        "shuffle_partitions": cpus * 8,
         "build_sec": build_sec,
         "queries": timings,
         "failures": failures,
