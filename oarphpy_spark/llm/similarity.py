@@ -243,6 +243,93 @@ def cosine_near_dup_pairs(
     )
 
 
+def two_stage_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    candidates: int = 32,
+) -> DataFrame:
+    """Two-stage retrieval: int8 coarse scan -> exact float rerank.
+
+    The production ANN serving shape (FAISS SQ8, ScaNN's quantized
+    tier): stage 1 scans the 4x-smaller int8 corpus and keeps
+    ``candidates`` ids per query by integer dot product; stage 2
+    fetches full-precision vectors for ONLY those survivors and
+    reranks by exact cosine to top-``k``. At 100 TB the coarse scan is
+    the bandwidth-bound pass (int8 columns, integer SIMD) and the
+    rerank is a point-lookup tier; here the rerank re-reads the
+    corpus scan pruned by a broadcast semi-join on the ~|Q|*C
+    surviving ids — the same I/O asymmetry, expressed declaratively.
+
+    Everything is oracle-exact: quantization is the established
+    ``quantize_int8`` idiom (round(127*x/||v||), green cross-engine),
+    and integer dot products of int8 components (|q_i| <= 127) at
+    embedding dims << 2^40 are exact in any engine's arithmetic, so
+    even the APPROXIMATE stage carries no float tolerance. Zero
+    vectors are excluded on both sides (no defined cosine).
+
+    Output: query_id, neighbor_id, coarse_dot (int64), cos."""
+    from oarphpy_spark.llm.embeddings import quantize_int8
+
+    nz_q = queries.filter(l2_norm(F.col(vec_col)) > 0)
+    nz_c = corpus.filter(l2_norm(F.col(vec_col)) > 0)
+    qq = quantize_int8(nz_q, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+    )
+    cq = quantize_int8(nz_c, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("cq")
+    )
+    # int8 x int8 dot: products <= 127^2, sums exact far beyond any
+    # embedding dim — kept in bigint so the coarse score is integer.
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("cq"),
+            F.col("qq"),
+            lambda x, y: (x * y).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    coarse = (
+        cq.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", idot.alias("coarse_dot"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_dot").desc(), "neighbor_id"
+    )
+    cand = (
+        coarse.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= candidates)
+        .drop("crk")
+    )
+    qf = nz_q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    cf = nz_c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    # Survivors are ~|Q|*candidates rows: broadcast them so the float
+    # fetch is a semi-join-pruned corpus scan, never a shuffle.
+    rerank = (
+        cf.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "coarse_dot",
+            F.round(_paired_cosine(), 6).alias("cos"),
+        )
+    )
+    return _topk_by_cos(rerank, k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -42,10 +42,12 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 11: the two new queries (batch-vs-corpus LSH
-    # near-dup gate; leakage-safe group split) ---
+    # --- round 11: the three new queries (batch-vs-corpus LSH
+    # near-dup gate; leakage-safe group split; int8-coarse +
+    # exact-rerank two-stage retrieval) ---
     "q_dedup_minhash_incremental",
     "q_group_holdout_split",
+    "q_sim_rerank_two_stage",
     # --- implementations changed this round: the sketch top-T
     # partial-aggregation rewrite, and the minhash family whose
     # band-bucket construction was factored into

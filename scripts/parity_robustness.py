@@ -23,6 +23,17 @@ Modes (combine freely):
   input arrives as 7-row Arrow batches. An operator that accumulates
   per batch and forgets to merge — or assumes batch == partition —
   passes the default 10k-batch gate and breaks here.
+* ``--no-persist-sweep`` — ``DataFrame.persist()``/``cache()``
+  monkeypatched to no-ops for the whole sweep, so every shared
+  subtree the operators normally cache is RECOMPUTED at each of its
+  consumers. This is the cluster eviction regime: at 100 TB a
+  MEMORY_AND_DISK entry can still be dropped (executor loss), and
+  Spark silently re-derives the subtree from lineage. A query that
+  is green here cannot be leaning on a cache to freeze a
+  nondeterministic subtree (unstable sample, time-dependent value,
+  partition-order-sensitive aggregate) — recomputation provably
+  yields the same answer. localCheckpoint is left intact: it is
+  lineage truncation for iterative loops, not result caching.
 
 Both append a machine-checkable line to PROGRESS.jsonl and exit
 nonzero on any mismatch. The default gate (scripts/parity_gate.py)
@@ -130,6 +141,42 @@ def arrow_sweep(sf_dir: str) -> list[str]:
         spark.stop()
 
 
+def no_persist_sweep(sf_dir: str) -> list[str]:
+    from pyspark.sql import DataFrame
+
+    orig_persist, orig_cache = DataFrame.persist, DataFrame.cache
+    DataFrame.persist = lambda self, *a, **k: self  # type: ignore[method-assign]
+    DataFrame.cache = lambda self: self  # type: ignore[method-assign]
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", os.environ.get("PARITY_DRIVER_MEM", "8g"))
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    try:
+        qs = sorted(registry.queries())
+        t0 = time.time()
+        failed = _run_all(spark, qs, sf_dir, "no-persist")
+        _log({
+            "ts": time.time(),
+            "event": "parity_no_persist_sweep",
+            "note": "DataFrame.persist/cache no-oped; every shared "
+                    "subtree recomputed per consumer (eviction regime)",
+            "sf_dir": sf_dir,
+            "declared": len(qs),
+            "failed": failed,
+            "wall_s": round(time.time() - t0, 1),
+        })
+        print(f"NO-PERSIST SWEEP: {len(qs) - len(failed)}/{len(qs)} pass, "
+              f"failed={failed}")
+        return failed
+    finally:
+        spark.stop()
+        DataFrame.persist, DataFrame.cache = orig_persist, orig_cache
+
+
 def double_run(sf_dir: str) -> dict[str, list[str]]:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -168,15 +215,18 @@ def main() -> int:
     do_sweep = "--config-sweep" in argv
     do_double = "--double-run" in argv
     do_arrow = "--arrow-sweep" in argv
+    do_nopersist = "--no-persist-sweep" in argv
     pos = [a for a in argv if not a.startswith("--")]
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
-    if not (do_sweep or do_double or do_arrow):
-        do_sweep = do_double = do_arrow = True
+    if not (do_sweep or do_double or do_arrow or do_nopersist):
+        do_sweep = do_double = do_arrow = do_nopersist = True
     bad = 0
     if do_sweep:
         bad += len(config_sweep(sf_dir))
     if do_arrow:
         bad += len(arrow_sweep(sf_dir))
+    if do_nopersist:
+        bad += len(no_persist_sweep(sf_dir))
     if do_double:
         d = double_run(sf_dir)
         bad += len(d["pass1"]) + len(d["pass2"])

@@ -85,3 +85,29 @@ def test_group_holdout_split_no_source_leakage(spark):
     split = F.when(bucket < 8, "train").otherwise("val")
     pairs = docs.select("source", split.alias("split")).distinct().count()
     assert pairs == n_sources
+
+
+def test_two_stage_rerank_recall_vs_exact(spark):
+    """The int8-coarse + exact-rerank pipeline must (a) score survivors
+    with the SAME exact cosine as the brute-force baseline and (b) keep
+    high recall: with 32 candidates for a top-5, the coarse tier's
+    rounding error would have to reorder a true neighbor past rank 32
+    to lose it."""
+    from oarphpy_spark import registry
+
+    qs = registry.queries()
+    two = qs["q_sim_rerank_two_stage"](spark, SF).collect()
+    exact = qs["q_sim_topk"](spark, SF).collect()
+    two_pairs = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in two}
+    exact_pairs = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact}
+    assert len(two_pairs) == len(exact_pairs) == 25  # 5 queries x top-5
+    hits = set(two_pairs) & set(exact_pairs)
+    # same pair => identical exact-cosine score (stage 2 IS the
+    # brute-force scoring expression)
+    for p in hits:
+        assert two_pairs[p] == exact_pairs[p]
+    recall = len(hits) / len(exact_pairs)
+    assert recall >= 0.9, f"coarse tier lost too many true neighbors: {recall}"
+    # the coarse score is an exact integer (int8 x int8 sums)
+    for r in two:
+        assert isinstance(r["coarse_dot"], int)
