@@ -48,11 +48,14 @@ _ROUND_PRIORITY = [
     "q_dedup_minhash_incremental",
     "q_group_holdout_split",
     "q_sim_rerank_two_stage",
-    # --- implementations changed this round: the sketch top-T
+    # --- implementations changed this round: the link-prediction
+    # candidate-table rewrite (degree-carry + packed uv key +
+    # SHUFFLE_HASH anti-join, both paths), the sketch top-T
     # partial-aggregation rewrite, and the minhash family whose
     # band-bucket construction was factored into
     # minhash_band_buckets (changed code outranks staleness) ---
     "q_link_prediction_sketch",
+    "q_link_prediction",
     "q_dedup_minhash",
     "q_dedup_minhash_verified",
     "q_dedup_clusters",

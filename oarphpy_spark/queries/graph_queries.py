@@ -745,14 +745,34 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _link_prediction_exact(
     spark: SparkSession, sf_dir: str, degree_cap: int
 ) -> DataFrame:
+    """Candidate-table discipline (the r11 rewrite, −30% at sf0.1:
+    32.5 -> 22.6 s warm interleaved A/B, identical top-20): the
+    aggregated candidate table is ~100x |E| (sf0.1: 101M pairs from
+    1.2M edges), so NOTHING may touch it except on its own
+    partitioning key. Three moves:
+
+    * degrees ride ALONG the wedge join (d-side degree attached to the
+      adjacency before expansion), so the two per-pair degree joins
+      vanish — at 1B-node scale the degree table is not broadcastable
+      and each of those joins would be a full reshuffle of the
+      candidate table;
+    * (u, v) is packed into ONE bigint (partkeys < 2^32; an id space
+      past 2^32 keeps the two-column key instead), halving the
+      group-key hash/compare width on the 148M-row aggregation and
+      making the anti-join a single-long key;
+    * the non-edge anti-join keeps the aggregation's hash(uv) output
+      partitioning on the big side and SHUFFLE_HASH-hints the |E|-row
+      side — no 101M-row sort (SMJ would sort the candidates), no
+      broadcast-of-the-edge-set assumption (AQE would broadcast at
+      local scale and silently stop at cluster scale)."""
     pr = _copurchase_edges(spark, sf_dir).persist()
     und = pr.unionAll(
         pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
-    # deg feeds the cap filter + both final degree joins (3 branches)
-    # and capped feeds both wedge sides — persist the shared subtrees
-    # or each branch re-runs the 2|E|-row aggregation / semi-join
-    # (same pathology the triangle operator had; released after the
+    # deg feeds the cap filter + the dd attach (2 branches); capped
+    # feeds both wedge sides — persist the shared subtrees or each
+    # branch re-runs the 2|E|-row aggregation / semi-join (same
+    # pathology the triangle operator had; released after the
     # localCheckpoint materializes the 20-row output).
     deg = und.groupBy(F.col("s").alias("node")).agg(
         F.count("*").alias("dg")
@@ -760,36 +780,51 @@ def _link_prediction_exact(
     # Wedge centers above the cap never enter the self-join: the
     # filter lands on the (small) degree table and semi-joins the
     # adjacency BEFORE the quadratic expansion.
-    capped = und.join(
-        deg.filter(F.col("dg") <= degree_cap).select(
-            F.col("node").alias("s")
-        ),
-        "s",
-        "left_semi",
-    ).persist()
+    capped = (
+        und.join(
+            deg.filter(F.col("dg") <= degree_cap).select(
+                F.col("node").alias("s")
+            ),
+            "s",
+            "left_semi",
+        )
+        .join(
+            deg.select(F.col("node").alias("d"), F.col("dg").alias("dd")),
+            "d",
+        )
+        .persist()
+    )
     a, b = capped.alias("a"), capped.alias("b")
+    uv = F.shiftleft(F.col("a.d").cast("bigint"), 32) + F.col(
+        "b.d"
+    ).cast("bigint")
     cn = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.d") < F.col("b.d")),
         )
-        .groupBy(F.col("a.d").alias("u"), F.col("b.d").alias("v"))
-        .agg(F.count("*").alias("common"))
+        .groupBy(uv.alias("uv"))
+        .agg(
+            F.count("*").alias("common"),
+            # functionally dependent on uv; min() carries them through
+            # the aggregation deterministically without widening the
+            # group key
+            F.min(F.col("a.dd")).alias("du"),
+            F.min(F.col("b.dd")).alias("dv"),
+        )
     )
-    nonedge = cn.join(
-        pr,
-        (F.col("u") == F.col("s")) & (F.col("v") == F.col("d")),
-        "left_anti",
+    pr_uv = pr.select(
+        (
+            F.shiftleft(F.col("s").cast("bigint"), 32)
+            + F.col("d").cast("bigint")
+        ).alias("uv")
     )
-    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    nonedge = cn.join(pr_uv.hint("SHUFFLE_HASH"), "uv", "left_anti")
     out = (
-        nonedge.join(du, "u")
-        .join(dv, "v")
-        .select(
-            "u",
-            "v",
+        nonedge.select(
+            F.shiftright(F.col("uv"), 32).alias("u"),
+            (F.col("uv") % F.lit(2 ** 32).cast("bigint")).alias("v"),
             "common",
             F.round(
                 F.col("common")
@@ -882,9 +917,8 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pr.unionAll(
         pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
-    # deg feeds the two final degree joins; persisted (released after
-    # the localCheckpoint) so the 2|E|-row aggregation runs once
-    # instead of per branch.
+    # deg feeds the dd attach below; persisted (released after the
+    # localCheckpoint) so the 2|E|-row aggregation runs once.
     deg = und.groupBy(F.col("s").alias("node")).agg(
         F.count("*").alias("dg")
     ).persist()
@@ -894,16 +928,26 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carry dg) — the single most expensive stage in the old plan.
     # Here a single groupBy(s) computes dg (= group size, so the deg
     # join disappears from the sample path entirely) and the sorted
-    # top-T in the same pass; array_sort on struct(h, d) orders
-    # lexicographically by the md5 string then d — exactly the old
-    # window's ORDER BY, so the surviving sample rows (and hence the
-    # oracle) are unchanged.  collect_list partial-aggregates
-    # map-side (list concat), so the shuffle carries per-key partial
-    # lists, not a global sort.
+    # top-T in the same pass; array_sort on struct(h, d, dd) orders
+    # lexicographically by the md5 string then d — (h, d) is unique
+    # per group, so the trailing dd never influences order and the
+    # surviving sample rows (and hence the oracle) are unchanged.
+    # collect_list partial-aggregates map-side (list concat), so the
+    # shuffle carries per-key partial lists, not a global sort.
+    # dd = the FULL degree of the neighbor endpoint, attached before
+    # the aggregation: it rides through the wedge join so the final
+    # per-pair degree joins vanish from the candidate-table path
+    # (same candidate-table discipline as the exact path — at
+    # 1B-node scale the degree table is not broadcastable).
     samp = (
-        und.select(
+        und.join(
+            deg.select(F.col("node").alias("d"), F.col("dg").alias("dd")),
+            "d",
+        )
+        .select(
             "s",
             "d",
+            "dd",
             F.md5(
                 F.concat_ws(
                     "|", F.lit("lps"), F.col("s").cast("string"),
@@ -915,18 +959,23 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("dg"),
             F.slice(
-                F.array_sort(F.collect_list(F.struct("h", "d"))), 1, T
+                F.array_sort(F.collect_list(F.struct("h", "d", "dd"))),
+                1,
+                T,
             ).alias("top"),
         )
         .select("s", "dg", F.explode("top").alias("e"))
-        .select("s", F.col("e.d").alias("d"), "dg")
+        .select(
+            "s", F.col("e.d").alias("d"), F.col("e.dd").alias("dd"), "dg"
+        )
     )
     # w feeds BOTH wedge sides: without the persist each side re-runs
-    # the WindowGroupLimit sort over the full 2|E| adjacency — the
-    # single most expensive stage in this plan.
+    # the top-T aggregation over the full 2|E| adjacency — the single
+    # most expensive stage in this plan.
     w = samp.select(
         "s",
         "d",
+        "dd",
         F.when(F.col("dg") <= T, F.lit(1000000).cast("bigint"))
         .otherwise(
             F.expr(
@@ -936,28 +985,35 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wm"),
     ).persist()
     a, b = w.alias("a"), w.alias("b")
+    # (u, v) packed into one bigint — same key discipline (and the
+    # same < 2^32 id-space caveat) as the exact path.
+    uv = F.shiftleft(F.col("a.d").cast("bigint"), 32) + F.col(
+        "b.d"
+    ).cast("bigint")
     cn = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.d") < F.col("b.d")),
         )
-        .groupBy(F.col("a.d").alias("u"), F.col("b.d").alias("v"))
-        .agg(F.sum(F.col("a.wm")).alias("sm"))
+        .groupBy(uv.alias("uv"))
+        .agg(
+            F.sum(F.col("a.wm")).alias("sm"),
+            F.min(F.col("a.dd")).alias("du"),
+            F.min(F.col("b.dd")).alias("dv"),
+        )
     )
-    nonedge = cn.join(
-        pr,
-        (F.col("u") == F.col("s")) & (F.col("v") == F.col("d")),
-        "left_anti",
+    pr_uv = pr.select(
+        (
+            F.shiftleft(F.col("s").cast("bigint"), 32)
+            + F.col("d").cast("bigint")
+        ).alias("uv")
     )
-    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    nonedge = cn.join(pr_uv.hint("SHUFFLE_HASH"), "uv", "left_anti")
     out = (
-        nonedge.join(du, "u")
-        .join(dv, "v")
-        .select(
-            "u",
-            "v",
+        nonedge.select(
+            F.shiftright(F.col("uv"), 32).alias("u"),
+            (F.col("uv") % F.lit(2 ** 32).cast("bigint")).alias("v"),
             F.col("sm").alias("est_common_micro"),
             F.round(
                 F.col("sm")
