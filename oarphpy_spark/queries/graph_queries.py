@@ -745,6 +745,16 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _link_prediction_exact(
     spark: SparkSession, sf_dir: str, degree_cap: int
 ) -> DataFrame:
+    out, caches = _link_prediction_exact_plan(spark, sf_dir, degree_cap)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def _link_prediction_exact_plan(
+    spark: SparkSession, sf_dir: str, degree_cap: int
+) -> tuple[DataFrame, list[DataFrame]]:
     """Candidate-table discipline (the r11 rewrite, −30% at sf0.1:
     32.5 -> 22.6 s warm interleaved A/B, identical top-20): the
     aggregated candidate table is ~100x |E| (sf0.1: 101M pairs from
@@ -837,11 +847,7 @@ def _link_prediction_exact(
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(20)
     )
-    out = out.localCheckpoint(eager=True)
-    pr.unpersist()
-    capped.unpersist()
-    deg.unpersist()
-    return out
+    return out, [pr, capped, deg]
 
 
 @query(
@@ -912,6 +918,16 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same candidate anti-join and top-20 ranking as the exact path,
     ranking on estimated Jaccard est/(du+dv-est) computed as ONE
     integer-exact division sm/(1e6*(du+dv)-sm)."""
+    out, caches = _link_prediction_sketch_plan(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def _link_prediction_sketch_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
     T = _LP_SKETCH_T
     pr = _copurchase_edges(spark, sf_dir).persist()
     und = pr.unionAll(
@@ -1027,11 +1043,7 @@ def q_link_prediction_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_jaccard"), "u", "v")
         .limit(20)
     )
-    out = out.localCheckpoint(eager=True)
-    pr.unpersist()
-    w.unpersist()
-    deg.unpersist()
-    return out
+    return out, [pr, w, deg]
 
 
 @query(

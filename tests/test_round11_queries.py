@@ -87,6 +87,41 @@ def test_group_holdout_split_no_source_leakage(spark):
     assert pairs == n_sources
 
 
+def test_link_prediction_antijoin_is_shuffled_hash(spark):
+    """Regression gate for the r11 candidate-table rewrite: the
+    non-edge anti-join must be a ShuffledHashJoin building on the
+    |E|-row side — an SMJ would SORT the ~100x-|E| candidate table,
+    and a broadcast would assume the edge set fits in memory (true at
+    local scale, false on a real graph). Also pins that the per-pair
+    degree joins are gone: degrees ride the wedge join, so the only
+    joins downstream of the aggregation are the single anti-join."""
+    from oarphpy_spark.queries.graph_queries import (
+        _link_prediction_exact_plan,
+        _link_prediction_sketch_plan,
+        _LP_DEGREE_CAP,
+    )
+
+    for build, args in (
+        (_link_prediction_exact_plan, (spark, SF, _LP_DEGREE_CAP)),
+        (_link_prediction_sketch_plan, (spark, SF)),
+    ):
+        out, caches = build(*args)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for c in caches:
+            c.unpersist()
+        anti_lines = [
+            ln for ln in plan.splitlines() if "LeftAnti" in ln
+        ]
+        assert anti_lines, f"no anti-join in plan:\n{plan}"
+        assert all("ShuffledHashJoin" in ln for ln in anti_lines), (
+            f"anti-join strategy regressed:\n{plan}"
+        )
+        # degree joins eliminated: nothing joins the aggregated
+        # candidate table except the anti-join itself
+        assert "SortMergeJoin [u" not in plan
+        assert "BroadcastHashJoin [u" not in plan
+
+
 def test_two_stage_rerank_recall_vs_exact(spark):
     """The int8-coarse + exact-rerank pipeline must (a) score survivors
     with the SAME exact cosine as the brute-force baseline and (b) keep
