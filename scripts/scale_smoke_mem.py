@@ -103,6 +103,18 @@ def main() -> None:
                 # coalesces the small stages back down.
                 "spark.sql.shuffle.partitions": str(cpus * 8),
                 "spark.sql.files.maxPartitionBytes": str(16 << 20),
+                # Spill readers allocate 1 MB read-ahead buffers
+                # OUTSIDE the managed pool; the link-prediction
+                # aggregation (~1B distinct keys at sf1.0) sort-spills
+                # with a large merge fan-in, and 32 concurrent tasks'
+                # read-ahead buffers alone blew the 4 GB heap
+                # (java.lang.OutOfMemoryError in ReadAheadInputStream,
+                # reproduced in isolation). Disabling read-ahead is
+                # the documented trade for memory-tight executors:
+                # with it off, both link-prediction queries complete
+                # the same workload in ~63/67 s with heavy spill and
+                # zero OOM.
+                "spark.unsafe.sorter.spill.read.ahead.enabled": "false",
             },
         )
 
