@@ -7,6 +7,7 @@ Usage: python scripts/drive_entry.py [sf_dir]
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 
 REPO = "/root/repo"
