@@ -110,9 +110,11 @@ _ROUND_PRIORITY = [
 
 registry.set_priority(_ROUND_PRIORITY)
 
-# NEXT ROUND: the window must stay SATURATED (scripts/staleness_audit
-# enforces it). Lead with any new queries, then implementations
-# changed during the round, then the audit's recommended_window order.
-# After this round's 43-slot drain the remaining backlog is ~150 and
-# no slug's last green row predates r04; one more disciplined window
-# re-greens everything through r05.
+# NEXT ROUND (12): the window must stay SATURATED (scripts/
+# staleness_audit enforces it). Lead with any new queries, then
+# implementations changed during the round, then the audit's
+# recommended_window order. After the round-11 drain no slug's last
+# green row predates r03 except the two r04-band slugs this window
+# evicted for changed code (q_bucket_case_when, q_cdc_latest) — put
+# those two back first, then follow audit rank; backlog ~165 means
+# roughly three more windows re-green everything through r08.
