@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oarphpy_spark.operators.prefix import with_global_row_number
 from oarphpy_spark.registry import query
 from oarphpy_spark.tables import register_temp_views, table
 
@@ -1645,12 +1646,15 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides whether a pipeline needs skew handling at all (Gini near
     1 = a handful of keys carry the table). Gini from the
     rank-weighted identity G = 2 SUM(i * x_(i)) / (n SUM(x)) -
-    (n+1)/n over centi-quantized integer revenues; the rank window
-    runs over the AGGREGATED per-customer relation (cardinality =
-    customers, not orders — at 100 TB this is the
-    orders-of-magnitude reduction that makes a global rank
-    acceptable; past that, bucket the Lorenz curve). 128-bit
-    rank-weighted sum; two divisions at the end."""
+    (n+1)/n over centi-quantized integer revenues. The global rank
+    over the AGGREGATED per-customer relation is the two-level
+    distributed row-number (operators/prefix.py): range-bucket on the
+    revenue value, per-bucket rank in parallel, tiny broadcast offset
+    table — NO single-task global window, so the rank parallelizes
+    even when "customers" is itself a billion-key relation. Ties on r
+    share a bucket by construction, so the o_custkey tie-break stays
+    bucket-local and globally consistent. 128-bit rank-weighted sum;
+    two divisions at the end."""
     rev = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1660,12 +1664,9 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
     )
-    w = Window.orderBy("r", "o_custkey")
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked = with_global_row_number(
+        rev, ["r", "o_custkey"], out="i", total_col="n"
+    ).select("r", "i", "n")
     s = ranked.agg(
         F.max("n").alias("n"),
         F.sum(F.col("r").cast("decimal(38,0)")).alias("total"),

@@ -27,6 +27,7 @@ from oarphpy_spark.llm.similarity import (
     hyperplane_lsh_topk,
     two_stage_rerank_topk,
 )
+from oarphpy_spark.operators.prefix import with_global_cumsum
 from oarphpy_spark.registry import query
 from oarphpy_spark.tables import table
 
@@ -1349,17 +1350,22 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic id order are packed greedily into ~2048-token bins
     (bin = exclusive-prefix-sum div budget — each bin holds whole
     documents and overflows by at most one doc, the standard
-    approximation). One window pass; at 100 TB the ORDER BY is the
-    only global sort and is what gives run-to-run identical batches —
-    the reproducibility requirement of a training-data freeze."""
+    approximation). The prefix sum is the two-level distributed scan
+    (operators/prefix.py): range-bucket on doc_id, per-bucket window
+    in parallel, tiny broadcast offset table — NO single-task global
+    window, so the pass parallelizes at 100 TB while still producing
+    run-to-run identical batches (the bucket is a pure function of
+    doc_id, not of physical partitioning) — the reproducibility
+    requirement of a training-data freeze."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(norm_tokens(F.col("text"))).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = toks.withColumn(
-        "pack_id",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint"),
+    cum = with_global_cumsum(
+        toks, ["doc_id"], F.col("n_tokens"), out="cum"
+    )
+    packed = cum.withColumn(
+        "pack_id", F.expr("(cum - n_tokens) div 2048")
     )
     return packed.groupBy("pack_id").agg(
         F.count("*").alias("n_docs"),
