@@ -250,6 +250,7 @@ def two_stage_rerank_topk(
     id_col: str = "vec_id",
     k: int = 5,
     candidates: int = 32,
+    self_exclude: bool = True,
 ) -> DataFrame:
     """Two-stage retrieval: int8 coarse scan -> exact float rerank.
 
@@ -269,6 +270,14 @@ def two_stage_rerank_topk(
     embedding dims << 2^40 are exact in any engine's arithmetic, so
     even the APPROXIMATE stage carries no float tolerance. Zero
     vectors are excluded on both sides (no defined cosine).
+
+    ``self_exclude=True`` (the default) drops pairs whose corpus id
+    equals the query id — correct when queries are drawn FROM the
+    corpus (the registered q_sim_rerank_two_stage shape, where a
+    vector is trivially its own nearest neighbor). Pass
+    ``self_exclude=False`` when the query and corpus id spaces are
+    independent: there a coincidental id collision is a legitimate
+    neighbor, not an identity.
 
     Output: query_id, neighbor_id, coarse_dot (int64), cos."""
     from oarphpy_spark.llm.embeddings import quantize_int8
@@ -292,10 +301,11 @@ def two_stage_rerank_topk(
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    coarse = (
-        cq.crossJoin(F.broadcast(qq))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", idot.alias("coarse_dot"))
+    coarse = cq.crossJoin(F.broadcast(qq))
+    if self_exclude:
+        coarse = coarse.filter(F.col("neighbor_id") != F.col("query_id"))
+    coarse = coarse.select(
+        "query_id", "neighbor_id", idot.alias("coarse_dot")
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("coarse_dot").desc(), "neighbor_id"

@@ -28,6 +28,35 @@ _COPURCHASE_EDGES_SQL = """
 """
 
 
+_UV_DOMAIN = 2 ** 32
+
+
+def _domain_checked(col) -> "F.Column":
+    """Packed-key id-domain guard: both link-prediction paths pack
+    (u, v) as shiftleft(u, 32) + v, which is injective only for ids
+    in [0, 2^32). Fail the job loudly at the |E|-row edge relation
+    (two integer compares per edge, BEFORE the quadratic wedge
+    expansion) if an id leaves the domain — a silent violation would
+    corrupt the group key, the anti-join, and the unpacked u/v output
+    rather than erroring."""
+    ok = (col >= 0) & (col < F.lit(_UV_DOMAIN).cast("bigint"))
+    return F.when(ok, col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("packed-key id out of [0, 2^32): "),
+                col.cast("string"),
+            )
+        )
+    )
+
+
+def _domain_checked_edges(pr: DataFrame) -> DataFrame:
+    return pr.select(
+        _domain_checked(F.col("s")).alias("s"),
+        _domain_checked(F.col("d")).alias("d"),
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
@@ -775,7 +804,9 @@ def _link_prediction_exact_plan(
       side — no 101M-row sort (SMJ would sort the candidates), no
       broadcast-of-the-edge-set assumption (AQE would broadcast at
       local scale and silently stop at cluster scale)."""
-    pr = _copurchase_edges(spark, sf_dir).persist()
+    pr = _domain_checked_edges(
+        _copurchase_edges(spark, sf_dir)
+    ).persist()
     und = pr.unionAll(
         pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
@@ -929,7 +960,9 @@ def _link_prediction_sketch_plan(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[DataFrame]]:
     T = _LP_SKETCH_T
-    pr = _copurchase_edges(spark, sf_dir).persist()
+    pr = _domain_checked_edges(
+        _copurchase_edges(spark, sf_dir)
+    ).persist()
     und = pr.unionAll(
         pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )

@@ -94,7 +94,12 @@ def test_link_prediction_antijoin_is_shuffled_hash(spark):
     and a broadcast would assume the edge set fits in memory (true at
     local scale, false on a real graph). Also pins that the per-pair
     degree joins are gone: degrees ride the wedge join, so the only
-    joins downstream of the aggregation are the single anti-join."""
+    joins downstream of the aggregation are the single anti-join.
+
+    The gate executes the query FIRST and asserts on the FINAL
+    adaptive plan (isFinalPlan=true), not the AQE initial plan — user
+    join hints survive AQE re-planning, but this pins the actual
+    runtime strategy, not just the plan-time intent (ADVICE r11)."""
     from oarphpy_spark.queries.graph_queries import (
         _link_prediction_exact_plan,
         _link_prediction_sketch_plan,
@@ -106,9 +111,12 @@ def test_link_prediction_antijoin_is_shuffled_hash(spark):
         (_link_prediction_sketch_plan, (spark, SF)),
     ):
         out, caches = build(*args)
+        assert out.count() > 0  # materialize → AQE re-optimizes
         plan = out._jdf.queryExecution().executedPlan().toString()
         for c in caches:
             c.unpersist()
+        if "AdaptiveSparkPlan" in plan:
+            assert "isFinalPlan=true" in plan, plan.splitlines()[0]
         anti_lines = [
             ln for ln in plan.splitlines() if "LeftAnti" in ln
         ]

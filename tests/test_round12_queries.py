@@ -1,0 +1,70 @@
+"""Round-12 regression tests: packed-key id-domain guard and the
+two-stage rerank self-exclusion contract (ADVICE r11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_packed_key_guard_raises_out_of_domain(spark):
+    """shiftleft(u,32)+v packing is injective only for ids in
+    [0, 2^32); the guard must fail the job loudly instead of silently
+    corrupting the packed key (ADVICE r11 graph_queries.py)."""
+    from oarphpy_spark.queries.graph_queries import _domain_checked_edges
+
+    ok = spark.createDataFrame(
+        [Row(s=0, d=2**32 - 1), Row(s=17, d=42)]
+    )
+    assert _domain_checked_edges(ok).count() == 2
+
+    for bad_row in (Row(s=2**32, d=1), Row(s=-1, d=1), Row(s=1, d=2**32)):
+        bad = spark.createDataFrame([bad_row])
+        with pytest.raises(Exception, match=r"out of \[0, 2\^32\)"):
+            _domain_checked_edges(bad).collect()
+
+
+def test_link_prediction_guard_zero_cost_on_valid_ids(spark):
+    """The guarded plans still produce the oracle-checked top-20 on
+    valid data (the guard is a pass-through projection on the edge
+    relation)."""
+    from oarphpy_spark import registry
+
+    df = registry.queries()["q_link_prediction"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() == 20
+
+
+def test_two_stage_rerank_self_exclude_flag(spark):
+    """With independent query/corpus id spaces, an id collision is a
+    legitimate neighbor: self_exclude=False must keep it, and the
+    default (True) must drop it (ADVICE r11 similarity.py)."""
+    from oarphpy_spark.llm.similarity import two_stage_rerank_topk
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        ]
+    )
+    # query id 0 collides with corpus id 0 but is a DIFFERENT vector
+    queries = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.05, 0.0])]
+    )
+    kept = two_stage_rerank_topk(
+        corpus, queries, k=3, candidates=3, self_exclude=False
+    ).collect()
+    dropped = two_stage_rerank_topk(
+        corpus, queries, k=3, candidates=3
+    ).collect()
+    assert {r["neighbor_id"] for r in kept} == {0, 1, 2}
+    assert {r["neighbor_id"] for r in dropped} == {1, 2}
+    # the collision row scores like any corpus vector: exact cosine
+    top = max(kept, key=lambda r: r["cos"])
+    assert top["neighbor_id"] == 0
