@@ -2,11 +2,18 @@
 module, oracle status, and docstring summary — the line-by-line map
 from SURVEY.md §2 to the implementation.
 
-Usage: python scripts/gen_coverage.py > COVERAGE.md
+Usage: python scripts/gen_coverage.py [--out COVERAGE.md]
+(default: stdout; --out writes the file atomically — round_close
+passes --out so the checked-in COVERAGE.md can never go stale again,
+the round-11 verdict's staleness finding).
 """
 
 from __future__ import annotations
 
+import argparse
+import contextlib
+import io
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -15,6 +22,23 @@ from oarphpy_spark import registry  # noqa: E402
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.out:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _render()
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, args.out)
+        print(f"wrote {args.out}")
+    else:
+        _render()
+
+
+def _render() -> None:
     qs = registry.queries()
     oracles = registry.oracle_sql()
     print("# COVERAGE — declared query inventory")

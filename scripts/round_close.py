@@ -81,7 +81,11 @@ def main() -> int:
         results["staleness_audit"] = r
         print("audit:", r["rc"])
     if "coverage" not in skip:
-        r = sh([PY, "scripts/gen_coverage.py"])
+        # --out actually WRITES the checked-in file (the r11 verdict
+        # flagged COVERAGE.md stale: the old call printed to a
+        # discarded stdout)
+        r = sh([PY, "scripts/gen_coverage.py", "--out",
+                os.path.join(REPO, "COVERAGE.md")])
         results["gen_coverage"] = r
         print("coverage:", r["rc"])
     if "smokes" not in skip:
