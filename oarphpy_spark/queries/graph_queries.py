@@ -641,27 +641,73 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE e AS MATERIALIZED (
       SELECT DISTINCT p AS s, np AS d FROM (
         SELECT l_partkey AS p,
+               -- l_partkey tiebreak: the testdata has duplicate
+               -- (l_orderkey, l_linenumber) pairs with DIFFERENT
+               -- partkeys, so ordering by l_linenumber alone leaves
+               -- LEAD nondeterministic (r12 finding: the edge set
+               -- varied per run/thread-count in BOTH engines)
                LEAD(l_partkey) OVER (PARTITION BY l_orderkey
-                                     ORDER BY l_linenumber) AS np
+                                     ORDER BY l_linenumber, l_partkey)
+                 AS np
         FROM lineitem WHERE l_orderkey % 4 = 0
       ) WHERE np IS NOT NULL AND np <> p
     ),
     nodes AS MATERIALIZED (
       SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e
     ),
-    reach AS (
-      SELECT s AS src, d AS dst FROM e
+    -- forward min-label fixpoint: f(v) = MIN(u : u ->* v or u = v).
+    -- Delta rows only (O(V * diam)), NOT the pair closure: the old
+    -- closure oracle materialized |SCC|^2 pairs and blew the sf0.1
+    -- oracle budget (one 19884-node SCC -> ~4e8 pairs).
+    lab(k, c) AS (
+      SELECT d, LEAST(d, MIN(s)) FROM e GROUP BY d
       UNION
-      SELECT r.src, e.d FROM reach r JOIN e ON e.s = r.dst
+      SELECT e.d, LEAST(e.d, MIN(l.c)) FROM lab l JOIN e ON l.k = e.s
+      GROUP BY e.d
     ),
-    mutual AS (
-      SELECT r1.src AS v, r1.dst AS u
-      FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src
+    f AS MATERIALIZED (
+      SELECT k, MIN(c) AS f FROM (
+        SELECT k, c FROM lab
+        UNION ALL
+        SELECT node, node FROM nodes
+      ) GROUP BY k
+    ),
+    -- FW-BW root round: each color class {v: f(v)=c} is a union of
+    -- SCCs and contains its root c (f(c)=c); SCC(c) = members that
+    -- reach c back within the class.
+    back(k, c) AS (
+      SELECT f, f FROM f WHERE k = f
+      UNION
+      SELECT e.s, b.c FROM back b JOIN e ON e.d = b.k
+        JOIN f fs ON fs.k = e.s AND fs.f = b.c
+    ),
+    assigned AS MATERIALIZED (SELECT DISTINCT k, c AS scc_id FROM back),
+    -- residual SCCs are whole (mutual paths never leave an SCC), so
+    -- the textbook pair closure on the residual-induced subgraph is
+    -- exact — and tiny (60 nodes at sf0.1 vs 19986 total).
+    res AS MATERIALIZED (
+      SELECT k FROM f WHERE k NOT IN (SELECT k FROM assigned)
+    ),
+    re AS MATERIALIZED (
+      SELECT e.s, e.d FROM e
+      JOIN res r1 ON e.s = r1.k JOIN res r2 ON e.d = r2.k
+    ),
+    rreach(src, dst) AS (
+      SELECT s, d FROM re
+      UNION
+      SELECT r.src, re.d FROM rreach r JOIN re ON re.s = r.dst
+    ),
+    rmutual AS (
+      SELECT r1.src AS v, r1.dst AS u FROM rreach r1
+      JOIN rreach r2 ON r2.src = r1.dst AND r2.dst = r1.src
+    ),
+    rscc AS (
+      SELECT r.k AS node, GREATEST(r.k, COALESCE(MAX(m.u), r.k)) AS scc_id
+      FROM res r LEFT JOIN rmutual m ON m.v = r.k GROUP BY r.k
     ),
     scc AS (
-      SELECT n.node, GREATEST(n.node, COALESCE(MAX(m.u), n.node)) AS scc_id
-      FROM nodes n LEFT JOIN mutual m ON m.v = n.node
-      GROUP BY n.node
+      SELECT k AS node, scc_id FROM assigned
+      UNION ALL SELECT node, scc_id FROM rscc
     )
     SELECT CAST(sz AS BIGINT) AS scc_size, CAST(COUNT(*) AS BIGINT) AS n_sccs
     FROM (SELECT scc_id, COUNT(*) AS sz FROM scc GROUP BY scc_id)
@@ -678,15 +724,25 @@ def q_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implementation: ``llm/graph.strongly_connected_components`` —
     trim + Orzan forward-max coloring + backward peel, every phase a
     shuffle-bounded join/agg loop with truncated lineage (NO
-    transitive closure: the materialized-pair closure the ORACLE
-    uses is the textbook restatement, quadratic in component size,
-    fine at oracle scale and exactly wrong at 100 TB). The size
+    transitive closure). The ORACLE is now the same FW-BW idea in
+    recursive SQL — min-label forward coloring, root-SCC backward
+    peel, exact pair closure only on the tiny residual — because the
+    old quadratic closure restatement blew the sf0.1 oracle budget
+    (verified identical to it at sf0.001/sf0.01; 0.5 s vs >400 s at
+    sf0.1). The size
     histogram is label-invariant, so the compared surface does not
     depend on either engine's choice of representative."""
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_orderkey") % 4 == 0
     )
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # l_partkey tiebreak — see the oracle comment: duplicate
+    # (l_orderkey, l_linenumber) rows make the bare ordering
+    # nondeterministic; with the tiebreak the VALUE sequence (and so
+    # every LEAD) is total-order deterministic even where row
+    # identity is not.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey"
+    )
     e = (
         li.select(
             F.col("l_partkey").alias("s"),

@@ -174,30 +174,31 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dbscan_grid",
     oracle=f"""
-    WITH RECURSIVE p AS ({_COORD_ORACLE}),
-    np AS (
+    WITH RECURSIVE p AS MATERIALIZED ({_COORD_ORACLE}),
+    np AS MATERIALIZED (
       SELECT a.k AS ak, b.k AS bk
       FROM p a JOIN p b
         ON a.k <> b.k
        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
            <= {_R * _R}
     ),
-    core AS (
+    core AS MATERIALIZED (
       SELECT ak AS k FROM np GROUP BY ak
       HAVING COUNT(*) + 1 >= {_MINPTS}
     ),
-    ce AS (
+    ce AS MATERIALIZED (
       SELECT np.ak AS s, np.bk AS d FROM np
       JOIN core ca ON np.ak = ca.k
       JOIN core cb ON np.bk = cb.k
     ),
-    reach(a, b) AS (
+    lab(k, c) AS (
       SELECT k, k FROM core
       UNION
-      SELECT r.a, e.d FROM reach r JOIN ce e ON r.b = e.s
+      SELECT e.d, MIN(l.c) FROM lab l JOIN ce e ON l.k = e.s
+      GROUP BY e.d
     ),
-    comp AS (SELECT a AS k, MIN(b) AS cluster FROM reach GROUP BY a),
-    border AS (
+    comp AS MATERIALIZED (SELECT k, MIN(c) AS cluster FROM lab GROUP BY k),
+    border AS MATERIALIZED (
       SELECT np.ak AS k, MIN(comp.cluster) AS cluster
       FROM np
       JOIN comp ON np.bk = comp.k
@@ -224,13 +225,15 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     core points by neighbor count, clusters = connected components
     of the core-core proximity graph (Kiveris min-label CC — the
     same machinery as near-dup clustering, so cluster id = MIN core
-    key, matching the oracle's recursive-closure MIN), border points
+    key, matching the oracle's min-label fixpoint), border points
     attach to their MIN core neighbor's cluster (the deterministic
     tiebreak; textbook DBSCAN leaves border assignment
-    order-dependent), the rest are noise. The oracle restates the
-    closure as a recursive CTE — quadratic and fine at oracle scale,
-    while the Spark path stays cell-local + log-round CC at any
-    scale. Output: per (cluster, role) counts plus one noise row."""
+    order-dependent), the rest are noise. The oracle restates CC as
+    recursive min-label propagation (delta rows only — O(V * diam),
+    NOT the quadratic pair closure that blew the sf0.1 oracle budget
+    in r09-r11), while the Spark path stays cell-local + log-round
+    CC at any scale. Output: per (cluster, role) counts plus one
+    noise row."""
     from oarphpy_spark.llm.graph import connected_components
 
     pts = _points(spark, sf_dir).persist()
