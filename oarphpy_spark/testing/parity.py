@@ -133,8 +133,17 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
-def run_parity(spark, name: str, sf_dir: str) -> list[str]:
-    """Run one declared query against its oracle; [] == match."""
+def run_parity(
+    spark, name: str, sf_dir: str, oracle_sf_dir: str | None = None
+) -> list[str]:
+    """Run one declared query against its oracle; [] == match.
+
+    ``oracle_sf_dir`` lets the DuckDB side read a DIFFERENT physical
+    copy of the tables (same content). The shuffled-row sweep passes
+    the original dir here while Spark reads a row-scrambled copy: a
+    query that depends on physical row order in ANY way then diverges
+    — even if both engines would have agreed on the same file (which
+    is exactly how the q_scc_sizes LEAD-ambiguity hid at sf0.01)."""
     from oarphpy_spark import registry
     from oarphpy_spark.llm.dedup import release_cached
 
@@ -155,6 +164,6 @@ def run_parity(spark, name: str, sf_dir: str) -> list[str]:
             pass
     if sql is None:
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
-    with duckdb_connection(sf_dir) as conn:
+    with duckdb_connection(oracle_sf_dir or sf_dir) as conn:
         oracle_pdf = conn.execute(sql).df()
     return compare(spark_pdf, oracle_pdf)

@@ -23,6 +23,19 @@ Modes (combine freely):
   input arrives as 7-row Arrow batches. An operator that accumulates
   per batch and forgets to merge — or assumes batch == partition —
   passes the default 10k-batch gate and breaks here.
+* ``--shuffled-sweep`` — Spark reads a ROW-SCRAMBLED copy of every
+  table (deterministic permutation, same content) while the oracle
+  reads the ORIGINAL files. Any dependence on physical row order —
+  an under-specified window ORDER BY over tie-heavy keys, a
+  first()/limit-without-sort, an order-sensitive accumulation —
+  diverges here even when both engines would agree on the same file
+  (the exact failure mode of the r12 q_scc_sizes LEAD-ambiguity
+  finding: the testdata has duplicate (l_orderkey, l_linenumber)
+  pairs, both engines read file order at sf0.01, and the bug only
+  surfaced as run-to-run flapping at sf0.1). At cluster scale row
+  order is NEVER stable — splits, speculative retries, and
+  compaction all permute it — so content-determinism is the only
+  correctness contract that survives.
 * ``--no-persist-sweep`` — ``DataFrame.persist()``/``cache()``
   monkeypatched to no-ops for the whole sweep, so every shared
   subtree the operators normally cache is RECOMPUTED at each of its
@@ -177,6 +190,74 @@ def no_persist_sweep(sf_dir: str) -> list[str]:
         DataFrame.persist, DataFrame.cache = orig_persist, orig_cache
 
 
+def _build_shuffled_copy(sf_dir: str) -> str:
+    """Write a deterministically row-scrambled copy of every table.
+
+    Permutation = numpy RandomState(0xC0FFEE) over the row count, so
+    the sweep is reproducible; small row groups (4096) also move
+    split boundaries so Spark's per-partition iteration order changes
+    shape, not just sequence."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from oarphpy_spark.tables import TABLE_NAMES
+
+    out = os.path.join(REPO, ".parity_shuffled",
+                       os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.RandomState(0xC0FFEE)
+    for name in TABLE_NAMES:
+        srcf = os.path.join(sf_dir, f"{name}.parquet")
+        dstf = os.path.join(out, f"{name}.parquet")
+        if (os.path.exists(dstf)
+                and os.path.getmtime(dstf) > os.path.getmtime(srcf)):
+            continue
+        t = pq.read_table(srcf)
+        perm = rng.permutation(t.num_rows)
+        pq.write_table(t.take(perm), dstf, row_group_size=4096)
+    return out
+
+
+def shuffled_sweep(sf_dir: str) -> list[str]:
+    shuf_dir = _build_shuffled_copy(sf_dir)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", os.environ.get("PARITY_DRIVER_MEM", "8g"))
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    try:
+        qs = sorted(registry.queries())
+        t0 = time.time()
+        failed = []
+        for name in qs:
+            try:
+                probs = run_parity(spark, name, shuf_dir,
+                                   oracle_sf_dir=sf_dir)
+            except Exception as ex:  # noqa: BLE001
+                probs = [f"error: {ex}"]
+            if probs:
+                failed.append(name)
+                print(f"FAIL shuffled {name}: {probs[:2]}", flush=True)
+        _log({
+            "ts": time.time(),
+            "event": "parity_shuffled_row_sweep",
+            "note": "spark on row-scrambled tables (rg=4096) vs oracle "
+                    "on original files — content-determinism gate",
+            "sf_dir": sf_dir,
+            "declared": len(qs),
+            "failed": failed,
+            "wall_s": round(time.time() - t0, 1),
+        })
+        print(f"SHUFFLED SWEEP: {len(qs) - len(failed)}/{len(qs)} pass, "
+              f"failed={failed}")
+        return failed
+    finally:
+        spark.stop()
+
+
 def double_run(sf_dir: str) -> dict[str, list[str]]:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -216,10 +297,13 @@ def main() -> int:
     do_double = "--double-run" in argv
     do_arrow = "--arrow-sweep" in argv
     do_nopersist = "--no-persist-sweep" in argv
+    do_shuffled = "--shuffled-sweep" in argv
     pos = [a for a in argv if not a.startswith("--")]
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
-    if not (do_sweep or do_double or do_arrow or do_nopersist):
+    if not (do_sweep or do_double or do_arrow or do_nopersist
+            or do_shuffled):
         do_sweep = do_double = do_arrow = do_nopersist = True
+        do_shuffled = True
     bad = 0
     if do_sweep:
         bad += len(config_sweep(sf_dir))
@@ -227,6 +311,8 @@ def main() -> int:
         bad += len(arrow_sweep(sf_dir))
     if do_nopersist:
         bad += len(no_persist_sweep(sf_dir))
+    if do_shuffled:
+        bad += len(shuffled_sweep(sf_dir))
     if do_double:
         d = double_run(sf_dir)
         bad += len(d["pass1"]) + len(d["pass2"])

@@ -8,7 +8,7 @@ scale smokes can't silently rot out of the checklist:
 1. pytest (full suite)
 2. parity_gate at sf0.01 (full registry vs DuckDB oracles)
 3. parity_robustness: --config-sweep --double-run --arrow-sweep
-   --no-persist-sweep
+   --no-persist-sweep --shuffled-sweep
 4. staleness_audit (driver-window allocation check)
 5. gen_coverage (COVERAGE.md regeneration)
 6. scale smokes, round-suffixed (item 7: SCALE_SMOKE{,_2X,_MEM}_r{N}
@@ -72,7 +72,7 @@ def main() -> int:
         print("parity_gate:", r["rc"], r["tail"][-1] if r["tail"] else "")
     if "robustness" not in skip:
         for mode in ("--config-sweep", "--double-run", "--arrow-sweep",
-                     "--no-persist-sweep"):
+                     "--no-persist-sweep", "--shuffled-sweep"):
             r = sh([PY, "scripts/parity_robustness.py", mode])
             results[f"robustness_{mode.strip('-').replace('-', '_')}"] = r
             print(mode, r["rc"], r["tail"][-1] if r["tail"] else "")
