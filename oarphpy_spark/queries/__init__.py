@@ -28,6 +28,7 @@ import oarphpy_spark.queries.graph_queries  # noqa: F401
 import oarphpy_spark.queries.inventory_extras  # noqa: F401
 import oarphpy_spark.queries.joins  # noqa: F401
 import oarphpy_spark.queries.llm_queries  # noqa: F401
+import oarphpy_spark.queries.order_stats  # noqa: F401
 import oarphpy_spark.queries.ml_eval  # noqa: F401
 import oarphpy_spark.queries.pipeline_extras  # noqa: F401
 import oarphpy_spark.queries.profiling  # noqa: F401

@@ -68,3 +68,24 @@ def test_two_stage_rerank_self_exclude_flag(spark):
     # the collision row scores like any corpus vector: exact cosine
     top = max(kept, key=lambda r: r["cos"])
     assert top["neighbor_id"] == 0
+
+
+def test_order_stats_invariants(spark):
+    """q_exact_percentiles / q_lorenz_deciles sanity beyond the oracle:
+    percentiles are monotone and bracket the data; decile shares are
+    monotone nondecreasing (Lorenz property) and sum to ~1 with 10
+    equal-population groups (+/-1 for remainder)."""
+    from oarphpy_spark import registry
+
+    qs = registry.queries()
+    p = qs["q_exact_percentiles"](spark, SF).first()
+    assert p["p50_cents"] <= p["p90_cents"] <= p["p99_cents"]
+    assert p["n_orders"] > 0
+
+    rows = qs["q_lorenz_deciles"](spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["rev_share"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert abs(sum(shares) - 1.0) < 1e-4
+    counts = [r["n_customers"] for r in rows]
+    assert max(counts) - min(counts) <= 1
