@@ -43,79 +43,73 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 11: the three new queries (batch-vs-corpus LSH
-    # near-dup gate; leakage-safe group split; int8-coarse +
-    # exact-rerank two-stage retrieval) ---
-    "q_dedup_minhash_incremental",
-    "q_group_holdout_split",
-    "q_sim_rerank_two_stage",
-    # --- implementations changed this round: the link-prediction
-    # candidate-table rewrite (degree-carry + packed uv key +
-    # SHUFFLE_HASH anti-join, both paths), the sketch top-T
-    # partial-aggregation rewrite, and the minhash family whose
-    # band-bucket construction was factored into
-    # minhash_band_buckets (changed code outranks staleness) ---
-    "q_link_prediction_sketch",
-    "q_link_prediction",
-    "q_dedup_minhash",
-    "q_dedup_minhash_verified",
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    # --- 43 slots of stalest backlog in audit rank (VERDICT r09
-    # item 1: all 5 r01-era and every r02-era slug fit in this
-    # window; the drain completes next round) ---
-    "q_source_local_rows",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_case_when",
-    "q_collect_list_examples",
-    "q_cube",
-    "q_emb_quantize_int8",
-    "q_events_funnel",
-    "q_events_session",
-    "q_events_sliding",
-    "q_events_tumbling",
-    "q_filter_sql_string",
-    "q_fn_hash",
-    "q_fn_map",
-    "q_groupby_count",
-    "q_join_bloom_prune",
-    "q_join_full_outer",
-    "q_join_range_bucketed",
-    "q_limit_topk",
-    "q_multimodal_frames",
-    "q_nested_path_predicate",
-    "q_pandas_udf_norm",
-    "q_select_nested_field",
+    # --- round 12: the two new order-statistics queries built on
+    # the distributed prefix operator ---
+    "q_exact_percentiles",
+    "q_lorenz_deciles",
+    # --- implementations changed this round (changed code outranks
+    # staleness): the two de-single-tasked windows (prefix rewrite),
+    # the SCC LEAD-determinism fix + FW-BW oracle, the dbscan
+    # min-label oracle, the packed-key domain guard on both
+    # link-prediction paths, and the rerank self_exclude plumb ---
     "q_seq_packing",
-    "q_sim_ivf_multiprobe",
-    "q_skew_salted_agg",
-    "q_sql_tpch_q18",
-    "q_sql_tpch_q3",
-    "q_sql_tpch_q5",
-    "q_sql_tpch_q6",
-    "q_text_clean",
-    "q_token_doc_freq",
-    "q_token_topk",
-    "q_train_val_split",
-    "q_window_rank",
-    "q_window_running_agg",
-    "q_window_topk_per_group",
-    "q_balanced_sample",
-    "q_bm25_rank",
+    "q_revenue_gini",
+    "q_scc_sizes",
+    "q_dbscan_grid",
+    "q_link_prediction",
+    "q_link_prediction_sketch",
+    "q_sim_rerank_two_stage",
+    # --- the two r04-band slugs the round-11 window evicted
+    # (VERDICT r11: re-seat these first) ---
     "q_bucket_case_when",
     "q_cdc_latest",
+    # --- 39 slots of stalest backlog in audit rank ---
+    "q_collect_as_map",
+    "q_contamination",
+    "q_counters",
+    "q_doc_chunking",
+    "q_domain_mixture",
+    "q_dq_checks",
+    "q_explode_ordinality",
+    "q_hist_examples",
+    "q_histogram",
+    "q_islands_gaps",
+    "q_join_fuzzy",
+    "q_monthly_growth",
+    "q_partition_prune",
+    "q_pii_scrub",
+    "q_pivot_counts",
+    "q_profile_table",
+    "q_resample_1h",
+    "q_rollup",
+    "q_run_callables",
+    "q_sessionize_ids",
+    "q_sim_lsh_recall",
+    "q_source_csv",
+    "q_source_json",
+    "q_sql_tpch_q10",
+    "q_stable_hash",
+    "q_sub_pivot_distinct",
+    "q_text_repetition",
+    "q_tfidf_top_terms",
+    "q_token_ids",
+    "q_union_merge_schemas",
+    "q_user_trend",
+    "q_window_range_interval",
+    "q_approx_count_distinct",
+    "q_approx_quantile_cert",
+    "q_count_min_cert",
+    "q_manifest_prune",
+    "q_mview_merge",
+    "q_sql_correlated_scalar",
+    "q_sql_tpch_q1",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)
 
-# NEXT ROUND (12): the window must stay SATURATED (scripts/
-# staleness_audit enforces it). Lead with any new queries, then
-# implementations changed during the round, then the audit's
-# recommended_window order. After the round-11 drain no slug's last
-# green row predates r03 except the two r04-band slugs this window
-# evicted for changed code (q_bucket_case_when, q_cdc_latest) — put
-# those two back first, then follow audit rank; backlog ~165 means
-# roughly three more windows re-green everything through r08.
+# NEXT ROUND (13): keep the window SATURATED (scripts/staleness_audit
+# enforces it). Lead with any new queries, then implementations
+# changed during the round, then the audit's recommended_window
+# order. After the round-12 window the backlog is ~146 and the
+# oldest driver evidence is r04 (only slugs this window could not
+# fit); two more disciplined windows re-green everything through r08.
