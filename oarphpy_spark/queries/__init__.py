@@ -59,6 +59,7 @@ _ROUND_PRIORITY = [
     "q_link_prediction",
     "q_link_prediction_sketch",
     "q_sim_rerank_two_stage",
+    "q_hybrid_rrf",
     # --- the two r04-band slugs the round-11 window evicted
     # (VERDICT r11: re-seat these first) ---
     "q_bucket_case_when",

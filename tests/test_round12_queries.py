@@ -89,3 +89,24 @@ def test_order_stats_invariants(spark):
     assert abs(sum(shares) - 1.0) < 1e-4
     counts = [r["n_customers"] for r in rows]
     assert max(counts) - min(counts) <= 1
+
+
+def test_hybrid_rrf_topk_is_distributed(spark):
+    """r12 regression gate: both retrieval lists must reach their
+    top-50 via TakeOrderedAndProject (per-partition heaps), never an
+    unpartitioned rank window over the entity-cardinality score
+    relations — any remaining partitionless window may only consume a
+    bounded (post-limit) input."""
+    from oarphpy_spark import registry
+
+    df = registry.queries()["q_hybrid_rrf"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two list top-50s + the final fused top-10
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            subtree = "\n".join(lines[i:])
+            assert "TakeOrderedAndProject" in subtree or "HashAggregate" in subtree, (
+                f"single-partition exchange over unbounded input:\n{plan}"
+            )
