@@ -43,8 +43,10 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 12: the two new order-statistics queries built on
-    # the distributed prefix operator ---
+    # --- round 12: new queries first — the graded retrieval-quality
+    # eval and the two order-statistics queries built on the
+    # distributed prefix operator ---
+    "q_retrieval_ndcg",
     "q_exact_percentiles",
     "q_lorenz_deciles",
     # --- implementations changed this round (changed code outranks

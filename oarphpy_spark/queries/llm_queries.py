@@ -1487,6 +1487,139 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NDCG rank discounts 1/log2(rank+1) for ranks 1..10, scaled to exact
+# integer micro-units (round(1e9/log2(r+1))). Graded gains times these
+# weights sum in BIGINT, so DCG/IDCG are bit-exact in any engine and
+# any aggregation order; the only float op is the final one-per-query
+# division — the same integer-micro-unit trick as the link-prediction
+# Horvitz-Thompson weights and q_binary_auc.
+_NDCG_W = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+_NDCG_W_DUCK = ",".join(f"({r + 1},{w})" for r, w in enumerate(_NDCG_W))
+
+
+@query(
+    "q_retrieval_ndcg",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 8),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a='q.v', b='e.v')}, 6) AS cos
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    ),
+    ex AS (
+      SELECT query_id, neighbor_id, rk AS rk_e FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM exact_scored WHERE cos IS NOT NULL
+      ) WHERE rk <= 10
+    ),
+    sig AS (
+      SELECT vec_id, v, {{_sig}} AS bucket FROM e
+    ), qs AS (SELECT * FROM sig WHERE vec_id < 8),
+    approx_scored AS (
+      SELECT qs.vec_id AS query_id, s.vec_id AS neighbor_id,
+             ROUND({_COS_DUCK.format(a='qs.v', b='s.v')}, 6) AS cos
+      FROM sig s JOIN qs ON s.bucket = qs.bucket WHERE s.vec_id <> qs.vec_id
+    ),
+    ap AS (
+      SELECT query_id, neighbor_id, rk AS rk_a FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM approx_scored WHERE cos IS NOT NULL
+      ) WHERE rk <= 10
+    ),
+    w AS (SELECT * FROM (VALUES {_NDCG_W_DUCK}) AS t(rk, wt)),
+    idcg AS (
+      SELECT ex.query_id, SUM(CAST(11 - ex.rk_e AS BIGINT) * w.wt) AS idcg
+      FROM ex JOIN w ON w.rk = ex.rk_e GROUP BY ex.query_id
+    ),
+    graded AS (
+      SELECT ap.query_id, ap.rk_a, COALESCE(11 - ex.rk_e, 0) AS rel
+      FROM ap LEFT JOIN ex
+        ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+    ),
+    agg AS (
+      SELECT g.query_id,
+             SUM(CAST(g.rel AS BIGINT) * w.wt) AS dcg,
+             MIN(CASE WHEN g.rel > 0 THEN g.rk_a END) AS first_hit,
+             CAST(COUNT(*) FILTER (g.rel > 0) AS BIGINT) AS n_overlap
+      FROM graded g JOIN w ON w.rk = g.rk_a GROUP BY g.query_id
+    )
+    SELECT agg.query_id AS query_id, agg.n_overlap AS n_overlap,
+           ROUND(agg.dcg / idcg.idcg, 6) AS ndcg_at_10,
+           ROUND(CASE WHEN agg.first_hit IS NOT NULL
+                      THEN 1.0 / agg.first_hit ELSE 0.0 END, 6) AS mrr
+    FROM agg JOIN idcg ON agg.query_id = idcg.query_id
+    """.replace("{_sig}", _lsh_sig_duck("v")),
+)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval-quality evaluation of the LSH index: NDCG@10,
+    MRR, and overlap count per query against the exact cosine top-10.
+
+    ``q_sim_lsh_recall`` answers "how many of the true neighbors did
+    the index find"; this answers the ranking question an index owner
+    actually ships on — did the index put the BEST neighbors first?
+    Gains are graded by exact rank (rel = 11 - exact_rank), discounts
+    are the integer micro-unit table above, so DCG and IDCG aggregate
+    in exact BIGINT and stay under the value-hash gate. Both arms
+    reuse the declared top-k operators; the eval itself costs two
+    broadcast-scale joins over the bounded (|Q| x 10)-row lists —
+    evaluation cost is independent of corpus size at 100 TB."""
+    emb = table(spark, sf_dir, "embeddings")
+    k = 10
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries_df, k=k)
+    approx = hyperplane_lsh_topk(
+        emb, queries_df, k=k, num_planes=4, dim=_emb_dim(spark, sf_dir)
+    )
+    # Ranks over the ALREADY top-k-bounded lists (<= 10 rows per query
+    # after the operators' own selection) — the windows here sort tiny
+    # per-query groups, not the corpus.
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    )
+    wts = F.array(*[F.lit(w) for w in _NDCG_W])
+    ex = exact.select("query_id", "neighbor_id", rk.alias("rk_e"))
+    ap = approx.select("query_id", "neighbor_id", rk.alias("rk_a"))
+    idcg = ex.groupBy("query_id").agg(
+        F.sum(
+            (F.lit(k + 1) - F.col("rk_e")).cast("long")
+            * F.element_at(wts, F.col("rk_e"))
+        ).alias("idcg")
+    )
+    graded = ap.join(ex, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "rk_a",
+        F.coalesce(F.lit(k + 1) - F.col("rk_e"), F.lit(0)).alias("rel"),
+    )
+    agg = graded.groupBy("query_id").agg(
+        F.sum(
+            F.col("rel").cast("long") * F.element_at(wts, F.col("rk_a"))
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rk_a"))).alias("first_hit"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    return agg.join(idcg, "query_id").select(
+        "query_id",
+        "n_overlap",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        F.round(
+            F.when(
+                F.col("first_hit").isNotNull(), 1.0 / F.col("first_hit")
+            ).otherwise(0.0),
+            6,
+        ).alias("mrr"),
+    )
+
+
 @query(
     "q_token_ids",
     oracle="""

@@ -210,7 +210,7 @@ def main() -> None:
 
         from oarphpy_spark.llm.dedup import release_cached
 
-        def run(name: str) -> float:
+        def run_once(name: str) -> float:
             t0 = time.perf_counter()
             df = qs[name](spark, data_dir)
             try:
@@ -225,7 +225,33 @@ def main() -> None:
                     pass
             return round(time.perf_counter() - t0, 4)
 
+        # Python-worker spawn/respawn adds SECONDS of one-sided noise
+        # per job on this box (measured r12: the same sf2.0 simhash
+        # scan ranged 0.8-9.3 s across identical runs; a TRIVIAL
+        # identity pandas UDF ranged 0.7-6.5 s) — enough to fake a
+        # superlinear sf1->sf2 ratio on any query whose true wall is
+        # small. Queries that finish under REP_THRESHOLD_SEC get a
+        # second (and if still disagreeing, third) run and report the
+        # MIN: the noise is strictly additive, so min-of-k converges
+        # on the real wall while long-wall queries (where one run is
+        # already trustworthy and reps are expensive) keep one rep.
+        REP_THRESHOLD_SEC = 12.0
+
+        def run(name: str) -> float:
+            best = run_once(name)
+            reps = 1
+            while best < REP_THRESHOLD_SEC and reps < 3:
+                nxt = run_once(name)
+                reps += 1
+                if nxt >= best * 0.8:  # agreement: noise-free enough
+                    best = min(best, nxt)
+                    break
+                best = nxt
+            rep_counts[name] = reps
+            return best
+
         qs = registry.queries()
+        rep_counts: dict[str, int] = {}
         names = [n for n in bench.HEADLINE if n in qs]
         timings: dict[str, float] = {}
         for name in names:
@@ -252,6 +278,7 @@ def main() -> None:
         "extra_queries": extra_timings,
         "sf": args.replicas / 10.0,
         "build_sec": build_sec,
+        "rep_counts": rep_counts,
         "skew": audit,
         "ok": len(audit["violations"]) == 0,
     }
