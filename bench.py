@@ -54,6 +54,24 @@ EXTRAS = [
 ]
 
 
+def _steal_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+
+    Load average can't see hypervisor CPU steal — the r12 driver bench
+    started at load 1.7 (settled) and still measured 1.8x the idle
+    wall time of the same HEAD. Sampling steal around the run makes
+    that contamination visible in the artifact instead of silently
+    inflating the grade of record."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:  # noqa: BLE001 — telemetry only
+        return 0, 0
+
+
 def _settle_load(max_load: float, max_wait_sec: float) -> tuple[float, float, bool]:
     """Wait for the machine to go idle before timing anything.
 
@@ -123,7 +141,12 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return df
 
-    def best_of(names: list[str], reps: int) -> dict[str, float]:
+    def best_of(
+        names: list[str],
+        reps: int,
+        max_reps: int,
+        agree_tol: float = 0.10,
+    ) -> tuple[dict[str, float], dict[str, dict]]:
         # Per-name: warm pass + all timed reps run WITHOUT releasing the
         # `_oarphpy_persisted` ride-along caches, so timed reps reuse the
         # subtrees the warm pass persisted (the CacheManager matches
@@ -136,26 +159,58 @@ def main() -> None:
         # fragment).  SQL-cached plans are held by the CacheManager
         # until explicit unpersist, so the release is mandatory hygiene,
         # not optional.
+        #
+        # Adaptive agreement (r12: the driver bench recorded 1.8x the
+        # idle wall of the same HEAD under multi-second host stalls
+        # that hit ALL fixed reps): after the minimum reps, keep
+        # re-running while the two FASTEST reps disagree by more than
+        # `agree_tol` — two independent executions within 10% of each
+        # other are overwhelmingly unlikely to both be stall-inflated.
+        # Capped at `max_reps`; the per-query spread is reported so a
+        # still-disagreeing timing is visibly untrustworthy.
         timings: dict[str, float] = {}
+        detail: dict[str, dict] = {}
         for name in names:
             dfs = [run(name)]  # warm pass (builds caches, codegen, pools)
-            best = float("inf")
-            for _rep in range(reps):
+            times: list[float] = []
+            while True:
                 t0 = time.perf_counter()
                 dfs.append(run(name))
-                best = min(best, round(time.perf_counter() - t0, 4))
-            timings[name] = best
+                times.append(round(time.perf_counter() - t0, 4))
+                if len(times) < reps:
+                    continue
+                s = sorted(times)
+                if s[1] <= s[0] * (1 + agree_tol) or len(times) >= max_reps:
+                    break
+            s = sorted(times)
+            timings[name] = s[0]
+            detail[name] = {
+                "n_reps": len(times),
+                "spread": round(s[1] / s[0] - 1, 4) if s[0] else 0.0,
+            }
             for df in dfs:  # release between queries only
                 try:
                     release_cached(df)
                 except Exception:  # noqa: BLE001 — teardown must not kill the bench
                     pass
-        return timings
+        return timings, detail
 
-    timings = best_of([n for n in HEADLINE if n in qs], reps=3)
-    # Heavy extras: 2 timed reps (they are 5-20x the headline queries'
-    # cost; best-of-2 after a warm pass is still a steady-state floor).
-    extras = best_of([n for n in EXTRAS if n in qs], reps=2)
+    steal0, total0 = _steal_jiffies()
+    timings, rep_detail = best_of(
+        [n for n in HEADLINE if n in qs], reps=3, max_reps=6
+    )
+    # Heavy extras: 2 minimum timed reps (they are 5-20x the headline
+    # queries' cost; best-of-2 after a warm pass is still a
+    # steady-state floor), topped up to 4 only on disagreement.
+    extras, extras_detail = best_of(
+        [n for n in EXTRAS if n in qs], reps=2, max_reps=4
+    )
+    steal1, total1 = _steal_jiffies()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0
+        else 0.0
+    )
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -163,6 +218,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extras": extras,
+        # Per-query rep count + spread (= second_best/best - 1) from
+        # the adaptive agreement policy. A query still showing a big
+        # spread at max reps means even its best rep may be
+        # stall-inflated — check cpu_steal_pct before comparing rounds.
+        "rep_detail": rep_detail,
+        "extras_rep_detail": extras_detail,
+        # Hypervisor CPU-steal share over the timed section (from
+        # /proc/stat): load average can't see co-tenant contention.
+        "cpu_steal_pct": steal_pct,
         "sf": sf,
         # 1-min load average when timing STARTED (after the settle
         # wait).  bench now refuses to start hot: it polls until load
@@ -181,7 +245,12 @@ def main() -> None:
         # q_triangle_count, ...) are NOT comparable to any other round.
         # v2 = v1 rep semantics restored + caches released between
         # different queries only.
-        "harness_version": 2,
+        # v3 = v2 + adaptive agreement reps (extra reps are added only
+        # while the two fastest disagree by >10%; the estimator is
+        # still the per-query min, so v3 values are comparable to v2 —
+        # strictly less noise, never a different quantity) + CPU-steal
+        # telemetry.
+        "harness_version": 3,
     }
     print(json.dumps(out))
 

@@ -263,3 +263,39 @@ def to_torch_iterable(df: DataFrame, batch_size: int = 1024,
             return iter_row_batches(df, batch_size)
 
     return _DFIterable()
+
+
+def selftest_tensorflow(spark) -> list[dict]:
+    """Cluster TensorFlow healthcheck (reference ``test_tensorflow``,
+    ``oarphpy/spark.py:317-351``): on EVERY executor slot, import
+    tensorflow, run one tiny graph computation (constant multiply,
+    asserted correct — a wrong answer means a broken install, not a
+    missing one), and report hostname + GPU visibility. Returns the
+    per-slot info dicts; raises ``NotImplementedError`` when
+    tensorflow is absent on the driver (same optional-dependency
+    policy as ``to_tf_dataset``)."""
+    try:
+        import tensorflow  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "selftest_tensorflow requires tensorflow on driver and "
+            "executors"
+        ) from ex
+
+    def probe():
+        import socket
+
+        import tensorflow as tf
+
+        x = 7
+        res = int((tf.constant(x) * tf.constant(3)).numpy())
+        assert res == 21, f"tf compute broken: 7*3 = {res}"
+        return {
+            "hostname": socket.gethostname(),
+            "tf_version": tf.__version__,
+            "gpus": len(tf.config.list_physical_devices("GPU")),
+        }
+
+    from oarphpy_spark.operators.cluster import for_each_executor
+
+    return for_each_executor(spark, probe)

@@ -154,3 +154,103 @@ def render_histogram_interactive_html(
         "Click on a histogram bar to show examples.</div>"
     )
     return f"<div><b>{safe_title}</b>{svg}{ctxbox}{script}</div>"
+
+
+def to_bokeh(
+    hist_df: DataFrame, title: str = "histogram", width_px: int = 900
+):
+    """Reference-parity FIGURE-OBJECT adapter: build the live bokeh
+    layout the reference's ``HistogramWithExamplesPlotter.run()``
+    returned (``oarphpy/plotting.py:305-365``) from a
+    ``df_histogram`` / ``histogram_with_examples`` result, so a user
+    composing bokeh dashboards gets the same handle they had — quad
+    glyphs over a ``ColumnDataSource`` (count / proportion / left /
+    right / display columns), a vline ``HoverTool`` with the
+    reference's tooltips, and a ``TapTool`` whose CustomJS writes the
+    clicked bucket's ``display`` text into a Div, stacked in a
+    ``column`` layout.
+
+    bokeh stays an OPTIONAL dependency: the data plane and the
+    dependency-free renderers above never import it; this adapter
+    raises ``ImportError`` with guidance when bokeh is absent. Only
+    the already-bounded histogram result (num_bins rows) is
+    collected."""
+    try:
+        from bokeh.colors import RGB
+        from bokeh.layouts import column
+        from bokeh.models import (
+            ColumnDataSource,
+            CustomJS,
+            Div,
+            HoverTool,
+            TapTool,
+        )
+        from bokeh.plotting import figure
+    except ImportError as ex:
+        raise ImportError(
+            "to_bokeh requires the optional 'bokeh' package; use "
+            "render_histogram_interactive_html for the dependency-free "
+            "renderer of the same data"
+        ) from ex
+
+    rows = sorted(hist_df.collect(), key=lambda r: r["bucket"])
+    total = sum(r["count"] for r in rows) or 1
+    data = {
+        "count": [r["count"] for r in rows],
+        "proportion": [r["count"] / total for r in rows],
+        "left": [r.asDict().get("lo", i) for i, r in enumerate(rows)],
+        "right": [r.asDict().get("hi", i + 1) for i, r in enumerate(rows)],
+        "legend": [title] * len(rows),
+        "display": [
+            "<b>Bucket: {}</b> <br/>{}".format(
+                r["bucket"],
+                "<br />".join(
+                    str(e) for e in list(r.asDict().get("examples") or [])[:5]
+                ),
+            )
+            for r in rows
+        ],
+    }
+    src = ColumnDataSource(data)
+    fig = figure(
+        title=title,
+        tools="tap,pan,wheel_zoom,box_zoom,reset",
+        width=width_px,
+        x_axis_label=title,
+        y_axis_label="Count",
+    )
+    quads = fig.quad(
+        source=src,
+        bottom=0,
+        top="count",
+        left="left",
+        right="right",
+        color=RGB(*hash_to_rgb(title)),
+        fill_alpha=0.5,
+        hover_fill_alpha=1.0,
+    )
+    fig.add_tools(
+        HoverTool(
+            renderers=[quads],
+            mode="vline",
+            tooltips=[
+                ("Sub-pivot", "@legend"),
+                ("Count", "@count"),
+                ("Proportion", "@proportion"),
+                (f"Value of {title}", "@left"),
+            ],
+        )
+    )
+    ctxbox = Div(
+        width=width_px,
+        text="Click on a histogram bar to show examples.",
+    )
+    taptool = fig.select(type=TapTool)
+    taptool.callback = CustomJS(
+        args=dict(ctxbox=ctxbox),
+        code="""
+        var idx = cb_data.source.selected.indices[0];
+        ctxbox.text = '' + cb_data.source.data.display[idx];
+        """,
+    )
+    return column(fig, ctxbox)

@@ -43,76 +43,73 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 12: new queries first — the graded retrieval-quality
-    # eval and the two order-statistics queries built on the
-    # distributed prefix operator ---
-    "q_retrieval_ndcg",
-    "q_exact_percentiles",
-    "q_lorenz_deciles",
-    # --- implementations changed this round (changed code outranks
-    # staleness): the two de-single-tasked windows (prefix rewrite),
-    # the SCC LEAD-determinism fix + FW-BW oracle, the dbscan
-    # min-label oracle, the packed-key domain guard on both
-    # link-prediction paths, and the rerank self_exclude plumb ---
-    "q_seq_packing",
-    "q_revenue_gini",
-    "q_scc_sizes",
-    "q_dbscan_grid",
+    # --- round 13: the never-verified new query first, then the three
+    # implementations changed this round (retrieval-ndcg left-join
+    # restatement; both link-prediction paths: shared edge/degree
+    # subtree + restated oracles) ---
+    # --- then the record-age backlog, stalest driver evidence first
+    # (r04 codec pair, the r05 band, the r06 band): the audit's
+    # record-age rule (AGE_LIMIT=4) makes these seatable even when
+    # their code is unchanged — the driver record itself ages.
+    # q_sim_topk (r08, VERDICT r12 item 4) takes the final slot. ---
+    "q_cluster_get_info",
     "q_link_prediction",
     "q_link_prediction_sketch",
-    "q_sim_rerank_two_stage",
-    "q_hybrid_rrf",
-    # --- the two r04-band slugs the round-11 window evicted
-    # (VERDICT r11: re-seat these first) ---
-    "q_bucket_case_when",
-    "q_cdc_latest",
-    # --- 39 slots of stalest backlog in audit rank ---
-    "q_collect_as_map",
-    "q_contamination",
-    "q_counters",
-    "q_doc_chunking",
-    "q_domain_mixture",
-    "q_dq_checks",
-    "q_explode_ordinality",
-    "q_hist_examples",
-    "q_histogram",
-    "q_islands_gaps",
-    "q_join_fuzzy",
-    "q_monthly_growth",
-    "q_partition_prune",
-    "q_pii_scrub",
-    "q_pivot_counts",
-    "q_profile_table",
-    "q_resample_1h",
-    "q_rollup",
-    "q_run_callables",
-    "q_sessionize_ids",
-    "q_sim_lsh_recall",
-    "q_source_csv",
-    "q_source_json",
-    "q_sql_tpch_q10",
-    "q_stable_hash",
-    "q_sub_pivot_distinct",
-    "q_text_repetition",
-    "q_tfidf_top_terms",
-    "q_token_ids",
-    "q_union_merge_schemas",
-    "q_user_trend",
-    "q_window_range_interval",
-    "q_approx_count_distinct",
-    "q_approx_quantile_cert",
-    "q_count_min_cert",
-    "q_manifest_prune",
-    "q_mview_merge",
+    "q_retrieval_ndcg",
+    "q_rowadapter_roundtrip",
+    "q_tensor_codec",
+    "q_cohort_retention",
+    "q_group_sample_k",
+    "q_min_max_by",
+    "q_regexp_extract_all",
     "q_sql_correlated_scalar",
     "q_sql_tpch_q1",
+    "q_sql_tpch_q11",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q14",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q16",
+    "q_sql_tpch_q17",
+    "q_sql_tpch_q19",
+    "q_sql_tpch_q2",
+    "q_sql_tpch_q20",
+    "q_sql_tpch_q21",
+    "q_sql_tpch_q22",
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q8",
+    "q_unpivot",
+    "q_window_first_last",
+    "q_zorder_layout",
+    "q_archive_source",
+    "q_attribution_last_touch",
+    "q_bigram_lm_score",
+    "q_binary_auc",
+    "q_bridge_shard_roundtrip",
+    "q_cdc_apply",
+    "q_compact_files",
+    "q_drift_ks",
+    "q_drift_tvd",
+    "q_dup_span_detect",
+    "q_entity_resolution",
+    "q_event_debounce",
+    "q_feature_hashing",
+    "q_join_asof_tolerance",
+    "q_kcore",
+    "q_ktruss",
+    "q_label_propagation",
+    "q_markov_transitions",
+    "q_multimodal_audio",
+    "q_nhop_reach",
+    "q_sim_topk",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)
 
-# NEXT ROUND (13): keep the window SATURATED (scripts/staleness_audit
+# NEXT ROUND (14): keep the window SATURATED (scripts/staleness_audit
 # enforces it). Lead with any new queries, then implementations
 # changed during the round, then the audit's recommended_window
-# order. After the round-12 window the backlog is ~146 and the
-# oldest driver evidence is r04 (only slugs this window could not
-# fit); two more disciplined windows re-green everything through r08.
+# order (the audit's record-age rule now surfaces old-but-unchanged
+# driver rows too). After the round-13 window the oldest remaining
+# driver evidence is the r06 band; two more disciplined windows
+# re-green everything within the AGE_LIMIT=4 horizon.

@@ -74,6 +74,48 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> (pr, deg): the materialized edge set and
+# degree table shared by q_link_prediction and its sketch companion.
+_LP_SHARED: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _lp_shared_relations(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Edge set ``pr``, undirected adjacency ``und`` and degree table
+    ``deg`` shared by both link-prediction paths.
+
+    The two slowest queries in the suite (exact + sketch link
+    prediction, ~25 s each at sf0.1) previously each rebuilt the same
+    DISTINCT lineitem self-join and 2|E|-row degree aggregation
+    (VERDICT r12 item 3). Both relations are |E|-bounded — far smaller
+    than the ~100x|E| candidate tables downstream — so they are
+    materialized ONCE per (session, sf_dir) with an eager
+    ``localCheckpoint`` (executor-local storage, lineage truncated)
+    and reused; running both queries in one session now pays the edge
+    derivation once. ``und`` is a narrow, shuffle-free projection of
+    the checkpointed ``pr`` and needs no storage of its own."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LP_SHARED:
+        pr = _domain_checked_edges(
+            _copurchase_edges(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+        deg = (
+            pr.unionAll(
+                pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            )
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.count("*").alias("dg"))
+            .localCheckpoint(eager=True)
+        )
+        _LP_SHARED[key] = (pr, deg)
+    pr, deg = _LP_SHARED[key]
+    und = pr.unionAll(
+        pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    return pr, und, deg
+
+
 @query(
     "q_triangle_count",
     oracle=f"""
@@ -782,6 +824,17 @@ _LP_SKETCH_T = 128
 
 @query(
     "q_link_prediction",
+    # Oracle stays the NAIVE restatement on purpose. A round-13
+    # experiment rewrote it to mirror the Spark plan (degrees riding
+    # the adjacency, packed single-BIGINT pair key) expecting the
+    # DuckDB plan to speed up like the Spark one did — it got 5x
+    # SLOWER (459 s vs 260 s at sf0.1, t8/16GB: the ride-along widens
+    # the ~148M-row wedge relation feeding the ~101M-group hash
+    # aggregation, and DuckDB runs this aggregation at ~2 cores no
+    # matter the thread count, so wider rows are pure wall time).
+    # The post-aggregation degree joins the Spark plan avoids are
+    # cheap here (25k-row build side). The honest ~260 s idle cost is
+    # budgeted per-slug in scripts/parity_sf01.py instead.
     oracle=f"""
     WITH pr AS ({_COPURCHASE_EDGES_SQL}),
     und AS (
@@ -859,21 +912,16 @@ def _link_prediction_exact_plan(
       partitioning on the big side and SHUFFLE_HASH-hints the |E|-row
       side — no 101M-row sort (SMJ would sort the candidates), no
       broadcast-of-the-edge-set assumption (AQE would broadcast at
-      local scale and silently stop at cluster scale)."""
-    pr = _domain_checked_edges(
-        _copurchase_edges(spark, sf_dir)
-    ).persist()
-    und = pr.unionAll(
-        pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
-    # deg feeds the cap filter + the dd attach (2 branches); capped
-    # feeds both wedge sides — persist the shared subtrees or each
-    # branch re-runs the 2|E|-row aggregation / semi-join (same
-    # pathology the triangle operator had; released after the
-    # localCheckpoint materializes the 20-row output).
-    deg = und.groupBy(F.col("s").alias("node")).agg(
-        F.count("*").alias("dg")
-    ).persist()
+      local scale and silently stop at cluster scale).
+
+    pr / und / deg come from the session-shared
+    ``_lp_shared_relations`` cache (|E|-bounded, localCheckpointed
+    once), so this and the sketch companion derive the edge set and
+    degree table once between them (VERDICT r12 item 3). ``capped``
+    feeds both wedge sides — persist it or each side re-runs the
+    semi-join (same pathology the triangle operator had; released
+    after the localCheckpoint materializes the 20-row output)."""
+    pr, und, deg = _lp_shared_relations(spark, sf_dir)
     # Wedge centers above the cap never enter the self-join: the
     # filter lands on the (small) degree table and semi-joins the
     # adjacency BEFORE the quadratic expansion.
@@ -934,11 +982,17 @@ def _link_prediction_exact_plan(
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(20)
     )
-    return out, [pr, capped, deg]
+    # pr/deg are session-shared (localCheckpointed, not persist()ed) —
+    # only the per-call capped adjacency is released by the caller.
+    return out, [capped]
 
 
 @query(
     "q_link_prediction_sketch",
+    # Naive restatement kept on purpose — see q_link_prediction's
+    # oracle note: the plan-mirroring rewrite (ride-along degrees,
+    # packed pair key) is 5x slower in DuckDB; the honest cost is
+    # budgeted per-slug in scripts/parity_sf01.py instead.
     oracle=f"""
     WITH pr AS ({_COPURCHASE_EDGES_SQL}),
     und AS (
@@ -1016,17 +1070,10 @@ def _link_prediction_sketch_plan(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[DataFrame]]:
     T = _LP_SKETCH_T
-    pr = _domain_checked_edges(
-        _copurchase_edges(spark, sf_dir)
-    ).persist()
-    und = pr.unionAll(
-        pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
-    # deg feeds the dd attach below; persisted (released after the
-    # localCheckpoint) so the 2|E|-row aggregation runs once.
-    deg = und.groupBy(F.col("s").alias("node")).agg(
-        F.count("*").alias("dg")
-    ).persist()
+    # pr / und / deg are session-shared with the exact path (VERDICT
+    # r12 item 3): |E|-bounded, localCheckpointed once per (session,
+    # sf_dir).
+    pr, und, deg = _lp_shared_relations(spark, sf_dir)
     # Top-T selection as ONE hash aggregation instead of a
     # row_number() window: the window form paid a WindowGroupLimit
     # SORT of the full 2|E| adjacency (plus a join against `deg` to
@@ -1132,7 +1179,10 @@ def _link_prediction_sketch_plan(
         .orderBy(F.desc("est_jaccard"), "u", "v")
         .limit(20)
     )
-    return out, [pr, w, deg]
+    # pr/deg are session-shared (localCheckpointed, not persist()ed) —
+    # only the per-call sampled-adjacency cache is released by the
+    # caller.
+    return out, [w]
 
 
 @query(

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from oarphpy_spark.operators.cluster import (
     cluster_cpu_count,
+    cluster_get_info,
     for_each_executor,
     run_callables,
 )
@@ -77,6 +78,16 @@ def q_cluster_cpu_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [Row(cpu_count=cluster_cpu_count(spark))], "cpu_count int"
     )
+
+
+@query("q_cluster_get_info")  # rows-only: values depend on the host
+def q_cluster_get_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slot executor inventory (reference ``cluster_get_info``,
+    oarphpy/spark.py:218-243): one typed row per task slot — hostname,
+    CPU/memory/disk/GPU counts, Python version. Pytest invariant
+    (tests/test_util.py): row count == task slots, every slot reports
+    >= 1 CPU and a non-empty hostname."""
+    return cluster_get_info(spark)
 
 
 @query("q_for_each_executor")  # rows-only: result count = task slots

@@ -1551,11 +1551,12 @@ _NDCG_W_DUCK = ",".join(f"({r + 1},{w})" for r, w in enumerate(_NDCG_W))
              CAST(COUNT(*) FILTER (g.rel > 0) AS BIGINT) AS n_overlap
       FROM graded g JOIN w ON w.rk = g.rk_a GROUP BY g.query_id
     )
-    SELECT agg.query_id AS query_id, agg.n_overlap AS n_overlap,
-           ROUND(agg.dcg / idcg.idcg, 6) AS ndcg_at_10,
+    SELECT idcg.query_id AS query_id,
+           CAST(COALESCE(agg.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(COALESCE(agg.dcg, 0) / idcg.idcg, 6) AS ndcg_at_10,
            ROUND(CASE WHEN agg.first_hit IS NOT NULL
                       THEN 1.0 / agg.first_hit ELSE 0.0 END, 6) AS mrr
-    FROM agg JOIN idcg ON agg.query_id = idcg.query_id
+    FROM idcg LEFT JOIN agg ON agg.query_id = idcg.query_id
     """.replace("{_sig}", _lsh_sig_duck("v")),
 )
 def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,6 +1579,25 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = hyperplane_lsh_topk(
         emb, queries_df, k=k, num_planes=4, dim=_emb_dim(spark, sf_dir)
     )
+    return _graded_retrieval_metrics(exact, approx, k=k)
+
+
+def _graded_retrieval_metrics(
+    exact: DataFrame, approx: DataFrame, k: int = 10
+) -> DataFrame:
+    """Grade ``approx`` against ``exact`` (both (query_id, neighbor_id,
+    cos) top-k lists) in the integer-micro-unit NDCG algebra.
+
+    Shared by ``q_retrieval_ndcg`` and the exact-vs-exact
+    self-evaluation invariant (a perfect arm must score ndcg_at_10 ==
+    mrr == 1.0 through THIS pipeline, not a hand-rolled rescore).
+
+    The output starts from the idcg (query) side and LEFT-joins the
+    approx aggregate, so a query whose index bucket produced zero
+    candidates still appears — with n_overlap = 0, ndcg_at_10 = 0.0,
+    mrr = 0.0 — instead of silently vanishing from the eval (the
+    worst-performing queries are exactly the ones a silent inner join
+    would hide)."""
     # Ranks over the ALREADY top-k-bounded lists (<= 10 rows per query
     # after the operators' own selection) — the windows here sort tiny
     # per-query groups, not the corpus.
@@ -1607,10 +1627,14 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_overlap"),
     )
-    return agg.join(idcg, "query_id").select(
+    return idcg.join(agg, "query_id", "left").select(
         "query_id",
-        "n_overlap",
-        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias(
+            "n_overlap"
+        ),
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0).cast("long")) / F.col("idcg"), 6
+        ).alias("ndcg_at_10"),
         F.round(
             F.when(
                 F.col("first_hit").isNotNull(), 1.0 / F.col("first_hit")

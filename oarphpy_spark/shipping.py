@@ -180,6 +180,94 @@ def resolve_ship_root(lib: str | ModuleType | None) -> str | None:
     return infer_caller_package_root()
 
 
+def selftest(spark, lib: str | ModuleType | None = None) -> bool:
+    """Prove the shipped library actually imports and runs ON THE
+    EXECUTORS — the reference's ``test_egg`` / ``SessFactory.selftest``
+    (``oarphpy/spark.py:269-314, 786-791``) re-expressed for the
+    zip-shipping path. One call:
+
+    1. builds + ships ``lib`` (same content-addressed zip as
+       ``ship_library``);
+    2. on EVERY task slot: checks the zip landed on ``sys.path``,
+       masks the driver-local source tree off the path and evicts any
+       already-imported copy (so the import cannot silently satisfy
+       itself from a shared filesystem — the reference edited
+       PYTHONPATH in the child for the same reason), then imports the
+       library and verifies the loaded module's ``__file__`` points
+       INTO the shipped zip;
+    3. restores the worker's ``sys.path``/``sys.modules`` exactly
+       (worker processes are reused across tasks).
+
+    Raises ``AssertionError`` naming the failing slots; returns True
+    when every slot imported from the zip."""
+    src = resolve_ship_root(lib)
+    if src is None:
+        raise ValueError("selftest: no shippable library found")
+    zpath = build_library_zip(src)
+    spark.sparkContext.addPyFile(zpath)
+    zname = os.path.basename(zpath)
+    pkg = os.path.basename(src.rstrip("/")).removesuffix(".py")
+    src_parent = os.path.dirname(os.path.abspath(src))
+
+    def probe():
+        import importlib
+        import os as _os
+        import socket
+        import sys as _sys
+
+        zip_hits = [
+            p for p in _sys.path if _os.path.basename(p) == zname
+        ]
+        masked = [
+            p
+            for p in _sys.path
+            if _os.path.abspath(p or ".") == src_parent
+        ]
+        saved_mods = {
+            m: _sys.modules[m]
+            for m in list(_sys.modules)
+            if m == pkg or m.startswith(pkg + ".")
+        }
+        for p in masked:
+            _sys.path.remove(p)
+        for m in saved_mods:
+            del _sys.modules[m]
+        try:
+            mod = importlib.import_module(pkg)
+            modfile = getattr(mod, "__file__", "") or ""
+        except Exception as ex:  # noqa: BLE001 — report, don't crash the job
+            modfile = f"<import failed: {type(ex).__name__}: {ex}>"
+        finally:
+            for m in [
+                m
+                for m in list(_sys.modules)
+                if m == pkg or m.startswith(pkg + ".")
+            ]:
+                del _sys.modules[m]
+            _sys.modules.update(saved_mods)
+            _sys.path[:0] = masked
+        return {
+            "host": socket.gethostname(),
+            "pid": _os.getpid(),
+            "zip_on_path": bool(zip_hits),
+            "module_file": modfile,
+        }
+
+    from oarphpy_spark.operators.cluster import for_each_executor
+
+    infos = for_each_executor(spark, probe)
+    bad = [
+        i
+        for i in infos
+        if not i["zip_on_path"] or zname not in i["module_file"]
+    ]
+    assert not bad, (
+        f"shipping selftest: {len(bad)}/{len(infos)} slots failed to "
+        f"import {pkg!r} from {zname!r}: {bad[:3]}"
+    )
+    return True
+
+
 _CELL_HOOK = None  # (events_obj, callback) of the installed hook
 
 

@@ -35,6 +35,23 @@ sys.path.insert(0, REPO)
 ORACLE_TIMEOUT_S = float(os.environ.get("PARITY_ORACLE_TIMEOUT_S", "180"))
 ORACLE_MEM = os.environ.get("PARITY_ORACLE_MEM", "16GB")
 
+# Per-slug wall-budget multipliers for oracles whose honest cost is
+# simply high: the link-prediction wedge oracle is Θ(Σ deg²) — ~148M
+# wedge rows hash-aggregated into ~101M (u, v) groups at sf0.1.
+# Measured r13 on an IDLE box at tier settings (t8/16GB): 260 s —
+# DuckDB runs this aggregation at ~2.4 cores regardless of the thread
+# setting, and a plan-mirroring rewrite (ride-along degrees, packed
+# key) measured 5x WORSE (459 s), so 260 s is the realistic floor
+# here, not a stall artifact. That is legitimate work, not a runaway;
+# the flat 180 s cap was below even the idle cost (hence the r12
+# exclusions). 3x budget = idle cost x ~2 stall headroom, still well
+# below the pathological oracles this cap exists for (pre-rewrite
+# closures ran 400+ s AND unbounded RSS; these are flat-memory).
+ORACLE_BUDGET_MULT = {
+    "q_link_prediction": 3.0,
+    "q_link_prediction_sketch": 3.0,
+}
+
 
 def oracle_worker(slug_file: str, outdir: str, sf_dir: str) -> int:
     """Run each slug's DuckDB oracle; pickle results to outdir.
@@ -85,7 +102,8 @@ def run_oracles(slugs: list[str], outdir: str, sf_dir: str) -> dict[str, str]:
             time.sleep(2.0)
             try:
                 cur, ts = open(current_path).read().splitlines()
-                if time.time() - float(ts) > ORACLE_TIMEOUT_S:
+                budget = ORACLE_TIMEOUT_S * ORACLE_BUDGET_MULT.get(cur, 1.0)
+                if time.time() - float(ts) > budget:
                     proc.kill()
                     proc.wait()
                     killed_slug = cur
@@ -100,9 +118,12 @@ def run_oracles(slugs: list[str], outdir: str, sf_dir: str) -> dict[str, str]:
                 break  # can't attribute — stop; remaining become excluded
         if killed_slug is None:
             return excluded  # clean finish
+        slug_budget = ORACLE_TIMEOUT_S * ORACLE_BUDGET_MULT.get(
+            killed_slug, 1.0
+        )
         excluded[killed_slug] = (
             f"oracle exceeded budget at sf0.1 "
-            f"(timeout {ORACLE_TIMEOUT_S:g}s / mem {ORACLE_MEM}); "
+            f"(timeout {slug_budget:g}s / mem {ORACLE_MEM}); "
             f"slug keeps its sf0.01 exact check"
         )
         remaining = remaining[remaining.index(killed_slug) + 1:]

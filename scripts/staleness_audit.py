@@ -237,6 +237,15 @@ def main() -> int:
 
     never: list[str] = []
     stale: dict[str, dict] = {}
+    # Record-age staleness (VERDICT r12 item 4): a driver row is also
+    # stale when it is simply OLD — the record ages even if no code in
+    # the slug's closure changed (the local pytest parity sweep still
+    # re-verifies it every round, but the driver's independent record
+    # should not trail by more than AGE_LIMIT rounds). A slug whose
+    # last green round is <= max_round - AGE_LIMIT becomes seatable;
+    # ranking still puts changed-code slugs first.
+    AGE_LIMIT = 4
+    max_round = max(greens.values(), default=0)
     for slug, fn in qs.items():
         last = greens.get(slug)
         if last is None:
@@ -255,6 +264,8 @@ def main() -> int:
                 # so is every shared (non-query) helper.
                 ch = (ch - query_fn_names) | (ch & {fn.__name__})
             reasons += [f"{f}:{n}" for n in sorted(ch)]
+        if last <= max_round - AGE_LIMIT:
+            reasons.append(f"driver-record-age:r{last:02d}")
         if reasons:
             stale[slug] = {
                 "last_green": last,

@@ -268,3 +268,27 @@ def test_shard_iterator_early_abandon_stops_readers(spark):
     # at most the shards already in flight when we closed (2 workers
     # + a possible race on one more claim each) — never all 8
     assert len(started) <= 4, started
+
+
+def test_selftest_tensorflow_guard_or_probe(spark):
+    """selftest_tensorflow (reference test_tensorflow, oarphpy/
+    spark.py:317-351): with TF installed, every slot reports a version
+    and an asserted-correct graph compute; without it, the guided
+    optional-dependency error (same policy as to_tf_dataset)."""
+    import pytest
+
+    from oarphpy_spark import bridges
+
+    try:
+        import tensorflow  # noqa: F401
+
+        have_tf = True
+    except ImportError:
+        have_tf = False
+
+    if not have_tf:
+        with pytest.raises(NotImplementedError, match="tensorflow"):
+            bridges.selftest_tensorflow(spark)
+        return
+    infos = bridges.selftest_tensorflow(spark)
+    assert infos and all(i["tf_version"] for i in infos)

@@ -93,6 +93,39 @@ def test_ship_library_accepts_module_and_single_file(spark, tmp_path):
     assert find_package_root(nested) == pkg_root
 
 
+def test_selftest_roundtrip_on_workers(spark, tmp_path):
+    """The reference's one-call cluster healthcheck (test_egg,
+    oarphpy/spark.py:269-314): ship a user package and prove every
+    executor slot imports it FROM THE SHIPPED ZIP (driver source tree
+    masked), both for a tmp-dir user library and for the engine
+    package itself."""
+    from oarphpy_spark import shipping
+
+    pkg_root = _write_pkg(tmp_path, "selftest_userlib", 3)
+    assert shipping.selftest(spark, pkg_root) is True
+
+    # the engine package: its parent (/...repo) IS on worker sys.path,
+    # so this exercises the masking — the import must still come from
+    # the zip, not the checkout.
+    import oarphpy_spark
+
+    assert shipping.selftest(spark, oarphpy_spark) is True
+
+
+def test_selftest_reports_failure(spark, tmp_path):
+    """A library whose zip can't import (top-level raise) must fail the
+    selftest with the failing slots named, not pass vacuously."""
+    import pytest
+
+    from oarphpy_spark import shipping
+
+    pkg = tmp_path / "broken_userlib"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("raise RuntimeError('broken lib')\n")
+    with pytest.raises(AssertionError, match="broken_userlib"):
+        shipping.selftest(spark, str(pkg))
+
+
 def test_build_library_zip_changes_digest_with_content(tmp_path):
     from oarphpy_spark.shipping import build_library_zip
 

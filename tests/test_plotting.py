@@ -4,6 +4,8 @@ from pyspark.sql import Row
 
 import pathlib
 
+import pytest
+
 from oarphpy_spark.operators.histogram import df_histogram, histogram_with_examples
 from oarphpy_spark.plotting import (
     hash_to_rgb,
@@ -82,3 +84,54 @@ def test_render_interactive_golden(spark):
         "OARPHPY_SPARK_REGEN_GOLDENS=1 pytest tests/test_plotting.py"
     )
     assert html == golden.read_text()
+
+
+def test_to_bokeh_layout_parity(spark):
+    """Skipped-unless-bokeh: the figure-object adapter must return the
+    reference's layout shape (column of [figure, Div], quad glyphs
+    over a source carrying count/proportion/left/right/display, tap
+    callback wired to the Div) — reference plotting.py:305-365."""
+    bokeh = pytest.importorskip("bokeh")  # noqa: F841 — optional dep
+    from bokeh.models import Div
+    from bokeh.plotting import figure as _Figure  # noqa: N813
+
+    from oarphpy_spark.operators.histogram import df_histogram
+    from oarphpy_spark.plotting import to_bokeh
+
+    df = spark.range(100).selectExpr("cast(id as double) AS x")
+    layout = to_bokeh(df_histogram(df, "x", 10), title="x")
+    fig, ctxbox = layout.children
+    assert isinstance(ctxbox, Div)
+    quads = [
+        r for r in fig.renderers
+        if type(r.glyph).__name__ == "Quad"
+    ]
+    assert quads, fig.renderers
+    data = quads[0].data_source.data
+    assert len(data["count"]) == 10
+    assert abs(sum(data["proportion"]) - 1.0) < 1e-9
+    assert all(k in data for k in ("left", "right", "display", "legend"))
+
+
+def test_to_bokeh_import_error_without_bokeh(spark, monkeypatch):
+    """Without bokeh the adapter raises a guided ImportError and the
+    dependency-free renderers stay importable/usable."""
+    import builtins
+    import sys
+
+    if "bokeh" in sys.modules:
+        pytest.skip("bokeh installed; the guided-error path is moot")
+    from oarphpy_spark.operators.histogram import df_histogram
+    from oarphpy_spark.plotting import to_bokeh
+
+    real_import = builtins.__import__
+
+    def no_bokeh(name, *a, **k):
+        if name.startswith("bokeh"):
+            raise ImportError(f"No module named {name!r}")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_bokeh)
+    df = spark.range(10).selectExpr("cast(id as double) AS x")
+    with pytest.raises(ImportError, match="render_histogram_interactive"):
+        to_bokeh(df_histogram(df, "x", 5))

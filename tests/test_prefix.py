@@ -84,14 +84,48 @@ def test_negative_keys(spark):
 def _unpartitioned_window_inputs(plan: str) -> list[str]:
     """Rows-frame Window nodes with an empty partition spec: return
     the line itself so callers can bound what feeds them."""
+    lines = plan.splitlines()
+    return [lines[i] for i in _unpartitioned_window_indices(plan)]
+
+
+def _unpartitioned_window_indices(plan: str) -> list[int]:
+    """Line indices of rows-frame Window nodes with an empty partition
+    spec. Index-based (not the line text) so callers can walk THAT
+    node's input subtree even when two Window lines are textually
+    identical."""
     return [
-        ln
-        for ln in plan.splitlines()
+        i
+        for i, ln in enumerate(plan.splitlines())
         if "Window [" in ln and "windowspecdefinition(" in ln
         # partitionless spec: windowspecdefinition(ORDER-only, frame)
         and ", specifiedwindowframe" in ln
         and not _has_partition_spec(ln)
     ]
+
+
+def _node_depth(ln: str) -> int:
+    """Character offset where the operator text begins in a Spark plan
+    ``toString()`` line — the tree prefix is drawn with spaces, ':',
+    '+' and '-' (e.g. ``:     +- Window [...]``)."""
+    i = 0
+    while i < len(ln) and ln[i] in " :+-":
+        i += 1
+    return i
+
+
+def _input_subtree(lines: list[str], i: int) -> str:
+    """The plan text of node ``i``'s INPUT subtree: the subsequent
+    lines with strictly greater indentation, stopping at the first
+    line back at or above node i's depth (a sibling branch of some
+    ancestor — e.g. the other side of a join printed after this node,
+    which is NOT an input of this node)."""
+    d = _node_depth(lines[i])
+    out: list[str] = []
+    for ln in lines[i + 1:]:
+        if ln.strip() and _node_depth(ln) <= d:
+            break
+        out.append(ln)
+    return "\n".join(out)
 
 
 def _has_partition_spec(ln: str) -> bool:
@@ -112,13 +146,13 @@ def test_plan_big_relation_window_is_partitioned(spark, request):
     )
     out = with_global_cumsum(df, ["k"], F.col("v"), out="cum")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    bad = _unpartitioned_window_inputs(plan)
-    for ln in bad:
+    lines = plan.splitlines()
+    for i in _unpartitioned_window_indices(plan):
         # the partitionless windows must consume the aggregate, not
-        # the raw relation: their subtree contains a HashAggregate
-        idx = plan.splitlines().index(ln)
-        subtree = "\n".join(plan.splitlines()[idx:])
-        assert "HashAggregate" in subtree, (
+        # the raw relation: their INPUT subtree contains a
+        # HashAggregate (indent-walked — a sibling branch printed
+        # after the window does not count)
+        assert "HashAggregate" in _input_subtree(lines, i), (
             f"unpartitioned window over non-aggregated input:\n{plan}"
         )
     # and the big-side window is bucket-partitioned
@@ -141,8 +175,7 @@ def test_weak_graded_queries_have_no_global_window_over_base(spark):
         lines = plan.splitlines()
         for i, ln in enumerate(lines):
             if "Exchange SinglePartition" in ln:
-                subtree = "\n".join(lines[i:])
-                assert "HashAggregate" in subtree, (
+                assert "HashAggregate" in _input_subtree(lines, i), (
                     f"{slug}: single-partition exchange over "
                     f"non-aggregated input:\n{plan}"
                 )

@@ -103,10 +103,12 @@ def test_hybrid_rrf_topk_is_distributed(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # two list top-50s + the final fused top-10
     assert plan.count("TakeOrderedAndProject") >= 3, plan
+    from .test_prefix import _input_subtree
+
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
-            subtree = "\n".join(lines[i:])
+            subtree = _input_subtree(lines, i)
             assert "TakeOrderedAndProject" in subtree or "HashAggregate" in subtree, (
                 f"single-partition exchange over unbounded input:\n{plan}"
             )
@@ -129,19 +131,17 @@ def test_retrieval_ndcg_bounds_and_perfect_ranking(spark):
         # a positive mass in the DCG
         assert (r["n_overlap"] == 0) == (r["ndcg_at_10"] == 0.0)
 
-    # perfect-ranking invariant, checked by grading exact-vs-exact
-    # through the same integer-weight algebra
+    # perfect-ranking invariant: grade the EXACT arm against itself
+    # through the SAME join/aggregate pipeline the query uses — a
+    # perfect ranking must score ndcg_at_10 == 1.0 and mrr == 1.0 on
+    # every query (dcg == idcg by construction, first hit at rank 1).
     import oarphpy_spark.queries.llm_queries as lq
 
     emb = table(spark, SF, "embeddings")
     ex = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
-    w = lq._NDCG_W
-    per_q = {}
-    for r in ex.collect():
-        per_q.setdefault(r["query_id"], []).append(
-            (r["cos"], r["neighbor_id"])
-        )
-    for q, lst in per_q.items():
-        lst.sort(key=lambda t: (-t[0], t[1]))
-        dcg = sum((10 - i) * w[i] for i in range(len(lst)))
-        assert dcg > 0  # graded self-DCG is the IDCG
+    perfect = lq._graded_retrieval_metrics(ex, ex, k=10).collect()
+    assert len(perfect) == 3
+    for r in perfect:
+        assert r["ndcg_at_10"] == 1.0, r
+        assert r["mrr"] == 1.0, r
+        assert r["n_overlap"] == 10, r

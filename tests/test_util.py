@@ -266,6 +266,37 @@ def test_get_sys_info_shape():
         assert isinstance(info[k], str)
 
 
+def test_cluster_get_info_dataframe_and_report(spark):
+    """cluster_get_info parity (reference oarphpy/spark.py:218-243 +
+    oarphpy_test/test_spark.py test_cluster_get_info): one typed row
+    per task slot with sane hardware numbers, and the text report
+    carries the reference's sections for every host."""
+    from oarphpy_spark.operators.cluster import (
+        cluster_cpu_count,
+        cluster_get_info,
+        cluster_get_info_report,
+    )
+
+    df = cluster_get_info(spark)
+    rows = df.collect()
+    assert len(rows) == cluster_cpu_count(spark)
+    assert sorted(r["slot"] for r in rows) == list(range(len(rows)))
+    for r in rows:
+        assert r["hostname"]
+        assert r["n_cpus"] >= 1
+        assert r["mem_total_mb"] > 0
+        assert r["disk_total_gb"] > 0
+        assert r["n_gpus"] >= 0
+        assert r["python_version"].count(".") == 2
+        assert "pyspark" in r["python_path"] or r["python_path"]
+
+    report = cluster_get_info_report(spark)
+    # local[*]: exactly one distinct host block, reference sections
+    for section in ("Host:", "Num CPUs:", "Memory:", "PYTHONPATH:",
+                    "nvidia-smi:", "Disk:"):
+        assert section in report, report
+
+
 def test_scale_smoke_skew_audit_parses_and_flags(tmp_path):
     """skew_audit must read rolling event-log layouts and flag a stage
     whose slowest task dwarfs its p95 (and only such stages)."""
