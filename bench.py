@@ -72,6 +72,52 @@ def _steal_jiffies() -> tuple[int, int]:
         return 0, 0
 
 
+def _needs_another_rep(
+    times: list[float], reps: int, max_reps: int, agree_tol: float = 0.10
+) -> bool:
+    """Adaptive agreement policy: keep timing while the two FASTEST
+    reps disagree by more than ``agree_tol`` (two independent
+    executions within 10% are overwhelmingly unlikely to BOTH be
+    stall-inflated), after at least ``reps`` and at most ``max_reps``
+    executions. Stalls only ever ADD wall time, so the min estimator
+    this feeds is bias-free."""
+    if len(times) < reps:
+        return True
+    if len(times) >= max_reps:
+        return False
+    s = sorted(times)
+    return s[1] > s[0] * (1 + agree_tol)
+
+
+def _cpu_calibration() -> float:
+    """Fixed single-thread workload (sha256 over 64 MiB, min of 3):
+    a Spark-independent yardstick for the HOST's speed at bench time.
+
+    Round-over-round comparisons on this shared-VM box have flapped up
+    to 1.8x with zero plan changes (r12), and uniform inflation across
+    untouched queries is the signature of host slowdown rather than a
+    regression. Dividing two rounds' calibration values gives the
+    host-speed ratio to normalize headline comparisons by."""
+    import hashlib
+
+    blk = b"\0" * (1 << 20)
+    best_hash = best_loop = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _i in range(256):
+            h.update(blk)
+        best_hash = min(best_hash, time.perf_counter() - t0)
+        # Interpreter-bound loop: tracks general-purpose core speed
+        # (frequency/steal), which the sha-extension-bound hash can't.
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        best_loop = min(best_loop, time.perf_counter() - t0)
+    return round(best_hash + best_loop, 4)
+
+
 def _settle_load(max_load: float, max_wait_sec: float) -> tuple[float, float, bool]:
     """Wait for the machine to go idle before timing anything.
 
@@ -173,15 +219,10 @@ def main() -> None:
         for name in names:
             dfs = [run(name)]  # warm pass (builds caches, codegen, pools)
             times: list[float] = []
-            while True:
+            while _needs_another_rep(times, reps, max_reps, agree_tol):
                 t0 = time.perf_counter()
                 dfs.append(run(name))
                 times.append(round(time.perf_counter() - t0, 4))
-                if len(times) < reps:
-                    continue
-                s = sorted(times)
-                if s[1] <= s[0] * (1 + agree_tol) or len(times) >= max_reps:
-                    break
             s = sorted(times)
             timings[name] = s[0]
             detail[name] = {
@@ -227,6 +268,11 @@ def main() -> None:
         # Hypervisor CPU-steal share over the timed section (from
         # /proc/stat): load average can't see co-tenant contention.
         "cpu_steal_pct": steal_pct,
+        # Spark-independent host-speed yardstick (fixed sha256
+        # workload, min-of-3, single thread). Divide two rounds'
+        # values to get the host-speed ratio before reading anything
+        # into a headline delta — steal% misses frequency throttling.
+        "cpu_calib_sec": _cpu_calibration(),
         "sf": sf,
         # 1-min load average when timing STARTED (after the settle
         # wait).  bench now refuses to start hot: it polls until load

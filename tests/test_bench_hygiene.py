@@ -54,3 +54,29 @@ def test_settle_load_flags_contamination_on_timeout(monkeypatch):
     assert initial == 9.0
     assert settled == 9.0
     assert contaminated is True
+
+
+def test_adaptive_rep_policy():
+    """v3 agreement reps: minimum reps always run; disagreement beyond
+    10% between the two fastest keeps adding reps up to the cap; close
+    agreement stops immediately at the minimum."""
+    bench = _load_bench()
+    need = bench._needs_another_rep
+    # below the minimum -> always another rep
+    assert need([], 3, 6) and need([1.0, 1.01], 3, 6)
+    # agreement at the minimum -> stop
+    assert not need([1.0, 1.05, 2.0], 3, 6)
+    # disagreement -> continue (mins are 1.0 and 1.2)
+    assert need([1.2, 1.0, 3.0], 3, 6)
+    # ... until a rep lands within 10% of the floor
+    assert not need([1.2, 1.0, 3.0, 1.04], 3, 6)
+    # hard cap wins even while still disagreeing
+    assert not need([3.0, 2.0, 1.0, 5.0, 4.0, 6.0], 3, 6)
+
+
+def test_steal_and_calibration_probes():
+    bench = _load_bench()
+    steal, total = bench._steal_jiffies()
+    assert total > 0 and 0 <= steal <= total
+    calib = bench._cpu_calibration()
+    assert 0.01 < calib < 30.0  # fixed workload, sane wall on any host
