@@ -116,6 +116,18 @@ def _lp_shared_relations(
     return pr, und, deg
 
 
+def _shared_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-shared materialized co-purchase edge relation (see
+    ``_lp_shared_relations``). Every graph query over this graph —
+    triangles, k-core, k-truss, degree stats, assortativity, both
+    link-prediction paths — consumes the same |E|-bounded
+    localCheckpoint instead of re-deriving the DISTINCT lineitem
+    self-join, which is the single biggest subtree in each of those
+    plans. Same rows as ``_copurchase_edges`` (the domain-check
+    projection only raises, never filters)."""
+    return _lp_shared_relations(spark, sf_dir)[0]
+
+
 @query(
     "q_triangle_count",
     oracle=f"""
@@ -140,7 +152,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to avoid."""
     from oarphpy_spark.llm.graph import triangle_count
 
-    return triangle_count(_copurchase_edges(spark, sf_dir), "s", "d")
+    return triangle_count(_shared_edges(spark, sf_dir), "s", "d")
 
 
 @query(
@@ -232,7 +244,7 @@ def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oarphpy_spark.functions.text import md5_str
     from oarphpy_spark.llm.graph import triangle_count
 
-    und = _copurchase_edges(spark, sf_dir)
+    und = _shared_edges(spark, sf_dir)
     coin = (
         F.conv(
             F.substring(
@@ -312,7 +324,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrongly. Dense-community extraction / bot-ring mining shape."""
     from oarphpy_spark.llm.graph import kcore
 
-    return kcore(_copurchase_edges(spark, sf_dir), 60, "s", "d")
+    return kcore(_shared_edges(spark, sf_dir), 60, "s", "d")
 
 
 def _ktruss_oracle(k: int, rounds: int) -> str:
@@ -367,7 +379,7 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     loudly. Output: (lo, hi, support)."""
     from oarphpy_spark.llm.graph import ktruss
 
-    return ktruss(_copurchase_edges(spark, sf_dir), 12, "s", "d")
+    return ktruss(_shared_edges(spark, sf_dir), 12, "s", "d")
 
 
 @query(
@@ -411,11 +423,11 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew knobs all read off these numbers)."""
     from oarphpy_spark.llm.graph import triangle_count
 
-    # und feeds the degree stats AND the triangle operator's cache
-    # build — persist it or the lineitem self-join + distinct (the
-    # single biggest subtree here) derives twice. Rides on the result
-    # with the triangle operator's own caches (release_cached).
-    und = _copurchase_edges(spark, sf_dir).persist()
+    # und is the session-shared materialized edge relation — it
+    # feeds the degree stats AND the triangle operator's cache build
+    # without re-deriving the lineitem self-join (and needs no
+    # per-call persist/release of its own).
+    und = _shared_edges(spark, sf_dir)
     deg = (
         und.select(F.col("s").alias("v"))
         .unionByName(und.select(F.col("d").alias("v")))
@@ -449,7 +461,7 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
-    out._oarphpy_persisted = [und] + list(
+    out._oarphpy_persisted = list(
         getattr(tri, "_oarphpy_persisted", [])
     )
     return out
@@ -479,7 +491,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     float), so both engines bin identically; two partial-aggregable
     aggregations, output bounded by log2(max degree) rows. Pairs with
     q_graph_profile the way a histogram pairs with summary stats."""
-    und = _copurchase_edges(spark, sf_dir)
+    und = _shared_edges(spark, sf_dir)
     deg = (
         und.select(F.col("s").alias("v"))
         .unionByName(und.select(F.col("d").alias("v")))
@@ -643,7 +655,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-bit (decimal(38,0) here, HUGEINT in the oracle) over the
     FOUR scalar values, then one double division.
     """
-    e = _copurchase_edges(spark, sf_dir)
+    e = _shared_edges(spark, sf_dir)
     deg = (
         e.select(F.col("s").alias("v"))
         .unionAll(e.select(F.col("d").alias("v")))

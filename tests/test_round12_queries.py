@@ -145,3 +145,35 @@ def test_retrieval_ndcg_bounds_and_perfect_ranking(spark):
         assert r["ndcg_at_10"] == 1.0, r
         assert r["mrr"] == 1.0, r
         assert r["n_overlap"] == 10, r
+
+
+def test_shared_edge_cache_keyed_per_session_and_sf(spark):
+    """_lp_shared_relations caches the materialized edge/degree pair
+    per (applicationId, sf_dir): same key returns the SAME DataFrames
+    (no re-derivation), different sf_dir gets its own entry, and
+    _shared_edges rows equal a fresh derivation."""
+    import oarphpy_spark.queries.graph_queries as gq
+
+    gq._LP_SHARED.clear()
+    pr1, und1, deg1 = gq._lp_shared_relations(spark, SF)
+    pr2, _, deg2 = gq._lp_shared_relations(spark, SF)
+    assert pr1 is pr2 and deg1 is deg2  # cache hit, not a rebuild
+    key = (spark.sparkContext.applicationId, SF)
+    assert key in gq._LP_SHARED
+
+    fresh = {
+        (r["s"], r["d"]) for r in gq._copurchase_edges(spark, SF).collect()
+    }
+    cached = {(r["s"], r["d"]) for r in gq._shared_edges(spark, SF).collect()}
+    assert fresh == cached
+
+    # degree table matches a direct recount over the cached edges
+    got = {(r["node"], r["dg"]) for r in deg1.collect()}
+    from collections import Counter
+
+    want = Counter()
+    for s, d in fresh:
+        want[s] += 1
+        want[d] += 1
+    assert got == set(want.items())
+    gq._LP_SHARED.clear()
