@@ -43,16 +43,22 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 13: the never-verified new query first, then the three
-    # implementations changed this round (retrieval-ndcg left-join
-    # restatement; both link-prediction paths: shared edge/degree
-    # subtree + restated oracles) ---
-    # --- then the record-age backlog, stalest driver evidence first
-    # (r04 codec pair, the r05 band, the r06 band): the audit's
-    # record-age rule (AGE_LIMIT=4) makes these seatable even when
-    # their code is unchanged — the driver record itself ages.
-    # q_sim_topk (r08, VERDICT r12 item 4) takes the final slot. ---
+    # --- round 13: the never-verified new query first, then every
+    # implementation changed this round (the 7-query graph family on
+    # the shared edge cache, both link-prediction paths, the
+    # retrieval-ndcg left-join restatement), then the record-age
+    # backlog stalest-first (r04 codec pair, the r05 band, the r06
+    # band). q_sim_topk (r08, VERDICT r12 item 4) takes the final
+    # slot. The audit's record-age rule (AGE_LIMIT=4) makes unchanged
+    # old records seatable — the driver record itself ages.
     "q_cluster_get_info",
+    "q_kcore",
+    "q_ktruss",
+    "q_triangle_count",
+    "q_triangle_count_sampled",
+    "q_degree_distribution",
+    "q_graph_assortativity",
+    "q_graph_profile",
     "q_link_prediction",
     "q_link_prediction_sketch",
     "q_retrieval_ndcg",
@@ -94,13 +100,6 @@ _ROUND_PRIORITY = [
     "q_entity_resolution",
     "q_event_debounce",
     "q_feature_hashing",
-    "q_join_asof_tolerance",
-    "q_kcore",
-    "q_ktruss",
-    "q_label_propagation",
-    "q_markov_transitions",
-    "q_multimodal_audio",
-    "q_nhop_reach",
     "q_sim_topk",
 ]
 
