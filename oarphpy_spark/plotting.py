@@ -248,9 +248,14 @@ def to_bokeh(
     taptool = fig.select(type=TapTool)
     taptool.callback = CustomJS(
         args=dict(ctxbox=ctxbox),
+        # Unlike the reference's callback, guard the empty selection:
+        # clicking the plot background would otherwise render the
+        # string "undefined" into the context box.
         code="""
-        var idx = cb_data.source.selected.indices[0];
-        ctxbox.text = '' + cb_data.source.data.display[idx];
+        const sel = cb_data.source.selected.indices;
+        if (sel.length > 0) {
+            ctxbox.text = String(cb_data.source.data.display[sel[0]]);
+        }
         """,
     )
     return column(fig, ctxbox)
