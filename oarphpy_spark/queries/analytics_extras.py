@@ -34,24 +34,18 @@ _WEDGES_SQL = """
 
 
 def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("s"),
-            F.col("b.l_partkey").alias("d"),
-            (
-                F.lit(1)
-                + (F.col("a.l_partkey") + F.col("b.l_partkey")) % 7
-            ).alias("w"),
-        )
-        .distinct()
+    """The weight is a pure function of (s, d), so the weighted edge
+    relation is a shuffle-free projection over the session-shared
+    materialized co-purchase edges (graph_queries._shared_edges) —
+    the DISTINCT lineitem self-join is never re-derived here. Rows
+    are identical to the standalone derivation: DISTINCT(s, d, w)
+    equals DISTINCT(s, d) when w is functionally dependent on them."""
+    from oarphpy_spark.queries.graph_queries import _shared_edges
+
+    return _shared_edges(spark, sf_dir).select(
+        "s",
+        "d",
+        (F.lit(1) + (F.col("s") + F.col("d")) % 7).alias("w"),
     )
 
 
