@@ -5,12 +5,11 @@ Importing this package registers every declared query into
 
 External correctness harnesses may only check a bounded prefix of the
 registered queries, so ``_ROUND_PRIORITY`` pins the prefix to the
-queries that most need fresh verification this round.  The round-11
-window spends 48 of 50 slots on verification (VERDICT r9 item 1): the
-2 new queries, the 5 implementations changed by the sketch top-T
-rewrite and the minhash band-bucket refactor, and 43 slots of stalest
-backlog in audit rank — covering every remaining r01-era and r02-era
-slug.
+queries that most need fresh verification this round: never-verified
+new queries first, then every implementation changed during the
+round, then the stalest driver records (code-churn staleness AND,
+since round 13, record-age staleness — a green row older than
+AGE_LIMIT=4 rounds becomes seatable even when its code is unchanged).
 ``scripts/staleness_audit.py`` machine-checks this allocation (window
 saturated stale-first, backlog recorded); the union of all rounds'
 windows plus the full-registry local parity gate covers every
