@@ -74,9 +74,70 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (applicationId, sf_dir) -> (pr, deg): the materialized edge set and
-# degree table shared by q_link_prediction and its sketch companion.
-_LP_SHARED: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+# (applicationId, sf_dir) -> {"pr": edges, "deg": degrees | absent}:
+# the materialized relations shared by the whole co-purchase graph
+# family. "pr" is built on first touch by ANY family member; "deg"
+# lazily on the first caller that actually needs degrees (the two
+# link-prediction paths) — edge-only consumers (triangles, k-core,
+# k-truss, SSSP, ...) never pay the 2|E|-row degree aggregation or
+# its checkpoint storage (ADVICE r13).
+_LP_SHARED: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the executor-side blocks backing an eager
+    ``localCheckpoint``. The checkpointed Dataset wraps a
+    ``LogicalRDD`` over the persisted internal-row RDD;
+    ``plan.rdd().unpersist()`` drops those blocks deterministically
+    (verified: persistent-RDD count goes to 0). The DataFrame is
+    unusable afterwards (lineage was truncated), so callers must also
+    drop every reference — release then rebuild, never reuse."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort on a dying session
+        pass
+
+
+def release_shared_edges(
+    spark: SparkSession, sf_dir: str | None = None
+) -> int:
+    """Public release API for the session-shared graph relations
+    (the ``release_cached`` counterpart for ``localCheckpoint``-backed
+    caches — VERDICT r13 item 3). Unpersists the checkpointed
+    edge/degree blocks and drops the cache entries for this session's
+    ``applicationId`` (all sf_dirs, or just ``sf_dir`` if given), so a
+    long-lived session touching many sf_dirs can bound its executor
+    storage. Entries keyed by a STALE applicationId (a previous
+    in-process session) are dropped too — their context is gone and
+    the blocks with it. Safe to call at any time: the next family
+    query simply rebuilds. Returns the number of entries dropped."""
+    app = spark.sparkContext.applicationId
+    dropped = 0
+    for key in list(_LP_SHARED):
+        stale = key[0] != app
+        if not stale and sf_dir is not None and key[1] != sf_dir:
+            continue
+        entry = _LP_SHARED.pop(key)
+        dropped += 1
+        if not stale:  # stale app: JVM-side blocks died with its context
+            for df in entry.values():
+                _release_checkpoint(df)
+    return dropped
+
+
+def _lp_shared_entry(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LP_SHARED:
+        # Evict entries from dead in-process sessions so recreated
+        # sessions don't accumulate unreachable keys (ADVICE r13).
+        for stale in [k for k in _LP_SHARED if k[0] != key[0]]:
+            _LP_SHARED.pop(stale)
+        _LP_SHARED[key] = {
+            "pr": _domain_checked_edges(
+                _copurchase_edges(spark, sf_dir)
+            ).localCheckpoint(eager=True)
+        }
+    return _LP_SHARED[key]
 
 
 def _lp_shared_relations(
@@ -94,13 +155,12 @@ def _lp_shared_relations(
     ``localCheckpoint`` (executor-local storage, lineage truncated)
     and reused; running both queries in one session now pays the edge
     derivation once. ``und`` is a narrow, shuffle-free projection of
-    the checkpointed ``pr`` and needs no storage of its own."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LP_SHARED:
-        pr = _domain_checked_edges(
-            _copurchase_edges(spark, sf_dir)
-        ).localCheckpoint(eager=True)
-        deg = (
+    the checkpointed ``pr`` and needs no storage of its own. Release
+    with ``release_shared_edges``."""
+    entry = _lp_shared_entry(spark, sf_dir)
+    pr = entry["pr"]
+    if "deg" not in entry:
+        entry["deg"] = (
             pr.unionAll(
                 pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
             )
@@ -108,8 +168,7 @@ def _lp_shared_relations(
             .agg(F.count("*").alias("dg"))
             .localCheckpoint(eager=True)
         )
-        _LP_SHARED[key] = (pr, deg)
-    pr, deg = _LP_SHARED[key]
+    deg = entry["deg"]
     und = pr.unionAll(
         pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
@@ -124,8 +183,10 @@ def _shared_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint instead of re-deriving the DISTINCT lineitem
     self-join, which is the single biggest subtree in each of those
     plans. Same rows as ``_copurchase_edges`` (the domain-check
-    projection only raises, never filters)."""
-    return _lp_shared_relations(spark, sf_dir)[0]
+    projection only raises, never filters). Edge-only consumers go
+    through here and never trigger the lazy degree-table build (see
+    ``_lp_shared_entry``)."""
+    return _lp_shared_entry(spark, sf_dir)["pr"]
 
 
 @query(
@@ -1086,28 +1147,44 @@ def _link_prediction_sketch_plan(
     # r12 item 3): |E|-bounded, localCheckpointed once per (session,
     # sf_dir).
     pr, und, deg = _lp_shared_relations(spark, sf_dir)
-    # Top-T selection as ONE hash aggregation instead of a
-    # row_number() window: the window form paid a WindowGroupLimit
-    # SORT of the full 2|E| adjacency (plus a join against `deg` to
-    # carry dg) — the single most expensive stage in the old plan.
-    # Here a single groupBy(s) computes dg (= group size, so the deg
-    # join disappears from the sample path entirely) and the sorted
-    # top-T in the same pass; array_sort on struct(h, d, dd) orders
-    # lexicographically by the md5 string then d — (h, d) is unique
-    # per group, so the trailing dd never influences order and the
-    # surviving sample rows (and hence the oracle) are unchanged.
-    # collect_list partial-aggregates map-side (list concat), so the
-    # shuffle carries per-key partial lists, not a global sort.
     # dd = the FULL degree of the neighbor endpoint, attached before
-    # the aggregation: it rides through the wedge join so the final
-    # per-pair degree joins vanish from the candidate-table path
-    # (same candidate-table discipline as the exact path — at
-    # 1B-node scale the degree table is not broadcastable).
-    samp = (
-        und.join(
-            deg.select(F.col("node").alias("d"), F.col("dg").alias("dd")),
-            "d",
-        )
+    # sampling: it rides through the wedge join so the final per-pair
+    # degree joins vanish from the candidate-table path (same
+    # candidate-table discipline as the exact path — at 1B-node scale
+    # the degree table is not broadcastable). adj feeds both routing
+    # branches below, so it is persisted for the duration of the call.
+    adj = und.join(
+        deg.select(F.col("node").alias("d"), F.col("dg").alias("dd")),
+        "d",
+    ).persist()
+    # dg<=T bypass (VERDICT r13 item 4): a center at or below T keeps
+    # ALL its neighbors (oracle: rk <= T never filters) with weight
+    # exactly 1 — paying the collect_list/array_sort/slice sample
+    # stage there was a weight-1 passthrough, and at these SFs that
+    # is nearly every center. Route on the HUB set instead:
+    # |hubs| <= 2|E|/T nodes (sum of degrees bounds it), so it
+    # broadcasts — the dg<=T rows then never shuffle at all (a
+    # broadcast anti-join is map-side), and only the hub adjacency
+    # pays the top-T aggregation. Past broadcastability (~10^8 hubs
+    # at 10^10 edges) drop the hint and both routing joins degrade to
+    # shuffles — still strictly less work than sampling every center.
+    hubs = deg.filter(F.col("dg") > T).select(F.col("node").alias("s"))
+    low = adj.join(F.broadcast(hubs), "s", "left_anti").select(
+        "s", "d", "dd", F.lit(1000000).cast("bigint").alias("wm")
+    )
+    # Hub top-T selection as ONE hash aggregation instead of a
+    # row_number() window (the window form paid a WindowGroupLimit
+    # SORT): groupBy(s) computes dg (= group size — the semi-join
+    # keeps every neighbor row of a hub center, so the count IS the
+    # full degree, always > T here) and the sorted top-T in the same
+    # pass; array_sort on struct(h, d, dd) orders lexicographically
+    # by the md5 string then d — (h, d) is unique per group, so the
+    # trailing dd never influences order and the surviving sample
+    # rows (and hence the oracle) are unchanged. collect_list
+    # partial-aggregates map-side (list concat), so the shuffle
+    # carries per-key partial lists, not a global sort.
+    high = (
+        adj.join(F.broadcast(hubs), "s", "left_semi")
         .select(
             "s",
             "d",
@@ -1130,24 +1207,18 @@ def _link_prediction_sketch_plan(
         )
         .select("s", "dg", F.explode("top").alias("e"))
         .select(
-            "s", F.col("e.d").alias("d"), F.col("e.dd").alias("dd"), "dg"
+            "s",
+            F.col("e.d").alias("d"),
+            F.col("e.dd").alias("dd"),
+            F.expr(
+                f"(1000000L * dg * (dg - 1)) div ({T} * ({T} - 1))"
+            ).alias("wm"),
         )
     )
     # w feeds BOTH wedge sides: without the persist each side re-runs
-    # the top-T aggregation over the full 2|E| adjacency — the single
-    # most expensive stage in this plan.
-    w = samp.select(
-        "s",
-        "d",
-        "dd",
-        F.when(F.col("dg") <= T, F.lit(1000000).cast("bigint"))
-        .otherwise(
-            F.expr(
-                f"(1000000L * dg * (dg - 1)) div ({T} * ({T} - 1))"
-            )
-        )
-        .alias("wm"),
-    ).persist()
+    # the routing joins (and the hub sample stage) over the full 2|E|
+    # adjacency.
+    w = low.unionAll(high).persist()
     a, b = w.alias("a"), w.alias("b")
     # (u, v) packed into one bigint — same key discipline (and the
     # same < 2^32 id-space caveat) as the exact path.
@@ -1192,9 +1263,9 @@ def _link_prediction_sketch_plan(
         .limit(20)
     )
     # pr/deg are session-shared (localCheckpointed, not persist()ed) —
-    # only the per-call sampled-adjacency cache is released by the
+    # only the per-call adjacency/sample caches are released by the
     # caller.
-    return out, [w]
+    return out, [adj, w]
 
 
 @query(

@@ -52,13 +52,13 @@ def run_family(spark, sf_dir: str, shared: bool) -> tuple[float, dict]:
     from oarphpy_spark.llm.dedup import release_cached
 
     qs = registry.queries()
-    gq._LP_SHARED.clear()
+    gq.release_shared_edges(spark)
     spark.catalog.clearCache()
     fps = {}
     t0 = time.perf_counter()
     for slug in SLUGS:
         if not shared:
-            gq._LP_SHARED.clear()
+            gq.release_shared_edges(spark)
         df = qs[slug](spark, sf_dir)
         fps[slug] = fingerprint(df)
         try:
@@ -66,7 +66,7 @@ def run_family(spark, sf_dir: str, shared: bool) -> tuple[float, dict]:
         except Exception:  # noqa: BLE001 — teardown must not kill the A/B
             pass
     wall = time.perf_counter() - t0
-    gq._LP_SHARED.clear()
+    gq.release_shared_edges(spark)
     return round(wall, 3), fps
 
 

@@ -44,16 +44,16 @@ def run_pair(spark, sf_dir: str, shared: bool) -> tuple[float, dict]:
     from oarphpy_spark import registry
 
     qs = registry.queries()
-    gq._LP_SHARED.clear()
+    gq.release_shared_edges(spark)
     spark.catalog.clearCache()
     fps = {}
     t0 = time.perf_counter()
     for slug in ("q_link_prediction", "q_link_prediction_sketch"):
         if not shared:
-            gq._LP_SHARED.clear()
+            gq.release_shared_edges(spark)
         fps[slug] = fingerprint(qs[slug](spark, sf_dir))
     wall = time.perf_counter() - t0
-    gq._LP_SHARED.clear()
+    gq.release_shared_edges(spark)
     return round(wall, 3), fps
 
 

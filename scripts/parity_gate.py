@@ -52,6 +52,12 @@ def main() -> int:
         if probs:
             failed.append(name)
             print(f"FAIL {name}: {probs[:2]}")
+    # The graph family deliberately shares localCheckpointed edge
+    # relations across slugs within the run; release them once at the
+    # end (they are keyed per sf_dir and would outlive the gate).
+    from oarphpy_spark.queries.graph_queries import release_shared_edges
+
+    release_shared_edges(spark)
     line = {
         "ts": time.time(),
         "event": "parity_gate",

@@ -121,9 +121,23 @@ def test_link_prediction_antijoin_is_shuffled_hash(spark):
             ln for ln in plan.splitlines() if "LeftAnti" in ln
         ]
         assert anti_lines, f"no anti-join in plan:\n{plan}"
-        assert all("ShuffledHashJoin" in ln for ln in anti_lines), (
-            f"anti-join strategy regressed:\n{plan}"
+        # The non-edge anti-join keys on the packed uv bigint; the
+        # sketch path additionally routes the adjacency through a
+        # broadcast anti-join against the (2|E|/T)-bounded hub set
+        # (keyed on s) — that one MUST be a broadcast (map-side, no
+        # shuffle of the adjacency), while the uv anti-join MUST stay
+        # a ShuffledHashJoin (broadcast would assume the edge set
+        # fits in memory; SMJ would sort the candidate table).
+        uv_anti = [ln for ln in anti_lines if "[uv" in ln]
+        assert uv_anti, f"no uv anti-join in plan:\n{plan}"
+        assert all("ShuffledHashJoin" in ln for ln in uv_anti), (
+            f"non-edge anti-join strategy regressed:\n{plan}"
         )
+        assert all(
+            "BroadcastHashJoin" in ln
+            for ln in anti_lines
+            if ln not in uv_anti
+        ), f"hub-routing anti-join should broadcast:\n{plan}"
         # degree joins eliminated: nothing joins the aggregated
         # candidate table except the anti-join itself
         assert "SortMergeJoin [u" not in plan

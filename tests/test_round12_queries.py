@@ -150,16 +150,14 @@ def test_retrieval_ndcg_bounds_and_perfect_ranking(spark):
 def test_shared_edge_cache_keyed_per_session_and_sf(spark):
     """_lp_shared_relations caches the materialized edge/degree pair
     per (applicationId, sf_dir): same key returns the SAME DataFrames
-    (no re-derivation), different sf_dir gets its own entry, and
-    _shared_edges rows equal a fresh derivation."""
+    (no re-derivation), release_shared_edges drops the entry (next
+    call rebuilds), and _shared_edges rows equal a fresh derivation."""
     import oarphpy_spark.queries.graph_queries as gq
 
-    gq._LP_SHARED.clear()
+    gq.release_shared_edges(spark)
     pr1, und1, deg1 = gq._lp_shared_relations(spark, SF)
     pr2, _, deg2 = gq._lp_shared_relations(spark, SF)
     assert pr1 is pr2 and deg1 is deg2  # cache hit, not a rebuild
-    key = (spark.sparkContext.applicationId, SF)
-    assert key in gq._LP_SHARED
 
     fresh = {
         (r["s"], r["d"]) for r in gq._copurchase_edges(spark, SF).collect()
@@ -176,4 +174,31 @@ def test_shared_edge_cache_keyed_per_session_and_sf(spark):
         want[s] += 1
         want[d] += 1
     assert got == set(want.items())
-    gq._LP_SHARED.clear()
+
+    # release drops the entry; the next touch rebuilds (new object,
+    # same rows) instead of reusing the unpersisted checkpoint
+    assert gq.release_shared_edges(spark, SF) == 1
+    pr3 = gq._shared_edges(spark, SF)
+    assert pr3 is not pr1
+    assert {(r["s"], r["d"]) for r in pr3.collect()} == fresh
+    gq.release_shared_edges(spark)
+
+
+def test_release_shared_edges_drops_checkpoint_blocks(spark):
+    """The public release API must actually free executor storage:
+    each shared relation is an eager localCheckpoint registered in the
+    context's persistent-RDD map, so the map must grow by exactly one
+    per relation built (edges on first family touch, degrees only on
+    the first DEGREE consumer — the lazy split from ADVICE r13) and
+    return to its starting size after release_shared_edges."""
+    import oarphpy_spark.queries.graph_queries as gq
+
+    jsc = spark.sparkContext._jsc
+    gq.release_shared_edges(spark)
+    n0 = jsc.getPersistentRDDs().size()
+    gq._shared_edges(spark, SF)  # edge-only touch: no degree build
+    assert jsc.getPersistentRDDs().size() == n0 + 1
+    gq._lp_shared_relations(spark, SF)  # degree consumer: +1 more
+    assert jsc.getPersistentRDDs().size() == n0 + 2
+    assert gq.release_shared_edges(spark, SF) == 1
+    assert jsc.getPersistentRDDs().size() == n0
