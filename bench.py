@@ -51,6 +51,14 @@ EXTRAS = [
     "q_stream_upsert",         # stateful streaming CDC merge
     "q_link_prediction",       # capped-exact wedge join (slowest sf1.0 extra)
     "q_link_prediction_sketch",  # Horvitz-Thompson T-sample companion
+    # Shared-edge-cache family members (VERDICT r13 item 8): tracked
+    # here so the r13 family win stays visible round-over-round. Their
+    # per-slug walls are shared-cache-warm BY CONSTRUCTION — the
+    # harness prewarms the shared edge relation once and reports its
+    # build cost separately (graph_shared_cache_build_sec).
+    "q_kcore",
+    "q_ktruss",
+    "q_graph_profile",
 ]
 
 
@@ -65,7 +73,10 @@ def _steal_jiffies() -> tuple[int, int]:
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
-        vals = [int(x) for x in parts[1:]]
+        # Only user..steal (first 8 fields): the kernel folds guest /
+        # guest_nice into user/nice already, so including them would
+        # double-count and understate the steal share (ADVICE r13).
+        vals = [int(x) for x in parts[1:9]]
         steal = vals[7] if len(vals) > 7 else 0
         return steal, sum(vals)
     except Exception:  # noqa: BLE001 — telemetry only
@@ -85,6 +96,8 @@ def _needs_another_rep(
         return True
     if len(times) >= max_reps:
         return False
+    if len(times) < 2:  # can't assess agreement from one sample
+        return True
     s = sorted(times)
     return s[1] > s[0] * (1 + agree_tol)
 
@@ -217,7 +230,15 @@ def main() -> None:
         timings: dict[str, float] = {}
         detail: dict[str, dict] = {}
         for name in names:
+            # The warm pass is timed SEPARATELY (warm_sec): for
+            # ride-along-cache operators it includes the cache build,
+            # so a round where timed reps missed the warm cache shows
+            # up as rep times near warm_sec instead of a silent
+            # bimodal headline (VERDICT r13 item 6 — the
+            # q_set_similarity_join 0.8–6.9 s flapping).
+            t0 = time.perf_counter()
             dfs = [run(name)]  # warm pass (builds caches, codegen, pools)
+            warm_sec = round(time.perf_counter() - t0, 4)
             times: list[float] = []
             while _needs_another_rep(times, reps, max_reps, agree_tol):
                 t0 = time.perf_counter()
@@ -228,6 +249,8 @@ def main() -> None:
             detail[name] = {
                 "n_reps": len(times),
                 "spread": round(s[1] / s[0] - 1, 4) if s[0] else 0.0,
+                "warm_sec": warm_sec,
+                "times": times,
             }
             for df in dfs:  # release between queries only
                 try:
@@ -240,12 +263,29 @@ def main() -> None:
     timings, rep_detail = best_of(
         [n for n in HEADLINE if n in qs], reps=3, max_reps=6
     )
+    # Graph-family members share one localCheckpointed edge relation
+    # per (session, sf_dir). Prewarm it ONCE and report its build cost
+    # on its own line: every graph slug's per-query wall below is then
+    # uniformly shared-cache-warm — independent of family ordering —
+    # instead of the first member silently absorbing the build
+    # (ADVICE r13 on r13's order-dependent per-slug walls).
+    from oarphpy_spark.queries.graph_queries import (
+        _shared_edges,
+        release_shared_edges,
+    )
+
+    t0 = time.perf_counter()
+    _shared_edges(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    shared_edge_build = round(time.perf_counter() - t0, 4)
     # Heavy extras: 2 minimum timed reps (they are 5-20x the headline
     # queries' cost; best-of-2 after a warm pass is still a
     # steady-state floor), topped up to 4 only on disagreement.
     extras, extras_detail = best_of(
         [n for n in EXTRAS if n in qs], reps=2, max_reps=4
     )
+    release_shared_edges(spark)
     steal1, total1 = _steal_jiffies()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
@@ -259,6 +299,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extras": extras,
+        # One-time cost of materializing the session-shared co-purchase
+        # edge localCheckpoint consumed by the graph-family extras.
+        # Prewarmed before the extras loop so every graph slug's wall
+        # is shared-cache-warm regardless of ordering; add this back
+        # to reconstruct a cold single-query cost.
+        "graph_shared_cache_build_sec": shared_edge_build,
         # Per-query rep count + spread (= second_best/best - 1) from
         # the adaptive agreement policy. A query still showing a big
         # spread at max reps means even its best rep may be
@@ -296,7 +342,15 @@ def main() -> None:
         # still the per-query min, so v3 values are comparable to v2 —
         # strictly less noise, never a different quantity) + CPU-steal
         # telemetry.
-        "harness_version": 3,
+        # v4 = v3 + (a) graph shared-edge cache prewarmed once before
+        # the extras with its build cost on graph_shared_cache_build_sec
+        # (r13's graph per-slug walls depended on family ordering — the
+        # first member absorbed the build; v4 walls are uniformly
+        # cache-warm, so graph-slug comparisons start fresh at r14),
+        # (b) per-query warm_sec + raw rep times in rep_detail
+        # (ride-along-cache diagnosis), (c) steal jiffies summed over
+        # user..steal only. Headline semantics unchanged from v2/v3.
+        "harness_version": 4,
     }
     print(json.dumps(out))
 
