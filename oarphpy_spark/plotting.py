@@ -66,6 +66,22 @@ def render_histogram_html(
     return f"<div><b>{_html.escape(title)}</b>{svg}{table}</div>"
 
 
+def _example_li(e) -> str:
+    """One example list item: PNG/JPEG bytes render as an inline
+    thumbnail (base64 data URI, display clamped to 128x128 — the
+    reference's histogram-examples HTML embeds images the same way via
+    ``img_to_img_tag``, ``oarphpy/plotting.py:74-94``); everything
+    else, including non-image bytes, is escaped text."""
+    if isinstance(e, (bytes, bytearray, memoryview)):
+        from oarphpy_spark.util.images import image_bytes_to_img_tag
+
+        tag = image_bytes_to_img_tag(e)
+        if tag is not None:
+            return f"<li>{tag}</li>"
+        return f"<li>({len(bytes(e))}-byte blob)</li>"
+    return f"<li>{_html.escape(str(e))}</li>"
+
+
 def render_histogram_interactive_html(
     hist_df: DataFrame,
     title: str = "histogram",
@@ -118,9 +134,7 @@ def render_histogram_interactive_html(
         )
         examples = d.get("examples")
         ex_html = (
-            "".join(
-                f"<li>{_html.escape(str(e))}</li>" for e in list(examples)[:10]
-            )
+            "".join(_example_li(e) for e in list(examples)[:10])
             if examples
             else "<li>(no examples recorded)</li>"
         )

@@ -135,3 +135,102 @@ def test_to_bokeh_import_error_without_bokeh(spark, monkeypatch):
     df = spark.range(10).selectExpr("cast(id as double) AS x")
     with pytest.raises(ImportError, match="render_histogram_interactive"):
         to_bokeh(df_histogram(df, "x", 5))
+
+
+def test_img_to_data_uri_roundtrip_and_golden():
+    """URI-byte golden for the data-URI inliner (reference parity:
+    oarphpy/plotting.py:38-57): png_encode is deterministic (fixed
+    zlib level, filter 0), so the URI for a fixed array is a stable
+    string — pin it, and prove the payload round-trips bit-exact."""
+    import base64
+
+    import numpy as np
+
+    from oarphpy_spark.util.images import img_to_data_uri, png_decode
+
+    img = np.array([[0, 128], [255, 64]], dtype=np.uint8)
+    uri = img_to_data_uri(img)
+    assert uri == (
+        "data:image/png;base64,iVBORw0KGgoAAAANSUhEUgAAAAIAAAACCAAAAAB"
+        "X3VL4AAAADklEQVR4nGNgaGD47wAABEQBwOpq4d8AAAAASUVORK5CYII="
+    )
+    payload = base64.b64decode(uri.split(",", 1)[1])
+    assert (png_decode(payload) == img).all()
+    # already-encoded bytes pass through untouched (no transcode)
+    assert img_to_data_uri(payload) == uri
+    # jpeg bytes get the honest mimetype (divergence from the
+    # reference, which labels everything image/png — documented)
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 8
+    assert img_to_data_uri(fake_jpeg).startswith("data:image/jpeg;base64,")
+
+
+def test_img_to_img_tag_viewports():
+    """image_viewport_hw downscales the PIXELS (nearest-neighbor)
+    before encoding; display_viewport_hw only shrinks the rendered
+    height/width attributes — the reference's two-knob contract
+    (oarphpy/plotting.py:74-94)."""
+    import base64
+    import re
+
+    import numpy as np
+
+    from oarphpy_spark.util.images import (
+        get_hw_in_viewport,
+        img_to_img_tag,
+        png_decode,
+        resize_nearest,
+    )
+
+    assert get_hw_in_viewport((200, 100), (100, 100)) == (100, 50)
+    assert get_hw_in_viewport((100, 400), (100, 100)) == (25, 100)
+    assert get_hw_in_viewport((50, 50), (100, 100)) == (50, 50)  # no upscale
+
+    img = np.arange(200 * 100, dtype=np.uint8).reshape(200, 100)
+    tag = img_to_img_tag(img, image_viewport_hw=(50, 50))
+    m = re.match(r'<img src="data:image/png;base64,([^"]+)" '
+                 r'height="(\d+)" width="(\d+)" />', tag)
+    assert m, tag
+    decoded = png_decode(base64.b64decode(m.group(1)))
+    assert decoded.shape == (50, 25)  # pixels actually shrank
+    assert (int(m.group(2)), int(m.group(3))) == (50, 25)
+    assert (decoded == resize_nearest(img, (50, 25))).all()
+
+    # display viewport: attributes shrink, pixels do not
+    tag2 = img_to_img_tag(img, display_viewport_hw=(100, 100))
+    m2 = re.match(r'<img src="data:image/png;base64,([^"]+)" '
+                  r'height="(\d+)" width="(\d+)" />', tag2)
+    assert png_decode(base64.b64decode(m2.group(1))).shape == (200, 100)
+    assert (int(m2.group(2)), int(m2.group(3))) == (100, 50)
+
+
+def test_render_interactive_embeds_image_examples(spark):
+    """Binary PNG/JPEG examples render as inline thumbnails in the
+    interactive histogram (the reference's histogram-examples HTML
+    embeds images via img_to_img_tag); non-image bytes degrade to a
+    size note, strings stay escaped text."""
+    import numpy as np
+
+    from oarphpy_spark.util.images import png_encode
+
+    png = bytes(png_encode(np.full((4, 6), 7, dtype=np.uint8)))
+    rows = [
+        Row(bucket=0, lo=0.0, hi=1.0, count=2,
+            examples=[png, b"not an image"]),
+        Row(bucket=1, lo=1.0, hi=2.0, count=1, examples=[png]),
+    ]
+    html = render_histogram_interactive_html(
+        spark.createDataFrame(rows), title="thumbs"
+    )
+    assert "data:image/png;base64," in html
+    assert "(12-byte blob)" in html
+
+    # string examples keep the escaped-text path (one DataFrame can't
+    # mix binary and string example arrays — Spark would coerce both
+    # to string, stringifying the bytes)
+    html2 = render_histogram_interactive_html(
+        spark.createDataFrame(
+            [Row(bucket=0, lo=0.0, hi=1.0, count=1, examples=["<plain>"])]
+        ),
+        title="texts",
+    )
+    assert "&lt;plain&gt;" in html2
