@@ -1151,26 +1151,29 @@ def _link_prediction_sketch_plan(
     # sampling: it rides through the wedge join so the final per-pair
     # degree joins vanish from the candidate-table path (same
     # candidate-table discipline as the exact path — at 1B-node scale
-    # the degree table is not broadcastable). adj feeds both routing
-    # branches below, so it is persisted for the duration of the call.
-    adj = und.join(
-        deg.select(F.col("node").alias("d"), F.col("dg").alias("dd")),
-        "d",
-    ).persist()
+    # the degree table is not broadcastable).
+    dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("dd"))
     # dg<=T bypass (VERDICT r13 item 4): a center at or below T keeps
     # ALL its neighbors (oracle: rk <= T never filters) with weight
-    # exactly 1 — paying the collect_list/array_sort/slice sample
-    # stage there was a weight-1 passthrough, and at these SFs that
-    # is nearly every center. Route on the HUB set instead:
+    # exactly 1 — the collect_list/array_sort/slice sample stage is a
+    # weight-1 passthrough there. Route on the HUB set:
     # |hubs| <= 2|E|/T nodes (sum of degrees bounds it), so it
-    # broadcasts — the dg<=T rows then never shuffle at all (a
-    # broadcast anti-join is map-side), and only the hub adjacency
-    # pays the top-T aggregation. Past broadcastability (~10^8 hubs
-    # at 10^10 edges) drop the hint and both routing joins degrade to
-    # shuffles — still strictly less work than sampling every center.
+    # broadcasts — the dg<=T rows then skip the sample aggregation
+    # entirely (a broadcast anti-join is map-side), and only the hub
+    # adjacency pays the top-T shuffle+sort. Past broadcastability
+    # (~10^8 hubs at 10^10 edges) drop the hint and the routing joins
+    # degrade to shuffles — still less work than sampling everything.
+    # `und` is a free projection of the checkpointed edge relation, so
+    # each branch re-derives its slice rather than persisting a shared
+    # adjacency (measured: the extra 2|E|-row materialization cost
+    # more than the double scan saves).
     hubs = deg.filter(F.col("dg") > T).select(F.col("node").alias("s"))
-    low = adj.join(F.broadcast(hubs), "s", "left_anti").select(
-        "s", "d", "dd", F.lit(1000000).cast("bigint").alias("wm")
+    low = (
+        und.join(F.broadcast(hubs), "s", "left_anti")
+        .join(dd, "d")
+        .select(
+            "s", "d", "dd", F.lit(1000000).cast("bigint").alias("wm")
+        )
     )
     # Hub top-T selection as ONE hash aggregation instead of a
     # row_number() window (the window form paid a WindowGroupLimit
@@ -1184,7 +1187,8 @@ def _link_prediction_sketch_plan(
     # partial-aggregates map-side (list concat), so the shuffle
     # carries per-key partial lists, not a global sort.
     high = (
-        adj.join(F.broadcast(hubs), "s", "left_semi")
+        und.join(F.broadcast(hubs), "s", "left_semi")
+        .join(dd, "d")
         .select(
             "s",
             "d",
@@ -1263,9 +1267,9 @@ def _link_prediction_sketch_plan(
         .limit(20)
     )
     # pr/deg are session-shared (localCheckpointed, not persist()ed) —
-    # only the per-call adjacency/sample caches are released by the
+    # only the per-call sampled-adjacency cache is released by the
     # caller.
-    return out, [adj, w]
+    return out, [w]
 
 
 @query(

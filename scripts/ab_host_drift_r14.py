@@ -41,10 +41,10 @@ SLUGS = [
 ]
 
 
-def arm_run(repo: str, sf_dir: str, reps: int) -> dict:
+def arm_run(repo: str, sf_dir: str, reps: int, slugs: list[str]) -> dict:
     p = subprocess.run(
         [sys.executable, RUNNER, "--repo", repo, "--sf-dir", sf_dir,
-         "--slugs", ",".join(SLUGS), "--reps", str(reps)],
+         "--slugs", ",".join(slugs), "--reps", str(reps)],
         capture_output=True, text=True, timeout=1800,
     )
     for ln in p.stdout.splitlines():
@@ -61,18 +61,25 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--r11", default="/tmp/ab_r11")
+    ap.add_argument("--r11", default="/tmp/ab_r11",
+                    help="baseline-arm checkout (any commit's worktree)")
+    ap.add_argument("--slugs", default=",".join(SLUGS),
+                    help="comma list overriding the default slug set")
+    ap.add_argument("--baseline-commit", default="8ef6de6",
+                    help="recorded in the artifact for provenance")
+    ap.add_argument("--event", default="ab_host_drift_r14")
     ap.add_argument("--out", default=os.path.join(REPO, "AB_HOST_DRIFT_r14.json"))
     ap.add_argument(
         "--no-log", action="store_true",
         help="skip the PROGRESS.jsonl append (smoke runs)",
     )
     args = ap.parse_args()
+    slugs = args.slugs.split(",")
 
     runs: list[dict] = []
     for rnd in range(args.rounds):
         for label, repo in (("head", REPO), ("r11", args.r11)):
-            rec = arm_run(repo, args.sf_dir, args.reps)
+            rec = arm_run(repo, args.sf_dir, args.reps, slugs)
             rec["arm"], rec["round"] = label, rnd
             runs.append(rec)
             print(
@@ -87,14 +94,14 @@ def main() -> None:
     for arm in per_arm:
         sel = [r for r in runs if r["arm"] == arm]
         calib[arm] = min(r["cpu_calib_sec"] for r in sel)
-        for s in SLUGS:
+        for s in slugs:
             per_arm[arm][s] = min(min(r["slugs"][s]) for r in sel)
     fp_match = {
-        s: len({r["fps"][s] for r in runs}) == 1 for s in SLUGS
+        s: len({r["fps"][s] for r in runs}) == 1 for s in slugs
     }
     calib_ratio = calib["head"] / calib["r11"] if calib["r11"] else 1.0
     verdicts = {}
-    for s in SLUGS:
+    for s in slugs:
         raw = per_arm["head"][s] / per_arm["r11"][s]
         # Arms are interleaved minutes apart, so calib_ratio ~ 1; it is
         # applied anyway so residual drift inside the session window
@@ -109,7 +116,7 @@ def main() -> None:
             "verdict": "ok" if norm <= 1.10 else "regressed",
         }
     out = {
-        "event": "ab_host_drift_r14",
+        "event": args.event,
         "ts": time.time(),
         "protocol": (
             "interleaved fresh-process arms head/r11/head/r11/...; "
@@ -117,7 +124,8 @@ def main() -> None:
             "arm runs; per-process cpu_calib_sec (min across runs per "
             "arm) normalizes residual drift"
         ),
-        "r11_commit": "8ef6de6",
+        "r11_commit": args.baseline_commit,
+        "baseline_checkout": args.r11,
         "cpu_calib_sec": calib,
         "calib_ratio_head_over_r11": round(calib_ratio, 4),
         "verdicts": verdicts,
@@ -128,7 +136,7 @@ def main() -> None:
     if not args.no_log:
         with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as f:
             f.write(json.dumps({
-                "ts": time.time(), "event": "ab_host_drift_r14",
+                "ts": time.time(), "event": args.event,
                 "verdicts": {s: v["verdict"] for s, v in verdicts.items()},
                 "ratios": {
                     s: v["calib_norm_ratio"] for s, v in verdicts.items()
