@@ -42,15 +42,14 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 13: the never-verified new query first, then every
-    # implementation changed this round (the 7-query graph family on
-    # the shared edge cache, both link-prediction paths, the
-    # retrieval-ndcg left-join restatement), then the record-age
-    # backlog stalest-first (r04 codec pair, the r05 band, the r06
-    # band). q_sim_topk (r08, VERDICT r12 item 4) takes the final
-    # slot. The audit's record-age rule (AGE_LIMIT=4) makes unchanged
-    # old records seatable — the driver record itself ages.
-    "q_cluster_get_info",
+    # --- round 14: no never-verified slugs remain. Changed code
+    # first: the shared-edge-cache restructure (public release API,
+    # lazy degree build) touches the whole graph family, the sketch
+    # dg<=T bypass touches both link-prediction paths, and
+    # q_scc_sizes / q_revenue_gini share the module / the weighted
+    # edge helper. Then the record-age backlog oldest-first from
+    # scripts/staleness_audit.py (the r06 stream band, the r06/r07
+    # iterative-graph band, the r07 analytics band).
     "q_kcore",
     "q_ktruss",
     "q_triangle_count",
@@ -60,46 +59,47 @@ _ROUND_PRIORITY = [
     "q_graph_profile",
     "q_link_prediction",
     "q_link_prediction_sketch",
-    "q_retrieval_ndcg",
-    "q_rowadapter_roundtrip",
-    "q_tensor_codec",
-    "q_cohort_retention",
-    "q_group_sample_k",
-    "q_min_max_by",
-    "q_regexp_extract_all",
-    "q_sql_correlated_scalar",
-    "q_sql_tpch_q1",
-    "q_sql_tpch_q11",
-    "q_sql_tpch_q13",
-    "q_sql_tpch_q14",
-    "q_sql_tpch_q15",
-    "q_sql_tpch_q16",
-    "q_sql_tpch_q17",
-    "q_sql_tpch_q19",
-    "q_sql_tpch_q2",
-    "q_sql_tpch_q20",
-    "q_sql_tpch_q21",
-    "q_sql_tpch_q22",
-    "q_sql_tpch_q4",
-    "q_sql_tpch_q7",
-    "q_sql_tpch_q8",
-    "q_unpivot",
-    "q_window_first_last",
-    "q_zorder_layout",
-    "q_archive_source",
-    "q_attribution_last_touch",
-    "q_bigram_lm_score",
-    "q_binary_auc",
-    "q_bridge_shard_roundtrip",
-    "q_cdc_apply",
-    "q_compact_files",
-    "q_drift_ks",
-    "q_drift_tvd",
-    "q_dup_span_detect",
-    "q_entity_resolution",
-    "q_event_debounce",
-    "q_feature_hashing",
-    "q_sim_topk",
+    "q_scc_sizes",
+    "q_revenue_gini",
+    "q_join_asof_tolerance",
+    "q_label_propagation",
+    "q_markov_transitions",
+    "q_multimodal_audio",
+    "q_nhop_reach",
+    "q_outlier_mad",
+    "q_pagerank",
+    "q_pareto_skyline",
+    "q_ppr",
+    "q_scd2_intervals",
+    "q_score_calibration",
+    "q_sink_orc",
+    "q_sql_tpch_q12",
+    "q_sql_tpch_q9",
+    "q_stream_enriched",
+    "q_stream_interval_join",
+    "q_stream_sessionize",
+    "q_stream_sliding",
+    "q_stream_stateful_totals",
+    "q_stream_tumbling",
+    "q_stream_upsert",
+    "q_table_diff",
+    "q_tfevents_scan",
+    "q_ts_gapfill",
+    "q_unigram_lm_score",
+    "q_weighted_sample",
+    "q_anomaly_rolling_z",
+    "q_assoc_rules",
+    "q_attribution_linear",
+    "q_bootstrap_ci",
+    "q_bpe_merge_candidates",
+    "q_chi_square",
+    "q_cogroup_click_purchase",
+    "q_component_sizes",
+    "q_confusion_matrix",
+    "q_cuped",
+    "q_embedding_covariance",
+    "q_embedding_norm_stats",
+    "q_ewma_dyadic",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)
