@@ -183,6 +183,12 @@ def main() -> None:
             **{
                 "spark.sql.files.maxPartitionBytes": str(split),
                 "spark.sql.shuffle.partitions": str(cpus * 2),
+                # The driver JVM's unified logging (e.g. [gc,alloc]
+                # GCLocker warnings under allocation pressure) writes
+                # to STDOUT, which must carry exactly ONE JSON line —
+                # a leaked warning would corrupt the recorded bench
+                # artifact. log4j noise already goes to stderr.
+                "spark.driver.extraJavaOptions": "-Xlog:disable",
             },
         )
 
