@@ -44,12 +44,17 @@ ORACLE_MEM = os.environ.get("PARITY_ORACLE_MEM", "16GB")
 # key) measured 5x WORSE (459 s), so 260 s is the realistic floor
 # here, not a stall artifact. That is legitimate work, not a runaway;
 # the flat 180 s cap was below even the idle cost (hence the r12
-# exclusions). 3x budget = idle cost x ~2 stall headroom, still well
-# below the pathological oracles this cap exists for (pre-rewrite
-# closures ran 400+ s AND unbounded RSS; these are flat-memory).
+# exclusions). The oracle worker deliberately runs CONCURRENTLY with
+# the Spark engine side (cores shared), so the headroom must cover
+# contention, not just stalls: r14 measured the exact-LP oracle
+# blowing the 3x budget (540 s) on an otherwise-idle box purely from
+# engine-side contention. 4x = idle cost x ~2.8 contention+stall
+# headroom — still well below the pathological oracles this cap
+# exists for (pre-rewrite closures ran 400+ s AND unbounded RSS;
+# these are flat-memory).
 ORACLE_BUDGET_MULT = {
-    "q_link_prediction": 3.0,
-    "q_link_prediction_sketch": 3.0,
+    "q_link_prediction": 4.0,
+    "q_link_prediction_sketch": 4.0,
 }
 
 
