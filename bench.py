@@ -299,7 +299,64 @@ def main() -> None:
         else 0.0
     )
 
-    out = {
+    out = _assemble_output(
+        rep_detail=rep_detail,
+        extras_detail=extras_detail,
+        load_before=load_before,
+        load_initial=load_initial,
+        contaminated=contaminated,
+        timings=timings,
+        extras=extras,
+        shared_edge_build=shared_edge_build,
+        steal_pct=steal_pct,
+        calib=_cpu_calibration(),
+        sf=sf,
+    )
+    print(json.dumps(out))
+
+
+def _assemble_output(
+    *,
+    rep_detail: dict,
+    extras_detail: dict,
+    load_before: float,
+    load_initial: float,
+    contaminated: bool,
+    timings: dict[str, float],
+    extras: dict[str, float],
+    shared_edge_build: float,
+    steal_pct: float,
+    calib: float,
+    sf: float,
+) -> dict:
+    # KEY ORDER IS LOAD-BEARING (VERDICT r14 item 1): the grading
+    # driver retains only the LAST 2000 chars of bench stdout, and
+    # harness v4's rep_detail blobs grew the JSON until the summary
+    # keys fell off the retained tail — BENCH_r14.json could not be
+    # read for headline totals.  json.dumps preserves dict insertion
+    # order, so the bulky diagnostic blobs (rep_detail,
+    # extras_rep_detail) are emitted FIRST and every summary key the
+    # judge reads (metric/value/queries/extras/calib/steal/sf) LAST,
+    # guaranteeing the truncated tail is always self-contained.
+    # JSON objects are semantically unordered, so consumers are
+    # unaffected.
+    return {
+        # Per-query rep count + spread (= second_best/best - 1) from
+        # the adaptive agreement policy. A query still showing a big
+        # spread at max reps means even its best rep may be
+        # stall-inflated — check cpu_steal_pct before comparing rounds.
+        "rep_detail": rep_detail,
+        "extras_rep_detail": extras_detail,
+        # 1-min load average when timing STARTED (after the settle
+        # wait).  bench now refuses to start hot: it polls until load
+        # < $SPARK_GRAFT_MAX_LOAD (default 2.0) or the wait budget
+        # ($SPARK_GRAFT_LOAD_WAIT_SEC, default 600 s) runs out; if it
+        # still couldn't settle, load_contaminated=true marks the
+        # reading as untrustworthy for round-over-round comparison.
+        "load_avg_before": load_before,
+        "load_avg_initial": load_initial,
+        "load_contaminated": contaminated,
+        # --- summary section (must stay LAST; see key-order note) ---
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -311,12 +368,6 @@ def main() -> None:
         # is shared-cache-warm regardless of ordering; add this back
         # to reconstruct a cold single-query cost.
         "graph_shared_cache_build_sec": shared_edge_build,
-        # Per-query rep count + spread (= second_best/best - 1) from
-        # the adaptive agreement policy. A query still showing a big
-        # spread at max reps means even its best rep may be
-        # stall-inflated — check cpu_steal_pct before comparing rounds.
-        "rep_detail": rep_detail,
-        "extras_rep_detail": extras_detail,
         # Hypervisor CPU-steal share over the timed section (from
         # /proc/stat): load average can't see co-tenant contention.
         "cpu_steal_pct": steal_pct,
@@ -324,17 +375,8 @@ def main() -> None:
         # workload, min-of-3, single thread). Divide two rounds'
         # values to get the host-speed ratio before reading anything
         # into a headline delta — steal% misses frequency throttling.
-        "cpu_calib_sec": _cpu_calibration(),
+        "cpu_calib_sec": calib,
         "sf": sf,
-        # 1-min load average when timing STARTED (after the settle
-        # wait).  bench now refuses to start hot: it polls until load
-        # < $SPARK_GRAFT_MAX_LOAD (default 2.0) or the wait budget
-        # ($SPARK_GRAFT_LOAD_WAIT_SEC, default 600 s) runs out; if it
-        # still couldn't settle, load_contaminated=true marks the
-        # reading as untrustworthy for round-over-round comparison.
-        "load_avg_before": load_before,
-        "load_avg_initial": load_initial,
-        "load_contaminated": contaminated,
         # Measurement-semantics version.  v1 = r01-r09 (reps reuse the
         # warm pass's ride-along caches; no cross-query release).
         # BENCH_r10 was taken under an unversioned interim harness that
@@ -356,9 +398,10 @@ def main() -> None:
         # (b) per-query warm_sec + raw rep times in rep_detail
         # (ride-along-cache diagnosis), (c) steal jiffies summed over
         # user..steal only. Headline semantics unchanged from v2/v3.
+        # r15: summary keys emitted last (tail-truncation safety);
+        # measurement semantics identical to v4, so no version bump.
         "harness_version": 4,
     }
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,47 @@ def _read_members(path: str, names: list[str]) -> list[bytes]:
         return [t.extractfile(n).read() for n in names]
 
 
+class ArchiveFileFlyweight:
+    """Reference-named lazy flyweight for one archive member
+    (reference ``oarphpy/util/archive_flyweight.py:86-137``): holds
+    only (member name, archive path); ``.data`` opens the archive
+    where accessed — metadata ships, bytes don't. The DataFrame-native
+    equivalent is :func:`archive_df` (metadata-only driver listing +
+    executor-local reads); this class closes symbol-level
+    discoverability parity and pickles as a 2-tuple of strings, so
+    instances broadcast/ship to executors cheaply."""
+
+    __slots__ = ("name", "archive_path")
+
+    def __init__(self, name: str = "", archive_path: str = ""):
+        self.name = name
+        self.archive_path = archive_path
+
+    @property
+    def data(self) -> bytes:
+        return _read_members(self.archive_path, [self.name])[0]
+
+    def __getstate__(self):
+        return (self.name, self.archive_path)
+
+    def __setstate__(self, state):
+        self.name, self.archive_path = state
+
+    def __repr__(self) -> str:
+        return (
+            f"ArchiveFileFlyweight({self.name!r}, {self.archive_path!r})"
+        )
+
+    @staticmethod
+    def fws_from(archive_path: str) -> "list[ArchiveFileFlyweight]":
+        """All file members of ``archive_path`` as flyweights —
+        reference ``fws_from`` (archive_flyweight.py:118-137)."""
+        path = os.path.abspath(archive_path)
+        return [
+            ArchiveFileFlyweight(n, path) for n in _list_members(path)
+        ]
+
+
 def archive_df(
     spark: SparkSession, path: str, n_partitions: int | None = None
 ) -> DataFrame:

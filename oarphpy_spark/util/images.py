@@ -165,6 +165,18 @@ def jpeg_header_dimensions(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+def get_jpeg_size(jpeg_bytes) -> tuple[int, int]:
+    """Reference-named alias for :func:`jpeg_header_dimensions`
+    (reference ``oarphpy/util/misc.py:305-329``): same header-only SOF
+    scan, but matches the reference's contract — raises ``ValueError``
+    on a non-JPEG payload instead of returning None, and returns
+    (width, height)."""
+    wh = jpeg_header_dimensions(bytes(jpeg_bytes))
+    if wh is None:
+        raise ValueError("Invalid JPEG header")
+    return wh
+
+
 def image_dimensions(data: bytes) -> tuple[int, int] | None:
     """(width, height) for PNG or JPEG bytes, header-only."""
     data = bytes(data)
@@ -221,14 +233,22 @@ def img_to_data_uri(img, format: str = "png") -> str:
     base64 text is not additionally URL-quoted — RFC 2397 accepts raw
     base64 and quoting inflates the URI ~3% for zero benefit. Arrays
     are encoded with the dependency-free :func:`png_encode`; raw bytes
-    pass through without a transcode. ``format='jpg'`` for arrays
+    pass through without a transcode (``format`` is ignored — the
+    mimetype is SNIFFED from the payload: PNG signature, JPEG SOI
+    marker, else ``application/octet-stream`` so e.g. GIF/WebP bytes
+    are never mislabeled — ADVICE r14). ``format='jpg'`` for arrays
     needs pillow (optional dependency, same policy as
     ``oarphpy_spark.llm.multimodal``)."""
     from base64 import b64encode
 
     if isinstance(img, (bytes, bytearray, memoryview)):
         data = bytes(img)
-        mime = "image/png" if data.startswith(_PNG_SIG) else "image/jpeg"
+        if data.startswith(_PNG_SIG):
+            mime = "image/png"
+        elif data.startswith(b"\xff\xd8"):
+            mime = "image/jpeg"
+        else:
+            mime = "application/octet-stream"
     elif format == "png":
         data, mime = png_encode(img), "image/png"
     elif format in ("jpg", "jpeg"):
@@ -272,7 +292,13 @@ def img_to_img_tag(
     if display_viewport_hw is not None:
         dh, dw = get_hw_in_viewport((dh, dw), display_viewport_hw)
     src = img_to_data_uri(arr, format=format)
-    return f'<img src="{src}" height="{dh}" width="{dw}" />'
+    # Floor at 1px: get_hw_in_viewport truncates to int, so an extreme
+    # aspect ratio can yield a 0 display dim that hides the thumbnail
+    # (the reference has the same flaw — documented safe divergence;
+    # image_bytes_to_img_tag already clamps, ADVICE r14).
+    return (
+        f'<img src="{src}" height="{max(1, dh)}" width="{max(1, dw)}" />'
+    )
 
 
 def image_bytes_to_img_tag(

@@ -84,6 +84,22 @@ def main() -> None:
                 release_cached(df)
             except Exception:  # noqa: BLE001 — teardown
                 pass
+        # Graph-family slugs also warm the session-shared edge
+        # localCheckpoint; without releasing it between slugs, the
+        # FIRST graph slug in the list absorbs the build cost and
+        # later ones ride warm — order-dependent per-slug walls, the
+        # exact comparability gap bench v4 fixed (ADVICE r14). Guarded
+        # getattr: old checkouts (pre-r13) lack the module/function.
+        try:
+            gq = __import__(
+                "oarphpy_spark.queries.graph_queries",
+                fromlist=["release_shared_edges"],
+            )
+            release_shared = getattr(gq, "release_shared_edges", None)
+            if release_shared is not None:
+                release_shared(spark)
+        except Exception:  # noqa: BLE001 — teardown
+            pass
     out["cpu_calib_sec"] = round(min(calib_before, cpu_calib_sec()), 4)
     print("ABARM " + json.dumps(out))
 

@@ -222,20 +222,10 @@ def main() -> None:
 
         from oarphpy_spark.llm.dedup import release_cached
 
-        def run_once(name: str) -> float:
-            t0 = time.perf_counter()
+        def exec_once(name: str):
             df = qs[name](spark, data_dir)
-            try:
-                df.write.mode("overwrite").format("noop").save()
-            finally:
-                # SQL-cached plans persist until explicit unpersist;
-                # a 40-query single-session smoke would otherwise
-                # accumulate every operator's ride-along caches.
-                try:
-                    release_cached(df)
-                except Exception:  # noqa: BLE001 — teardown must not kill the sweep
-                    pass
-            return round(time.perf_counter() - t0, 4)
+            df.write.mode("overwrite").format("noop").save()
+            return df
 
         # This box is a shared VM with sporadic multi-second host
         # stalls (nonzero CPU steal; measured r12: the same sf2.0
@@ -250,17 +240,47 @@ def main() -> None:
         REP_THRESHOLD_SEC = 12.0
 
         def run(name: str) -> float:
-            a = run_once(name)
-            b = run_once(name)
+            # bench-v4 build/query split (VERDICT r14 item 5): an
+            # untimed-into-the-wall warm pass builds the ride-along
+            # caches and is recorded separately in warm_secs; timed
+            # reps reuse them (caches released between QUERIES only),
+            # so per-query walls — and therefore the sf2/sf1 scale
+            # ratios this smoke exists to measure — reflect query
+            # cost, not cache-build cost. r14's worst ratio
+            # (q_set_similarity_join 2.79) was measured under the old
+            # release-every-rep semantics, where each rep re-paid the
+            # token-cache build; smoke values from r15 on are
+            # comparable to each other but not to r14-and-earlier
+            # smokes for ride-along-cache operators.
+            t0 = time.perf_counter()
+            dfs = [exec_once(name)]
+            warm_secs[name] = round(time.perf_counter() - t0, 4)
+
+            def timed() -> float:
+                t0 = time.perf_counter()
+                dfs.append(exec_once(name))
+                return round(time.perf_counter() - t0, 4)
+
+            a = timed()
+            b = timed()
             best, reps = min(a, b), 2
             if best < REP_THRESHOLD_SEC and abs(a - b) > 0.25 * best:
-                best = min(best, run_once(name))
+                best = min(best, timed())
                 reps = 3
             rep_counts[name] = reps
+            # SQL-cached plans persist until explicit unpersist; a
+            # 40-query single-session smoke would otherwise accumulate
+            # every operator's ride-along caches.
+            for df in dfs:
+                try:
+                    release_cached(df)
+                except Exception:  # noqa: BLE001 — teardown must not kill the sweep
+                    pass
             return best
 
         qs = registry.queries()
         rep_counts: dict[str, int] = {}
+        warm_secs: dict[str, float] = {}
         names = [n for n in bench.HEADLINE if n in qs]
         timings: dict[str, float] = {}
         for name in names:
@@ -270,11 +290,28 @@ def main() -> None:
         # total stays comparable to the recorded baseline): the
         # fact-fact TPC-H joins, the iterative PageRank, and the
         # transitive-closure clustering.
+        #
+        # Graph-family members share one localCheckpointed edge
+        # relation per (session, data_dir): prewarm it once and report
+        # its build cost on its own line (same shape as bench v4), so
+        # every graph slug's wall is uniformly shared-cache-warm
+        # instead of the first member absorbing the build.
+        from oarphpy_spark.queries.graph_queries import (
+            _shared_edges,
+            release_shared_edges,
+        )
+
+        t0 = time.perf_counter()
+        _shared_edges(spark, data_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        shared_edge_build = round(time.perf_counter() - t0, 4)
         extra_timings: dict[str, float] = {}
         for name in EXTRA_SCALE:
             if name not in qs:
                 continue
             extra_timings[name] = run(name)
+        release_shared_edges(spark)
     finally:
         spark.stop()
 
@@ -288,7 +325,16 @@ def main() -> None:
         "sf": args.replicas / 10.0,
         "build_sec": build_sec,
         "rep_counts": rep_counts,
+        # Per-query warm-pass wall (includes ride-along cache builds;
+        # compare to the timed min to see how much of a query's cold
+        # cost is cache construction — the bench-v4 split).
+        "warm_secs": warm_secs,
+        "graph_shared_cache_build_sec": shared_edge_build,
         "skew": audit,
+        # r14-and-earlier smokes released caches between reps, so
+        # every rep re-paid ride-along cache builds; r15+ values use
+        # the bench-v4 warm/timed split above.
+        "measurement_semantics": "v2-warm-split",
         "ok": len(audit["violations"]) == 0,
     }
     line = json.dumps(out)

@@ -74,6 +74,62 @@ def test_adaptive_rep_policy():
     assert not need([3.0, 2.0, 1.0, 5.0, 4.0, 6.0], 3, 6)
 
 
+def test_output_summary_survives_tail_truncation():
+    """The grading driver keeps only the LAST 2000 chars of bench
+    stdout (BENCH_r14.json lost its headline totals when rep_detail
+    grew past that). `_assemble_output` must emit every summary key
+    AFTER the bulky diagnostic blobs so the truncated tail is always
+    self-contained — simulate a rep_detail far larger than any real
+    round's and assert the summary parses out of the tail alone."""
+    import json
+
+    bench = _load_bench()
+    fat_detail = {
+        f"q_{i:03d}": {
+            "n_reps": 6,
+            "spread": 0.0123,
+            "warm_sec": 1.2345,
+            "times": [1.2345, 1.2346, 1.2347, 1.2348, 1.2349, 1.235],
+        }
+        for i in range(40)  # ~2.5x the real headline+extras count
+    }
+    out = bench._assemble_output(
+        rep_detail=fat_detail,
+        extras_detail=fat_detail,
+        load_before=0.5,
+        load_initial=0.5,
+        contaminated=False,
+        timings={f"q_{i:03d}": 1.0 for i in range(15)},
+        extras={f"x_{i:02d}": 5.0 for i in range(10)},
+        shared_edge_build=2.9,
+        steal_pct=0.03,
+        calib=0.3246,
+        sf=0.1,
+    )
+    line = json.dumps(out)
+    tail = line[-2000:]
+    for key in (
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "extras",
+        "graph_shared_cache_build_sec",
+        "cpu_steal_pct",
+        "cpu_calib_sec",
+        "sf",
+        "harness_version",
+    ):
+        assert f'"{key}"' in tail, f"summary key {key!r} fell off the tail"
+    # The whole per-query timings dict must be intact in the tail, not
+    # just its opening brace: reconstruct it from the tail substring.
+    frag = "{" + tail[tail.index('"metric"') :]
+    parsed = json.loads(frag)
+    assert parsed["value"] == 15.0
+    assert len(parsed["queries"]) == 15 and len(parsed["extras"]) == 10
+    assert parsed["cpu_calib_sec"] == 0.3246
+
+
 def test_steal_and_calibration_probes():
     bench = _load_bench()
     steal, total = bench._steal_jiffies()

@@ -162,6 +162,50 @@ def test_img_to_data_uri_roundtrip_and_golden():
     # reference, which labels everything image/png — documented)
     fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 8
     assert img_to_data_uri(fake_jpeg).startswith("data:image/jpeg;base64,")
+    # unrecognized bytes (e.g. GIF/WebP) must NOT be labeled jpeg —
+    # the mimetype is sniffed, never assumed (ADVICE r14)
+    assert img_to_data_uri(b"GIF89a" + b"\x00" * 8).startswith(
+        "data:application/octet-stream;base64,"
+    )
+
+
+def test_img_to_img_tag_clamps_zero_display_dims():
+    """Extreme aspect ratios truncate a display dim to 0 in
+    get_hw_in_viewport; the emitted attributes must floor at 1px or
+    the thumbnail renders invisible (ADVICE r14 — same clamp
+    image_bytes_to_img_tag already had)."""
+    import re
+
+    import numpy as np
+
+    from oarphpy_spark.util.images import img_to_img_tag
+
+    img = np.zeros((1, 500), dtype=np.uint8)  # 500:1 aspect
+    tag = img_to_img_tag(img, display_viewport_hw=(100, 100))
+    m = re.search(r'height="(\d+)" width="(\d+)"', tag)
+    assert int(m.group(1)) >= 1 and int(m.group(2)) >= 1
+
+
+def test_get_jpeg_size_reference_alias():
+    """get_jpeg_size matches the reference contract
+    (oarphpy/util/misc.py:305-329): (width, height) on a JPEG,
+    ValueError on anything else — unlike jpeg_header_dimensions'
+    None-return."""
+    import pytest
+
+    from oarphpy_spark.util.images import (
+        get_jpeg_size,
+        jpeg_header_dimensions,
+    )
+
+    # minimal JPEG: SOI + SOF0 segment carrying 17x42 dims
+    sof = b"\xff\xc0" + (8 + 3).to_bytes(2, "big") + b"\x08"
+    sof += (42).to_bytes(2, "big") + (17).to_bytes(2, "big") + b"\x01"
+    jpeg = b"\xff\xd8" + sof + b"\x00" * 16
+    assert get_jpeg_size(jpeg) == (17, 42)
+    assert get_jpeg_size(jpeg) == jpeg_header_dimensions(jpeg)
+    with pytest.raises(ValueError):
+        get_jpeg_size(b"not a jpeg")
 
 
 def test_img_to_img_tag_viewports():
