@@ -42,64 +42,63 @@ import oarphpy_spark.queries.windows_events  # noqa: F401
 from oarphpy_spark import registry
 
 _ROUND_PRIORITY = [
-    # --- round 14: no never-verified slugs remain. Changed code
-    # first: the shared-edge-cache restructure (public release API,
-    # lazy degree build) touches the whole graph family, the sketch
-    # dg<=T bypass touches both link-prediction paths, and
-    # q_scc_sizes / q_revenue_gini share the module / the weighted
-    # edge helper. Then the record-age backlog oldest-first from
-    # scripts/staleness_audit.py (the r06 stream band, the r06/r07
-    # iterative-graph band, the r07 analytics band).
-    "q_kcore",
-    "q_ktruss",
-    "q_triangle_count",
-    "q_triangle_count_sampled",
-    "q_degree_distribution",
-    "q_graph_assortativity",
-    "q_graph_profile",
+    # --- round 15: no never-verified slugs remain. Changed code
+    # first: q_link_prediction (the _link_prediction_exact helper
+    # gained the enforced hub-exclusion counter, VERDICT r14 item 6).
+    # Then the record-age backlog oldest-first from
+    # scripts/staleness_audit.py (the r07/r08 analytics + property
+    # bands — much of SS2.B's last driver-green was r10 and ages into
+    # the AGE_LIMIT=4 rule this round).
     "q_link_prediction",
-    "q_link_prediction_sketch",
-    "q_scc_sizes",
-    "q_revenue_gini",
-    "q_join_asof_tolerance",
-    "q_label_propagation",
-    "q_markov_transitions",
-    "q_multimodal_audio",
-    "q_nhop_reach",
-    "q_outlier_mad",
-    "q_pagerank",
-    "q_pareto_skyline",
-    "q_ppr",
-    "q_scd2_intervals",
-    "q_score_calibration",
-    "q_sink_orc",
-    "q_sql_tpch_q12",
-    "q_sql_tpch_q9",
-    "q_stream_enriched",
-    "q_stream_interval_join",
-    "q_stream_sessionize",
-    "q_stream_sliding",
-    "q_stream_stateful_totals",
-    "q_stream_tumbling",
-    "q_stream_upsert",
-    "q_table_diff",
-    "q_tfevents_scan",
-    "q_ts_gapfill",
-    "q_unigram_lm_score",
-    "q_weighted_sample",
-    "q_anomaly_rolling_z",
-    "q_assoc_rules",
-    "q_attribution_linear",
-    "q_bootstrap_ci",
-    "q_bpe_merge_candidates",
-    "q_chi_square",
-    "q_cogroup_click_purchase",
-    "q_component_sizes",
-    "q_confusion_matrix",
-    "q_cuped",
-    "q_embedding_covariance",
-    "q_embedding_norm_stats",
-    "q_ewma_dyadic",
+    "q_funnel_latency",
+    "q_graph_modularity",
+    "q_grouped_linreg",
+    "q_histogram_2d",
+    "q_hll_merge",
+    "q_hll_relational",
+    "q_interval_coverage",
+    "q_join_salted_skew",
+    "q_kmeans_relational",
+    "q_mann_whitney",
+    "q_negative_sampling",
+    "q_ohlc_bars",
+    "q_pi_deterministic",
+    "q_random_projection",
+    "q_rolling_median",
+    "q_session_entropy",
+    "q_session_paths",
+    "q_snapshot_time_travel",
+    "q_sql_lateral_topk",
+    "q_sql_recursive_reach",
+    "q_stream_late_data",
+    "q_stream_ohlc",
+    "q_time_weighted_avg",
+    "q_token_pmi",
+    "q_udtf_chunks",
+    "q_variant_shred",
+    "q_welch_ttest",
+    "q_acf",
+    "q_benford_digits",
+    "q_bitmap_intersect",
+    "q_cusum_changepoint",
+    "q_dedup_simhash",
+    "q_emb_pq_codebook",
+    "q_event_pattern",
+    "q_exact_global_median",
+    "q_fn_listagg",
+    "q_fn_url",
+    "q_graph_reciprocity",
+    "q_grouped_apply_zscore",
+    "q_heavy_hitters_mergeable",
+    "q_holt_linear",
+    "q_k_anonymity",
+    "q_kaplan_meier",
+    "q_multimodal_dedup",
+    "q_ntile_deciles",
+    "q_p99_contributors",
+    "q_rank1_als",
+    "q_seasonality_index",
+    "q_set_ops_all",
 ]
 
 registry.set_priority(_ROUND_PRIORITY)

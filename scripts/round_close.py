@@ -36,10 +36,12 @@ REPO = "/root/repo"
 PY = sys.executable
 
 
-def sh(args: list[str], timeout: int = 5400) -> dict:
+def sh(args: list[str], timeout: int = 5400, env_extra: dict | None = None) -> dict:
     t0 = time.time()
+    env = dict(os.environ, **(env_extra or {}))
     p = subprocess.run(
-        args, cwd=REPO, capture_output=True, text=True, timeout=timeout
+        args, cwd=REPO, capture_output=True, text=True, timeout=timeout,
+        env=env,
     )
     tail = (p.stdout.strip().splitlines() or [""])[-3:]
     return {
@@ -63,7 +65,14 @@ def main() -> int:
     results: dict[str, dict] = {}
 
     if "pytest" not in skip:
-        r = sh([PY, "-m", "pytest", "tests/", "-q", "--tb=line"])
+        # The close gate runs the FULL suite including the opt-in slow
+        # tier (soaks, registry-wide plan sweep, randomized property
+        # suites); the default `pytest tests/` inner loop skips those
+        # 18 tests to stay fast (VERDICT r14 item 8).
+        r = sh(
+            [PY, "-m", "pytest", "tests/", "-q", "--tb=line"],
+            env_extra={"SPARK_GRAFT_SLOW_TESTS": "1"},
+        )
         results["pytest"] = r
         print("pytest:", r["rc"], r["tail"][-1] if r["tail"] else "")
     if "parity" not in skip:

@@ -8,6 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 
+# Slow tier: randomized partials-vs-numpy property (~12 s);
+# q_covariance_matrix's exact oracle stays default.
+@pytest.mark.slow
 def test_covariance_partials_match_numpy(spark):
     """Distributed integer Gram partials == single-machine numpy on
     the same quantized data, regardless of partitioning."""

@@ -64,6 +64,8 @@ def _row_at_a_time_batches(df, batch_size):
         yield {c: [r[c] for r in batch] for c in cols}
 
 
+# Slow tier: throughput A/B (~30 s), perf evidence not correctness.
+@pytest.mark.slow
 def test_arrow_bridge_beats_row_iterator(spark):
     """The redesign exists to kill per-row pickling (the reference's
     spark_df_to_tf_dataset paid ~9 s per 786 KB shard); assert the

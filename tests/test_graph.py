@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from oarphpy_spark.llm.graph import connected_components
@@ -70,6 +72,9 @@ def test_cc_self_loops_and_duplicates(spark):
     _run(spark, 5, [(1, 1), (1, 2), (2, 1), (1, 2), (3, 4)])
 
 
+# Slow tier: randomized cross-check vs networkx-free references;
+# known-graph cases above stay default.
+@pytest.mark.slow
 def test_cc_random_graphs(spark):
     rng = random.Random(7)
     for trial in range(4):
@@ -288,6 +293,7 @@ def test_label_propagation_two_cliques(spark):
     assert all(got[v] == 10 for v in range(11, 14))
 
 
+@pytest.mark.slow
 def test_sssp_matches_dijkstra_brute_force(spark):
     """Bounded-round Bellman-Ford == brute-force shortest paths on a
     small weighted graph once rounds >= diameter; extra rounds are
@@ -341,6 +347,7 @@ def test_sssp_bounded_rounds_semantics(spark):
     assert got3 == {1: 0, 2: 1, 3: 2, 4: 3}
 
 
+@pytest.mark.slow
 def test_sssp_random_graphs_match_dijkstra(spark):
     """Frontier-only Bellman-Ford == Dijkstra on random weighted
     graphs (converged: rounds >= n)."""
@@ -452,6 +459,7 @@ def _tarjan_sccs(n_nodes: int, edges: list[tuple[int, int]]) -> set[frozenset]:
     return set(sccs)
 
 
+@pytest.mark.slow
 def test_scc_random_graphs_match_tarjan(spark):
     """Distributed trim+coloring SCC == Tarjan on random digraphs."""
     from oarphpy_spark.llm.graph import strongly_connected_components

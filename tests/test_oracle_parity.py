@@ -34,6 +34,9 @@ def test_entry_smoke(spark):
     assert all(k in registry.oracle_sql() or True for k in e.queries())
 
 
+# Slow tier: zero-vector ANSI edge-case sweep over the sim family
+# (~25 s); per-query oracles above stay default.
+@pytest.mark.slow
 def test_sim_queries_zero_vector_parity(spark, tmp_path):
     """Engine vs oracle on a corpus CONTAINING an all-zero vector: the
     engine's try_divide+drop must line up with the oracles' NULL-on-

@@ -5,6 +5,8 @@ whole-stage codegen on the hot paths."""
 
 from __future__ import annotations
 
+import pytest
+
 import io
 from contextlib import redirect_stdout
 
@@ -102,6 +104,9 @@ def test_lsh_signature_has_no_per_row_hashing(spark):
     assert "md5" not in plan.lower()
 
 
+# Slow tier: ~5 min registry-wide plan walk; the close gate runs it
+# every round, and per-query plan gates above stay in the default tier.
+@pytest.mark.slow
 def test_no_accidental_cartesian_products(spark):
     """One walk over EVERY registered query's physical plan, two
     standing hygiene gates:

@@ -5,6 +5,8 @@ Spark relies on for exactly-once recovery."""
 
 from __future__ import annotations
 
+import pytest
+
 from oarphpy_spark.sources.replay_stream import (
     REPLAY_SLICES,
     ReplayStreamReader,
@@ -47,6 +49,8 @@ def test_read_between_offsets_reproduces_live_slices():
     assert again == live
 
 
+# Slow tier: restart/drain soak (~17 s).
+@pytest.mark.slow
 def test_restart_drain_is_exactly_once(spark, tmp_path):
     """Each availableNow start against the SAME checkpoint advances
     exactly one offset slice (simple stream readers snapshot one

@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from oarphpy_spark.operators.bucketing import bucketed_join, write_bucketed
 from oarphpy_spark.operators.skew import salted_agg, salted_broadcast_join
 
+# Whole module is slow-tier: 10M-row smokes duplicate the per-round
+# scripts/scale_smoke.py evidence; the close gate runs them.
+pytestmark = pytest.mark.slow
+
 
 def test_salted_agg_matches_plain(spark):
     # Skewed input: key 'hot' holds 90% of rows.

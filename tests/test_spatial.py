@@ -74,6 +74,8 @@ def _brute_dbscan(rows, eps, minpts):
     return out
 
 
+# Slow tier: O(n^2) brute-force cross-check of the grid plan.
+@pytest.mark.slow
 @pytest.mark.parametrize("seed,eps,minpts", [(11, 60, 4), (12, 90, 5)])
 def test_dbscan_relational_matches_brute_force(spark, seed, eps, minpts):
     """Run the same relational pipeline q_dbscan_grid uses (neighbor

@@ -12,6 +12,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import pytest
+
+# Whole module is slow-tier: multi-minute state soaks; the close
+# gate (SPARK_GRAFT_SLOW_TESTS=1) runs them every round.
+pytestmark = pytest.mark.slow
+
 N_BATCHES = 50
 USERS_PER_BATCH = 6
 

@@ -5,6 +5,8 @@ deletes, deletes of absent keys."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -37,6 +39,9 @@ def _reference_merge(snapshot: dict, stream) -> dict:
     return state
 
 
+# Slow tier: randomized CDC replay property; q_stream_upsert's
+# exact oracle stays in the default tier.
+@pytest.mark.slow
 @given(changes)
 @settings(max_examples=15, deadline=None)
 def test_apply_cdc_matches_sequential_replay(spark, stream):

@@ -3,6 +3,8 @@ laid-out data is bit-identical to the input."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -118,6 +120,8 @@ box_strategy = st.tuples(
 )
 
 
+# Slow tier: randomized lossless-prune property (~25 s).
+@pytest.mark.slow
 @given(rows_strategy, box_strategy)
 @settings(max_examples=8, deadline=None)
 def test_manifest_prune_lossless_property(spark, tmp_path_factory, rows, box):
