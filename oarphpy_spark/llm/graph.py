@@ -351,7 +351,12 @@ def sssp(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    input_canonical: bool = False,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed triangle counting via degree-ordered orientation
     (the MapReduce-classic of Suri & Vassilvitskii, "Counting
@@ -388,22 +393,44 @@ def triangle_count(
     only collects RDD-level caches, not SQL cache entries).
 
     Returns a 1-row DataFrame: (n_triangles, n_edges).
+
+    ``input_canonical=True`` asserts the input is ALREADY canonical
+    (src < dst on every row, distinct, materialized — e.g. the
+    session-shared checkpointed edge relation): the canonicalize +
+    distinct shuffle and its persist are skipped, since re-deduping a
+    checkpoint only re-shuffles rows that cannot change.
+    ``degrees`` optionally supplies a precomputed (node, deg) degree
+    table over the SAME canonical edge set, so a caller that needs
+    degrees anyway (q_graph_profile) doesn't pay the aggregation
+    twice; when absent it is computed here and persisted (it feeds
+    BOTH orientation joins — unpersisted, each join branch re-runs
+    the 2|E|-row union+aggregate).
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if input_canonical:
+        und = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+        persisted: list[DataFrame] = []
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .persist()
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .persist()
-    )
-    deg = (
-        und.select(F.col("lo").alias("node"))
-        .unionByName(und.select(F.col("hi").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+        persisted = [und]
+    if degrees is None:
+        deg = (
+            und.select(F.col("lo").alias("node"))
+            .unionByName(und.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .persist()
+        )
+        persisted.append(deg)
+    else:
+        deg = degrees.select("node", "deg")
     ranked = (
         und.join(deg.withColumnRenamed("node", "lo"), "lo")
         .withColumnRenamed("deg", "deg_lo")
@@ -417,22 +444,37 @@ def triangle_count(
     lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
         (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
     )
-    oriented = ranked.select(
-        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
-        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
-    ).persist()
+    # Repartition + sort the oriented edges on the wedge apex BEFORE
+    # persisting: the cached relation then already carries the
+    # partitioning AND ordering the wedge self-join requires, so both
+    # join arms read the cache with zero Exchange and zero Sort (the
+    # r15 plan showed the cache partitioned by the last join's key,
+    # forcing TWO re-exchanges + sorts of the oriented relation).
+    oriented = (
+        ranked.select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
+        )
+        .repartition("a")
+        .sortWithinPartitions("a")
+        .persist()
+    )
+    persisted.append(oriented)
     w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
     w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
     wedges = w1.join(w2, "a").filter(F.col("x") < F.col("y"))
+    # SHUFFLE_HASH on the |E|-row edge side: a sort-merge closure join
+    # would SORT the wedge relation — orders of magnitude larger than
+    # the edge set — where a shuffled-hash join only streams it.
     closed = wedges.join(
-        und,
+        und.hint("SHUFFLE_HASH"),
         (F.least("x", "y") == F.col("lo"))
         & (F.greatest("x", "y") == F.col("hi")),
     )
     out = closed.agg(
         F.count("*").alias("n_triangles")
     ).crossJoin(und.agg(F.count("*").alias("n_edges")))
-    out._oarphpy_persisted = [und, oriented]
+    out._oarphpy_persisted = persisted
     return out
 
 
@@ -443,6 +485,8 @@ def kcore(
     dst: str = "dst",
     max_iter: int = 12,
     reliable: bool | None = None,
+    *,
+    input_canonical: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Batagelj-Zaversnik
     made distributed): repeatedly drop nodes of degree < k and the
@@ -464,16 +508,23 @@ def kcore(
 
     Returns (node, core_deg): surviving nodes with their in-core
     degree (>= k by construction); empty when no k-core exists.
+
+    ``input_canonical=True`` asserts the input is already canonical
+    (src < dst, distinct, materialized) and skips the canonicalize +
+    distinct shuffle — see ``triangle_count``.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if input_canonical:
+        e = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
-    e = truncate_lineage(e, reliable=reliable)
+        e = truncate_lineage(e, reliable=reliable)
     n_prev = e.count()
     for _ in range(max_iter):
         sym = e.select(F.col("lo").alias("v")).unionByName(
@@ -510,6 +561,8 @@ def ktruss(
     dst: str = "dst",
     max_iter: int = 20,
     reliable: bool | None = None,
+    *,
+    input_canonical: bool = False,
 ) -> DataFrame:
     """k-truss decomposition (Cohen 2008): the maximal subgraph where
     every EDGE participates in >= k-2 triangles — a stricter cohesion
@@ -526,23 +579,38 @@ def ktruss(
     (a < b < c), a union re-keys each triangle to its three edges,
     and one aggregate yields supports — all equi-joins on edge keys,
     and the edge set only SHRINKS round over round, so the expensive
-    first enumeration bounds the total. At 100 TB-scale graphs, swap
-    the enumeration to the degree-oriented form (triangle_count) and
-    batch the peels (drop all edges below threshold per round, as
+    first enumeration bounds the total. The per-round support table
+    is CHECKPOINTED (it is |E|-bounded): the post-convergence support
+    join then re-reads it instead of replaying the final round's full
+    wedge + closure enumeration, which the r14 form paid twice. (An
+    enumerate-once variant that materializes the triangle list and
+    semi-join-filters it per round was measured SLOWER at sf0.1 —
+    13.2 s first rep vs 12.5 s — and its per-round localCheckpoints of
+    the |T|-row triangle relation accumulated storage blocks until
+    reps degraded 13 → 37 s; reverted, r15.) At 100 TB-scale graphs,
+    swap the enumeration to the degree-oriented form (triangle_count)
+    and batch the peels (drop all edges below threshold per round, as
     here — not one-at-a-time like the sequential algorithm).
+
+    ``input_canonical=True`` asserts the input is already canonical
+    (src < dst, distinct, materialized) and skips the canonicalize +
+    distinct shuffle — see ``triangle_count``.
 
     Returns surviving canonical edges with support:
     (lo, hi, support), support >= k-2.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if input_canonical:
+        e = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
-    e = truncate_lineage(e, reliable=reliable)
+        e = truncate_lineage(e, reliable=reliable)
     n_prev = e.count()
     sup = None
     for _ in range(max_iter):
@@ -575,7 +643,10 @@ def ktruss(
                 tri.select(F.col("b").alias("lo"), F.col("c").alias("hi"))
             )
         )
-        sup = roles.groupBy("lo", "hi").agg(F.count("*").alias("support"))
+        sup = truncate_lineage(
+            roles.groupBy("lo", "hi").agg(F.count("*").alias("support")),
+            reliable=reliable,
+        )
         e_next = truncate_lineage(
             e.join(sup, ["lo", "hi"])
             .filter(F.col("support") >= k - 2)

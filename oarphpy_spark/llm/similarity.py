@@ -166,7 +166,13 @@ def hyperplane_signature_udf(signs: list[list[float]]):
         bits = (M @ S.T) > 0.0  # (N, P)
         return pd.Series((bits @ weights).astype(np.int32))
 
-    return signature
+    # Value-deterministic, but marked non-deterministic so the
+    # optimizer cannot duplicate the evaluation when it pushes the
+    # bucket-join's inferred isnotnull(signature(...)) below the
+    # projection (guide 4.4: the r15 before-plan carried TWO
+    # ArrowEvalPython nodes per side — every corpus row paid the
+    # Arrow transfer + matmul twice).
+    return signature.asNondeterministic()
 
 
 def hyperplane_lsh_topk(
@@ -424,6 +430,13 @@ def ivf_topk(
         order = np.argsort(_dists(v), axis=1, kind="stable")[:, :n_probe]
         return pd.Series([cell_ids[row].astype("int32").tolist() for row in order])
 
+    # Same guide-4.4 de-duplication as hyperplane_signature_udf: both
+    # assigners are value-deterministic, but without the marker the
+    # cell-join's inferred isnotnull pushes below the projection and
+    # re-evaluates the UDF (two ArrowEvalPython per side, r15 plan).
+    assign_cell = assign_cell.asNondeterministic()
+    assign_probe_cells = assign_probe_cells.asNondeterministic()
+
     def assign(df: DataFrame, out_id: str, vec_out: str, norm_out: str,
                cell_expr: "F.Column | None" = None):
         return df.select(
@@ -441,9 +454,19 @@ def ivf_topk(
         # probe cells are pairwise distinct per query and each corpus
         # row has exactly one cell, so the explode join cannot emit a
         # (query, neighbor) pair twice — no dedup shuffle needed.
-        q_assigned = assign(
-            queries, "query_id", "qv", "qn",
-            cell_expr=F.explode(assign_probe_cells(vec_col)),
+        # Two projections: a generator cannot take the (now
+        # non-deterministic) UDF directly, and the split also pins a
+        # single UDF evaluation before the explode.
+        q_assigned = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("qn"),
+            assign_probe_cells(vec_col).alias("probe_cells"),
+        ).select(
+            "query_id",
+            "qv",
+            "qn",
+            F.explode("probe_cells").alias("cell"),
         )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "cell")

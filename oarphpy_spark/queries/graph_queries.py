@@ -217,7 +217,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to avoid."""
     from oarphpy_spark.llm.graph import triangle_count
 
-    return triangle_count(_shared_edges(spark, sf_dir), "s", "d")
+    # input_canonical: the shared edge relation is s < d, distinct and
+    # checkpointed by construction — re-canonicalizing it costs a full
+    # |E| shuffle + a redundant persist (r15 plan audit).
+    return triangle_count(
+        _shared_edges(spark, sf_dir), "s", "d", input_canonical=True
+    )
 
 
 @query(
@@ -329,8 +334,12 @@ def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
         % 10
     )
+    # A deterministic filter over the canonical checkpointed edge
+    # relation is still (s < d, distinct); input_canonical skips the
+    # re-canonicalize shuffle + persist (the md5 coin is recomputed
+    # per consumer — map-only over |E| rows, cheaper than a shuffle).
     sam = und.filter(coin < 3)
-    tri = triangle_count(sam, "s", "d")
+    tri = triangle_count(sam, "s", "d", input_canonical=True)
     return tri.select(
         F.col("n_triangles").alias("n_sampled_triangles"),
         F.round(F.col("n_triangles") * F.lit(1000.0) / F.lit(27.0), 2).alias(
@@ -389,7 +398,11 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrongly. Dense-community extraction / bot-ring mining shape."""
     from oarphpy_spark.llm.graph import kcore
 
-    return kcore(_shared_edges(spark, sf_dir), 60, "s", "d")
+    # input_canonical: the shared edge relation is s < d, distinct
+    # and checkpointed — skip the redundant canonicalize shuffle.
+    return kcore(
+        _shared_edges(spark, sf_dir), 60, "s", "d", input_canonical=True
+    )
 
 
 def _ktruss_oracle(k: int, rounds: int) -> str:
@@ -444,7 +457,11 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     loudly. Output: (lo, hi, support)."""
     from oarphpy_spark.llm.graph import ktruss
 
-    return ktruss(_shared_edges(spark, sf_dir), 12, "s", "d")
+    # input_canonical: the shared edge relation is s < d, distinct
+    # and checkpointed — skip the redundant canonicalize shuffle.
+    return ktruss(
+        _shared_edges(spark, sf_dir), 12, "s", "d", input_canonical=True
+    )
 
 
 @query(
@@ -493,11 +510,17 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without re-deriving the lineitem self-join (and needs no
     # per-call persist/release of its own).
     und = _shared_edges(spark, sf_dir)
+    # The degree table feeds THREE consumers — the profile stats and
+    # both orientation joins inside triangle_count — so it is
+    # persisted once here and handed to the operator (degrees=),
+    # instead of letting each branch re-run the 2|E|-row aggregation
+    # (r15 plan audit: the before-plan re-aggregated degrees twice).
     deg = (
         und.select(F.col("s").alias("v"))
         .unionByName(und.select(F.col("d").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     dstats = deg.agg(
         F.count("*").alias("n_nodes"),
@@ -510,7 +533,13 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(deg * (deg - 1) AS BIGINT) div 2")
         ).cast("long").alias("n_wedges"),
     )
-    tri = triangle_count(und, "s", "d")
+    tri = triangle_count(
+        und,
+        "s",
+        "d",
+        input_canonical=True,
+        degrees=deg.select(F.col("v").alias("node"), "deg"),
+    )
     out = (
         dstats.crossJoin(tri)
         .select(
@@ -528,7 +557,7 @@ def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._oarphpy_persisted = list(
         getattr(tri, "_oarphpy_persisted", [])
-    )
+    ) + [deg]
     return out
 
 
@@ -1034,6 +1063,11 @@ def _link_prediction_exact_plan(
     # Wedge centers above the cap never enter the self-join: the
     # filter lands on the (small) degree table and semi-joins the
     # adjacency BEFORE the quadratic expansion.
+    # (r15 negative result: persisting this relation pre-partitioned +
+    # pre-sorted on the wedge center s did NOT remove the consumer-side
+    # Exchange/Sort — AQE wraps the cached plan and hides its output
+    # partitioning — and A/B'd at 1.03/0.96 normalized, a wash;
+    # reverted to keep the cache build one exchange cheaper.)
     capped = (
         und.join(
             deg.filter(F.col("dg") <= degree_cap).select(
@@ -1257,7 +1291,9 @@ def _link_prediction_sketch_plan(
     )
     # w feeds BOTH wedge sides: without the persist each side re-runs
     # the routing joins (and the hub sample stage) over the full 2|E|
-    # adjacency.
+    # adjacency. (r15: pre-partitioning + pre-sorting the persist on s
+    # was A/B'd a wash — AQE hides the cache's partitioning from the
+    # merge-join consumers — and reverted; see the exact path.)
     w = low.unionAll(high).persist()
     a, b = w.alias("a"), w.alias("b")
     # (u, v) packed into one bigint — same key discipline (and the

@@ -575,8 +575,11 @@ def test_triangle_count_caches_shared_subtrees(spark):
     # chain); oriented feeds both wedge sides.
     assert len(names) >= 3, names
 
+    # und + deg + oriented: deg joined the persisted set in r15 (it
+    # feeds BOTH orientation joins; unpersisted, each branch re-ran
+    # the 2|E|-row degree aggregation).
     cached = out._oarphpy_persisted
-    assert isinstance(cached, list) and len(cached) == 2
+    assert isinstance(cached, list) and len(cached) == 3
     assert all(df.storageLevel != StorageLevel.NONE for df in cached)
     release_cached(out)
     assert all(df.storageLevel == StorageLevel.NONE for df in cached)
