@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oarphpy_spark.functions.vectors import dot, dot_lit, l2_norm
+from oarphpy_spark.util.partitioning import spread
 
 
 def _paired_cosine() -> "F.Column":
@@ -76,7 +77,11 @@ def brute_force_topk(
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(
+    # spread(): a small corpus parquet scans as ONE split, serializing
+    # the |corpus| x |queries| dot products onto a single task; the
+    # guard repartitions iff the scan is narrower than the cluster
+    # (no-op on real many-split inputs — guide 2.5 "input skew").
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
@@ -188,7 +193,9 @@ def hyperplane_lsh_topk(
     Same output shape as ``brute_force_topk`` (recall < 1 by design)."""
     signs = hyperplane_signs(num_planes, dim or _vec_dim(corpus, vec_col))
     signature = hyperplane_signature_udf(signs)
-    c = corpus.select(
+    # spread(): see brute_force_topk — the corpus-side signature UDF
+    # must not run on a single scan split.
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
@@ -221,7 +228,9 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Within-block embedding near-duplicates: pairs with cosine >=
     threshold. Blocks bound the quadratic term (LSH buckets at scale)."""
-    docs = df.select(
+    # spread(): see brute_force_topk — the within-block pair expansion
+    # must not run on a single scan split.
+    docs = spread(df).select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("v"),
@@ -289,7 +298,9 @@ def two_stage_rerank_topk(
     from oarphpy_spark.llm.embeddings import quantize_int8
 
     nz_q = queries.filter(l2_norm(F.col(vec_col)) > 0)
-    nz_c = corpus.filter(l2_norm(F.col(vec_col)) > 0)
+    # spread(): see brute_force_topk — both corpus passes (coarse int8
+    # scan and the rerank re-read) are compute-heavy per row.
+    nz_c = spread(corpus).filter(l2_norm(F.col(vec_col)) > 0)
     qq = quantize_int8(nz_q, vec_col, id_col).select(
         F.col(id_col).alias("query_id"), F.col("q").alias("qq")
     )
@@ -447,7 +458,9 @@ def ivf_topk(
              else assign_cell(vec_col)).alias("cell"),
         )
 
-    c_assigned = assign(corpus, "neighbor_id", "cv", "cn")
+    # spread(): see brute_force_topk — the corpus-side cell-assignment
+    # UDF must not run on a single scan split.
+    c_assigned = assign(spread(corpus), "neighbor_id", "cv", "cn")
     if n_probe <= 1:
         q_assigned = assign(queries, "query_id", "qv", "qn")
     else:
@@ -496,7 +509,8 @@ def hyperplane_lsh_topk_multiprobe(
     hash tables is too expensive."""
     signs = hyperplane_signs(num_planes, dim or _vec_dim(corpus, vec_col))
     signature = hyperplane_signature_udf(signs)
-    c = corpus.select(
+    # spread(): see brute_force_topk.
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),

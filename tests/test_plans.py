@@ -104,6 +104,48 @@ def test_lsh_signature_has_no_per_row_hashing(spark):
     assert "md5" not in plan.lower()
 
 
+def _dup_python_evals(formatted_plan: str) -> list[str]:
+    """Python-UDF calls evaluated by MORE THAN ONE eval node in a
+    formatted physical plan (optimization-guide 4.4: the optimizer
+    duplicates a deterministic UDF when it pushes a filter on the
+    UDF's output below the producing projection — every row then pays
+    the Python boundary twice). Input expr-ids are KEPT (the corpus
+    and query sides legitimately evaluate the same UDF on different
+    columns); only the call's result-id is stripped so re-evaluations
+    of the SAME call match. Formatted mode is required: the tree view
+    prints shared cached subtrees twice, but the numbered details
+    section lists every physical operator exactly once."""
+    import re
+
+    calls = [
+        re.sub(r"#\d+$", "", m.group(1).split("], [")[0])
+        for m in re.finditer(
+            r"^\(\d+\) (?:Arrow|Batch)EvalPython\n(?:.*\n)*?"
+            r"Arguments: \[(.*?)\]",
+            formatted_plan,
+            re.M,
+        )
+    ]
+    return sorted({c for c in calls if calls.count(c) > 1})
+
+
+def test_sim_family_single_udf_evaluation(spark):
+    """The LSH signature / IVF cell-assignment pandas UDFs must be
+    evaluated ONCE per side (r15: the bucket-join's inferred isnotnull
+    pushed below the projection and doubled every ArrowEvalPython;
+    fixed with asNondeterministic on the value-deterministic UDFs)."""
+    for name in (
+        "q_sim_lsh_topk",
+        "q_sim_ivf_topk",
+        "q_sim_lsh_multiprobe",
+        "q_sim_ivf_multiprobe",
+        "q_sim_lsh_recall",
+        "q_retrieval_ndcg",
+    ):
+        dupes = _dup_python_evals(_plan(spark, name))
+        assert not dupes, f"{name}: duplicated UDF evaluation {dupes}"
+
+
 # Slow tier: ~5 min registry-wide plan walk; the close gate runs it
 # every round, and per-query plan gates above stay in the default tier.
 @pytest.mark.slow
@@ -129,14 +171,24 @@ def test_no_accidental_cartesian_products(spark):
     cartesian: list[str] = []
     undocumented: list[str] = []
     unbounded: list[str] = []
+    dup_udf: list[str] = []
     for name, fn in sorted(registry.queries().items()):
         try:
             df = fn(spark, SF_SMALL)
             plan = df._jdf.queryExecution().executedPlan().toString()
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            formatted = buf.getvalue()
         except Exception:  # noqa: BLE001 - plan-only audit
             continue
         if "CartesianProduct" in plan:
             cartesian.append(name)
+        # Gate 3 (r15): no query may evaluate the same Python UDF call
+        # in two eval nodes (guide 4.4 duplication; see
+        # _dup_python_evals). Swept clean registry-wide at r15.
+        if _dup_python_evals(formatted):
+            dup_udf.append(name)
         bad = _unpartitioned_window_indices(plan)
         if not bad:
             continue
@@ -164,6 +216,7 @@ def test_no_accidental_cartesian_products(spark):
     assert not cartesian, f"CartesianProduct in: {cartesian}"
     assert not undocumented, f"undocumented unpartitioned windows: {undocumented}"
     assert not unbounded, f"unpartitioned windows over unbounded input: {unbounded}"
+    assert not dup_udf, f"duplicated Python UDF evaluation in: {dup_udf}"
 
 
 def test_token_topk_partial_agg_and_ordered_limit(spark):
