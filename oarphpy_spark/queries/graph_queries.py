@@ -126,6 +126,12 @@ def release_shared_edges(
             dropped += 1
             for df in entry.values():
                 _release_checkpoint(df)
+    # Wedge-exchange sizing memos ride the same lifecycle: they were
+    # derived from the (now released) degree table, so drop them for
+    # every (app, sf_dir) the loop above released.
+    for key in list(_LP_WEDGE_N):
+        if key[0] != app or sf_dir is None or key[1] == sf_dir:
+            _LP_WEDGE_N.pop(key)
     return dropped
 
 
@@ -927,6 +933,72 @@ _LP_DEGREE_CAP = 4096
 # skew; Horvitz-Thompson weights undo the sampling bias exactly.
 _LP_SKETCH_T = 128
 
+# Target rows per partition for the wedge-pair aggregation exchange
+# (see _wedge_agg_partitions): ~750K wedge rows -> ~500K groups/task
+# at the measured ~1.47 duplicate ratio -> a ~30 MB per-task
+# aggregation hash table, comfortably inside one task's execution
+# memory even at 32 concurrent tasks on an 8 GB heap (r16 event-log
+# audit: at 64 post-shuffle partitions the same aggregation spilled
+# 5-12 GB per stage).
+_WEDGE_ROWS_PER_PARTITION = 750_000
+
+# (applicationId, sf_dir, degree_cap, sample_t) -> partition count for
+# the wedge aggregation exchange. Memoized beside _LP_SHARED (purged
+# by release_shared_edges) so only the first plan build per session
+# pays the 1-row sizing job.
+_LP_WEDGE_N: dict[tuple[str, str, int | None, int | None], int] = {}
+
+
+def _wedge_agg_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    degree_cap: int | None = None,
+    sample_t: int | None = None,
+) -> int:
+    """Partition count for the wedge-pair aggregation exchange, derived
+    from the DATA (guide §2 'scale-adaptive, not a constant'): the
+    wedge volume is exactly sum over eligible centers of C(deg, 2) —
+    computable from the session-shared |V|-row degree table with one
+    1-row aggregate job (milliseconds; memoized per session/sf/cap, so
+    timed bench reps never re-pay it). ``degree_cap`` sizes the exact
+    path (centers above the cap are excluded before expansion);
+    ``sample_t`` sizes the sketch path (a center contributes at most
+    C(T, 2) wedges after top-T sampling). Floor of 2x
+    defaultParallelism keeps small inputs fully parallel; the result
+    scales with wedge volume, never with the local core count."""
+    key = (spark.sparkContext.applicationId, sf_dir, degree_cap, sample_t)
+    if key not in _LP_WEDGE_N:
+        _, _, deg = _lp_shared_relations(spark, sf_dir)
+        d = F.col("dg")
+        sel = deg
+        if sample_t is not None:
+            d = F.least(d, F.lit(sample_t))
+        else:
+            sel = deg.filter(F.col("dg") <= degree_cap)
+        wedge_rows = (
+            sel.agg(
+                F.sum(
+                    (d.cast("double") * (d - F.lit(1)).cast("double"))
+                    / F.lit(2.0)
+                ).alias("w")
+            ).collect()[0]["w"]
+            or 0.0
+        )
+        import math
+
+        par = spark.sparkContext.defaultParallelism
+        _LP_WEDGE_N[key] = int(
+            min(
+                max(
+                    math.ceil(wedge_rows / _WEDGE_ROWS_PER_PARTITION),
+                    2 * par,
+                ),
+                200_000,
+            )
+        )
+    return _LP_WEDGE_N[key]
+
 
 @query(
     "q_link_prediction",
@@ -1035,7 +1107,17 @@ def _link_prediction_exact_plan(
     32.5 -> 22.6 s warm interleaved A/B, identical top-20): the
     aggregated candidate table is ~100x |E| (sf0.1: 101M pairs from
     1.2M edges), so NOTHING may touch it except on its own
-    partitioning key. Three moves:
+    partitioning key. Four moves:
+
+    * the candidate aggregation's exchange sits BELOW the aggregation
+      (explicit wedge-volume-sized repartition on the packed pair
+      key, r16): the default partial+final split built ~task-sized
+      partial hash tables over the wedge relation for a measured
+      ~1.47x reduction — 5-8 GB of map-side spill plus 12 GB of
+      final-agg spill at 64 post-shuffle partitions. Raw wedge rows
+      stream to the shuffle instead, and the data-derived partition
+      count (see ``_wedge_agg_partitions``) bounds every task's
+      aggregation state at any scale;
 
     * degrees ride ALONG the wedge join (d-side degree attached to the
       adjacency before expansion), so the two per-pair degree joins
@@ -1086,21 +1168,41 @@ def _link_prediction_exact_plan(
     uv = F.shiftleft(F.col("a.d").cast("bigint"), 32) + F.col(
         "b.d"
     ).cast("bigint")
-    cn = (
+    # Explicit repartition of the RAW wedge rows on the group key,
+    # sized from the wedge volume (r16, guide §2.5/§5): with the
+    # default groupBy placement the map side ran a partial aggregation
+    # over its whole slice of the ~148M-row wedge relation — but the
+    # global duplicate ratio is only ~1.47 (101M distinct pairs), so
+    # the partial hash tables reduced almost nothing while spilling
+    # 5-8 GB per stage and tripling GC (event-log audit, sf0.1/64
+    # post-shuffle partitions; the final aggregation spilled another
+    # 12 GB). Moving the exchange BELOW the aggregation makes the map
+    # side a pure join+write (zero hash state, zero spill) and lets
+    # the partition count bound each task's aggregation hash table
+    # (~500K groups -> ~30 MB) regardless of scale. Raw rows are
+    # (uv, du0, dv0) = 3 longs — narrower than the 4-column partial-agg
+    # rows they replace (measured 2033 vs 2135 MB shuffle written).
+    n_agg = _wedge_agg_partitions(spark, sf_dir, degree_cap=degree_cap)
+    wedges = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.d") < F.col("b.d")),
         )
-        .groupBy(uv.alias("uv"))
-        .agg(
-            F.count("*").alias("common"),
+        .select(
+            uv.alias("uv"),
             # functionally dependent on uv; min() carries them through
             # the aggregation deterministically without widening the
             # group key
-            F.min(F.col("a.dd")).alias("du"),
-            F.min(F.col("b.dd")).alias("dv"),
+            F.col("a.dd").alias("du0"),
+            F.col("b.dd").alias("dv0"),
         )
+        .repartition(n_agg, "uv")
+    )
+    cn = wedges.groupBy("uv").agg(
+        F.count("*").alias("common"),
+        F.min("du0").alias("du"),
+        F.min("dv0").alias("dv"),
     )
     pr_uv = pr.select(
         (
@@ -1301,18 +1403,29 @@ def _link_prediction_sketch_plan(
     uv = F.shiftleft(F.col("a.d").cast("bigint"), 32) + F.col(
         "b.d"
     ).cast("bigint")
-    cn = (
+    # Exchange below the aggregation, sized from the (sampled) wedge
+    # volume — same restructure and rationale as the exact path (r16):
+    # the map side streams raw wedge rows to the shuffle instead of
+    # running a near-useless partial aggregation that spilled GBs.
+    n_agg = _wedge_agg_partitions(spark, sf_dir, sample_t=T)
+    wedges = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.d") < F.col("b.d")),
         )
-        .groupBy(uv.alias("uv"))
-        .agg(
-            F.sum(F.col("a.wm")).alias("sm"),
-            F.min(F.col("a.dd")).alias("du"),
-            F.min(F.col("b.dd")).alias("dv"),
+        .select(
+            uv.alias("uv"),
+            F.col("a.wm").alias("wm0"),
+            F.col("a.dd").alias("du0"),
+            F.col("b.dd").alias("dv0"),
         )
+        .repartition(n_agg, "uv")
+    )
+    cn = wedges.groupBy("uv").agg(
+        F.sum("wm0").alias("sm"),
+        F.min("du0").alias("du"),
+        F.min("dv0").alias("dv"),
     )
     pr_uv = pr.select(
         (
