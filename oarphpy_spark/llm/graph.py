@@ -38,6 +38,21 @@ from pyspark.sql import functions as F
 
 from oarphpy_spark.util.checkpoints import truncate_lineage
 
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of the executor blocks behind an eager
+    ``localCheckpoint`` (same mechanism as
+    ``queries.graph_queries._release_checkpoint``): the checkpointed
+    Dataset wraps a ``LogicalRDD`` whose backing RDD holds the blocks;
+    unpersisting it frees them deterministically instead of waiting on
+    driver GC + ContextCleaner. No-op (swallowed) for reliable
+    checkpoints and already-released frames. The DataFrame is unusable
+    afterwards — callers only release frames that nothing references."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort teardown
+        pass
+
 _SRC, _DST = "__cc_src", "__cc_dst"
 
 
@@ -444,21 +459,20 @@ def triangle_count(
     lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
         (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
     )
-    # Repartition + sort the oriented edges on the wedge apex BEFORE
-    # persisting: the cached relation then already carries the
-    # partitioning AND ordering the wedge self-join requires, so both
-    # join arms read the cache with zero Exchange and zero Sort (the
-    # r15 plan showed the cache partitioned by the last join's key,
-    # forcing TWO re-exchanges + sorts of the oriented relation).
-    oriented = (
-        ranked.select(
-            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
-            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
-        )
-        .repartition("a")
-        .sortWithinPartitions("a")
-        .persist()
-    )
+    # NOTE (r16): an r15 edit repartition+sorted the oriented relation
+    # on the apex before persisting, claiming the wedge self-join arms
+    # would then read the cache with no Exchange/Sort. The claim was
+    # FALSE — AQE wraps cached plans (AdaptiveSparkPlan under
+    # InMemoryRelation) and hides their output partitioning, so both
+    # consumer-side Exchange+Sort stayed (r15's own after-plan, lines
+    # 11-14: Sort+Exchange above InMemoryTableScan — the same negative
+    # result the link-prediction experiment recorded and reverted that
+    # round). The edit only ADDED a build-side shuffle; reverted here
+    # and re-A/B'd (AB_TRIANGLE_r16.json).
+    oriented = ranked.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
+    ).persist()
     persisted.append(oriented)
     w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
     w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
@@ -554,6 +568,13 @@ def kcore(
     return sym.groupBy("node").agg(F.count("*").alias("core_deg"))
 
 
+# Max degree up to which ktruss computes per-edge support via
+# adjacency-array intersection (one array per row: 64Ki ints = 512 KB);
+# above it the O(1)-per-task wedge enumeration takes over. Module-level
+# so tests can force either path on the same graph.
+_KTRUSS_INTERSECT_MAX_DEGREE = 65536
+
+
 def ktruss(
     edges: DataFrame,
     k: int,
@@ -574,23 +595,42 @@ def ktruss(
     SQL oracle with >= the real round count is sound — peeling is
     monotone, extra rounds are no-ops).
 
-    Per round: one wedge self-join on the canonical lower endpoint +
-    one closure equi-join enumerates each surviving triangle once
-    (a < b < c), a union re-keys each triangle to its three edges,
-    and one aggregate yields supports — all equi-joins on edge keys,
-    and the edge set only SHRINKS round over round, so the expensive
-    first enumeration bounds the total. The per-round support table
-    is CHECKPOINTED (it is |E|-bounded): the post-convergence support
-    join then re-reads it instead of replaying the final round's full
-    wedge + closure enumeration, which the r14 form paid twice. (An
-    enumerate-once variant that materializes the triangle list and
-    semi-join-filters it per round was measured SLOWER at sf0.1 —
-    13.2 s first rep vs 12.5 s — and its per-round localCheckpoints of
-    the |T|-row triangle relation accumulated storage blocks until
-    reps degraded 13 → 37 s; reverted, r15.) At 100 TB-scale graphs,
-    swap the enumeration to the degree-oriented form (triangle_count)
-    and batch the peels (drop all edges below threshold per round, as
-    here — not one-at-a-time like the sequential algorithm).
+    Per round the support table is recomputed one of three ways,
+    chosen adaptively (r16):
+
+    * **adjacency intersection** (bounded-degree graphs, the measured
+      default): support(lo,hi) = |N(lo) ∩ N(hi)| via one adjacency
+      aggregation + two equi-joins + the JVM ``array_intersect``
+      intrinsic — the same comparison volume as wedge enumeration at
+      ~1000x less per-element cost (sf0.1: the round-0 support stage
+      fell from 265-395 s task time to single digits; q_ktruss wall
+      12.7 -> ~5 s). Gated on max input degree
+      (``_KTRUSS_INTERSECT_MAX_DEGREE``) because one row carries one
+      adjacency array;
+    * **wedge enumeration** (unbounded skew): one wedge self-join on
+      the canonical lower endpoint + one closure equi-join enumerates
+      each triangle once (a < b < c), a union re-keys each triangle to
+      its three edges, one aggregate yields supports — O(1) per-task
+      memory in the max degree;
+    * **incremental decrement** (sparse-deletion rounds, <= 25% of
+      edges deleted): every destroyed triangle contains a deleted
+      edge, so the update enumerates only triangles touching the
+      deletions (work proportional to the deleted edges' degrees) and
+      subtracts them from the survivors' supports — guide §2.4. At
+      sf0.1/k=12 this never fires (the peel deletes 97.6% then 66.6%);
+      it exists for the many-small-rounds regime of real peels.
+
+    The per-round support table is CHECKPOINTED (it is |E|-bounded):
+    the post-convergence support join then re-reads it instead of
+    replaying the final round's full enumeration, which the r14 form
+    paid twice; superseded rounds' checkpoint blocks are released
+    two rounds behind (ADVICE r15). (An enumerate-once variant that
+    materializes the triangle list and semi-join-filters it per round
+    was measured SLOWER at sf0.1 — 13.2 s first rep vs 12.5 s — and
+    its per-round localCheckpoints accumulated storage blocks until
+    reps degraded 13 → 37 s; reverted, r15. A (k-1)-core prefilter
+    was also measured useless here — the sf0.1 co-purchase graph IS
+    its own 11-core.)
 
     ``input_canonical=True`` asserts the input is already canonical
     (src < dst, distinct, materialized) and skips the canonicalize +
@@ -611,12 +651,14 @@ def ktruss(
             .distinct()
         )
         e = truncate_lineage(e, reliable=reliable)
-    n_prev = e.count()
-    sup = None
-    for _ in range(max_iter):
-        e1 = e.alias("e1")
-        e2 = e.alias("e2")
-        e3 = e.alias("e3")
+
+    def wedge_support(e: DataFrame) -> DataFrame:
+        """Per-edge triangle support by full wedge enumeration (one
+        wedge self-join + one closure join + a 3-role re-key);
+        domain = edges in >=1 triangle. Never materializes an
+        adjacency list, so per-task memory is O(1) in the max degree —
+        the unbounded-skew fallback."""
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
         tri = (
             e1.join(
                 e2,
@@ -643,20 +685,189 @@ def ktruss(
                 tri.select(F.col("b").alias("lo"), F.col("c").alias("hi"))
             )
         )
-        sup = truncate_lineage(
-            roles.groupBy("lo", "hi").agg(F.count("*").alias("support")),
-            reliable=reliable,
+        return roles.groupBy("lo", "hi").agg(F.count("*").alias("support"))
+
+    def intersect_support(e: DataFrame) -> DataFrame:
+        """Per-edge triangle support as |N(lo) ∩ N(hi)| over adjacency
+        arrays (the set-intersection family of Latapy, TCS 2008 —
+        'compact-forward'): support(lo,hi) counts the common neighbors
+        of the edge's endpoints, which is exactly the number of
+        triangles through the edge. One adjacency aggregation + two
+        equi-joins; the intersection runs as the JVM array_intersect
+        intrinsic at ~ns per element, where the wedge self-join paid a
+        full codegen join-row production per wedge (~µs) — measured
+        r16 at sf0.1: the round-0 support stage dropped from 265-395 s
+        task time to single-digit seconds on identical 49M-element
+        comparison volume. Domain = ALL current edges (support 0 rows
+        included; the caller's `support > 0` filter normalizes the
+        difference vs the enumeration form). Requires bounded degree:
+        one row holds one adjacency array."""
+        sym = e.select(
+            F.col("lo").alias("n"), F.col("hi").alias("w")
+        ).unionByName(
+            e.select(F.col("hi").alias("n"), F.col("lo").alias("w"))
         )
-        e_next = truncate_lineage(
-            e.join(sup, ["lo", "hi"])
-            .filter(F.col("support") >= k - 2)
-            .select("lo", "hi"),
-            reliable=reliable,
+        adj = sym.groupBy("n").agg(F.collect_list("w").alias("nb"))
+        return (
+            e.join(
+                adj.select(F.col("n").alias("lo"), F.col("nb").alias("nlo")),
+                "lo",
+            )
+            .join(
+                adj.select(F.col("n").alias("hi"), F.col("nb").alias("nhi")),
+                "hi",
+            )
+            .select(
+                "lo",
+                "hi",
+                F.size(F.array_intersect("nlo", "nhi"))
+                .cast("long")
+                .alias("support"),
+            )
         )
+
+    # Scale-adaptive support-operator selection (one cheap degree
+    # aggregation on the INPUT graph — an upper bound for every peel
+    # round, since edges only shrink): adjacency-intersection support
+    # needs one adjacency array per row, so it is gated on the max
+    # degree (512 KB of ints per row at the 65536 threshold); past the
+    # threshold the O(1)-per-task wedge enumeration takes over.
+    max_deg = (
+        e.select(F.col("lo").alias("n"))
+        .unionByName(e.select(F.col("hi").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("dg"))
+        .agg(F.max("dg"))
+        .collect()[0][0]
+        or 0
+    )
+    full_support = (
+        intersect_support
+        if max_deg <= _KTRUSS_INTERSECT_MAX_DEGREE
+        else wedge_support
+    )
+
+    def decremented_support(
+        keeps: DataFrame, deleted: DataFrame, e_old: DataFrame
+    ) -> DataFrame:
+        """Incremental support maintenance (r16, guide §2.4): recompute
+        only around deletions. Every triangle destroyed this round
+        contains >=1 deleted edge, so enumerate the DISTINCT triangles
+        of ``e_old`` touching ``deleted`` (adjacency walk from each
+        deleted edge's lo endpoint + one closure semi-join — work
+        proportional to the deleted edges' degrees, not to |E|), then
+        subtract one from each surviving edge per destroyed triangle.
+        A triangle with 2-3 deleted edges is deduped on its sorted
+        vertex triple, so survivors are decremented exactly once."""
+        sym = e_old.select(
+            F.col("lo").alias("p"), F.col("hi").alias("w")
+        ).unionByName(
+            e_old.select(F.col("hi").alias("p"), F.col("lo").alias("w"))
+        )
+        cand = (
+            deleted.select("lo", "hi")
+            .join(sym, F.col("lo") == F.col("p"))
+            .filter(F.col("w") != F.col("hi"))
+            .select("lo", "hi", "w")
+        )
+        closed = cand.join(
+            e_old.select(
+                F.col("lo").alias("clo"), F.col("hi").alias("chi")
+            ).hint("SHUFFLE_HASH"),
+            (F.least("hi", "w") == F.col("clo"))
+            & (F.greatest("hi", "w") == F.col("chi")),
+            "left_semi",
+        )
+        tri = closed.select(
+            F.array_sort(F.array("lo", "hi", "w")).alias("t")
+        ).distinct()
+        tri = tri.select(
+            F.col("t")[0].alias("a"),
+            F.col("t")[1].alias("b"),
+            F.col("t")[2].alias("c"),
+        )
+        edges3 = (
+            tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+            .unionByName(
+                tri.select(F.col("a").alias("lo"), F.col("c").alias("hi"))
+            )
+            .unionByName(
+                tri.select(F.col("b").alias("lo"), F.col("c").alias("hi"))
+            )
+        )
+        dec = (
+            edges3.join(deleted.select("lo", "hi"), ["lo", "hi"], "left_anti")
+            .groupBy("lo", "hi")
+            .agg(F.count("*").alias("__dec"))
+        )
+        return keeps.join(dec, ["lo", "hi"], "left").select(
+            "lo",
+            "hi",
+            (
+                F.col("support") - F.coalesce(F.col("__dec"), F.lit(0))
+            ).alias("support"),
+        )
+
+    n_prev = e.count()
+    sup = None
+    # pending = (keeps, deleted, e_old): inputs for the next round's
+    # incremental update; None forces a full enumeration.
+    pending = None
+    prev_ckpts: list[DataFrame] = []  # created last round
+    old_ckpts: list[DataFrame] = []  # created two rounds back
+    for _ in range(max_iter):
+        if pending is None:
+            sup = truncate_lineage(full_support(e), reliable=reliable)
+        else:
+            sup = truncate_lineage(
+                decremented_support(*pending), reliable=reliable
+            )
+        # keeps' domain is exactly the surviving edge set: a full
+        # enumeration omits triangle-less edges (support 0 < k-2 for
+        # k >= 3; the support > 0 clause keeps k = 2 consistent with
+        # the enumeration's inner-join semantics), and the incremental
+        # path carries every current edge with its updated support.
+        keeps = sup.filter(
+            (F.col("support") >= k - 2) & (F.col("support") > 0)
+        )
+        e_next = truncate_lineage(keeps.select("lo", "hi"), reliable=reliable)
         n = e_next.count()
-        e = e_next
-        if n == n_prev:
+        n_deleted = n_prev - n
+        made = [sup, e_next]
+        if n_deleted == 0:
+            # Converged. Release every superseded per-round checkpoint
+            # (ADVICE r15): only the final sup/e pair stays alive for
+            # the return join.
+            for df in old_ckpts + prev_ckpts:
+                _unpersist_checkpoint(df)
+            e = e_next
             break
+        # Incremental maintenance pays work proportional to the
+        # deleted edges' adjacency; past ~25% deletions a fresh
+        # enumeration over the (now smaller) survivor set is cheaper.
+        # NOTE: `e` still names the PRE-deletion edge set here — the
+        # adjacency/closure side of the update must see the old graph
+        # (a destroyed triangle's other edges may themselves be
+        # deleted this round).
+        if n > 0 and n_deleted <= 0.25 * n_prev:
+            deleted = truncate_lineage(
+                e.join(e_next, ["lo", "hi"], "left_anti"),
+                reliable=reliable,
+            )
+            made.append(deleted)
+            pending = (keeps, deleted, e)
+        else:
+            pending = None
+        # Checkpoints from two rounds back are unreferenced once this
+        # round's sup/e_next are materialized (eager truncation above);
+        # free their blocks instead of waiting on GC + ContextCleaner
+        # (ADVICE r15 — the reverted enumerate-once experiment measured
+        # reps degrading 13 -> 37 s from exactly this accumulation).
+        for df in old_ckpts:
+            _unpersist_checkpoint(df)
+        old_ckpts = prev_ckpts
+        prev_ckpts = made
+        e = e_next
         n_prev = n
     else:
         raise RuntimeError(f"ktruss did not converge in {max_iter} rounds")
