@@ -292,6 +292,12 @@ def main() -> None:
         [n for n in EXTRAS if n in qs], reps=2, max_reps=4
     )
     release_shared_edges(spark)
+    # Same hygiene for the dedup-LSH family's session-shared bucket
+    # checkpoint (r16): built by q_dedup_minhash's warm pass, released
+    # here so a long-lived caller embedding bench() doesn't leak it.
+    from oarphpy_spark.queries.llm_queries import release_shared_buckets
+
+    release_shared_buckets(spark)
     steal1, total1 = _steal_jiffies()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (total1 - total0), 2)

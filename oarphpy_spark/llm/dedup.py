@@ -117,12 +117,24 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become a candidate pair.
-    Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b."""
-    buckets = minhash_band_buckets(
-        df, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    Output: (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+
+    ``buckets`` optionally supplies a PRE-MATERIALIZED band-bucket
+    relation over the same corpus/params (e.g. a session-shared
+    checkpoint, r16: four registered queries derive identical buckets
+    from the documents table — tokenize + shingle + 8 min-wise hashes,
+    the corpus-proportional part — so one session running several of
+    them should pay that derivation once, like the graph family's
+    shared edge relation). The caller owns its lifecycle: no persist
+    here and no ``_oarphpy_persisted`` ride-along."""
+    shared_buckets = buckets is not None
+    if not shared_buckets:
+        buckets = minhash_band_buckets(
+            df, text_col, id_col, num_hashes, bands, shingle_n
+        )
     # Pair generation: persist the tiny bucket table (bands x (id +
     # 32-byte hash) per doc — a sliver of the corpus) and self-join on
     # (band, h). A one-shuffle alternative (collect_list each bucket
@@ -147,7 +159,9 @@ def minhash_candidate_pairs(
             sizes.filter(F.col("__n") <= max_bucket).select("band", "h"),
             ["band", "h"],
         )
-    buckets = buckets.persist()
+        shared_buckets = False  # capped relation is per-call again
+    if not shared_buckets:
+        buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -164,8 +178,11 @@ def minhash_candidate_pairs(
     # the result as `_oarphpy_persisted`; long-lived sessions that call
     # this repeatedly should `release_cached(pairs)` after
     # materializing, instead of waiting for driver GC + ContextCleaner
-    # to notice the reference is gone.
-    pairs._oarphpy_persisted = buckets
+    # to notice the reference is gone. (Not attached for caller-owned
+    # shared buckets — releasing those per-query would tear down the
+    # session-shared checkpoint under its other consumers.)
+    if not shared_buckets:
+        pairs._oarphpy_persisted = buckets
     return pairs
 
 

@@ -38,6 +38,58 @@ from oarphpy_spark.tables import table
 _EMB_DIM: dict[str, int] = {}
 _IVF_CENTS: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
 
+# (applicationId, sf_dir) -> the materialized MinHash band-bucket
+# relation over the documents table at the registry-standard params
+# (8 hashes / 4 bands / 3-shingles). Four registered queries
+# (q_dedup_minhash, q_dedup_minhash_verified, q_dedup_clusters,
+# q_component_sizes) derive this identical corpus-proportional
+# relation — tokenize + shingle + 8 min-wise hashes per doc — so one
+# session running several of them pays the derivation ONCE (r16,
+# VERDICT r15 item 7; same lifecycle pattern as the graph family's
+# shared edge relation). |buckets| = 4 x |docs| rows of
+# (id, band, 32-char hash) — a sliver of the corpus.
+_MINHASH_SHARED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oarphpy_spark.llm.dedup import minhash_band_buckets
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MINHASH_SHARED:
+        for stale in [k for k in _MINHASH_SHARED if k[0] != key[0]]:
+            _MINHASH_SHARED.pop(stale)
+        _MINHASH_SHARED[key] = minhash_band_buckets(
+            table(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            8,
+            4,
+            3,
+        ).localCheckpoint(eager=True)
+    return _MINHASH_SHARED[key]
+
+
+def release_shared_buckets(
+    spark: SparkSession, sf_dir: str | None = None
+) -> int:
+    """Release the session-shared MinHash bucket checkpoint(s) — the
+    ``release_shared_edges`` counterpart for the dedup-LSH family.
+    Returns the number of live entries dropped; the next family query
+    simply rebuilds."""
+    from oarphpy_spark.queries.graph_queries import _release_checkpoint
+
+    app = spark.sparkContext.applicationId
+    dropped = 0
+    for key in list(_MINHASH_SHARED):
+        stale = key[0] != app
+        if not stale and sf_dir is not None and key[1] != sf_dir:
+            continue
+        df = _MINHASH_SHARED.pop(key)
+        if not stale:
+            dropped += 1
+            _release_checkpoint(df)
+    return dropped
+
 
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
     if sf_dir not in _EMB_DIM:
@@ -137,6 +189,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8,
         bands=4,
         shingle_n=3,
+        buckets=_shared_minhash_buckets(spark, sf_dir),
     )
 
 
@@ -1119,7 +1172,13 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     cand = minhash_candidate_pairs(
-        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        shingle_n=3,
+        buckets=_shared_minhash_buckets(spark, sf_dir),
     )
     # persist: the shingle-set subtree feeds BOTH sides of the
     # verification join and Catalyst does not dedupe differently-
@@ -1181,7 +1240,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id = cluster_id."""
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(
-        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        shingle_n=3,
+        buckets=_shared_minhash_buckets(spark, sf_dir),
     )
     cc = connected_components(pairs, "doc_a", "doc_b")
     labeled = (
@@ -1232,7 +1297,13 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce that restores isolated docs."""
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(
-        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        shingle_n=3,
+        buckets=_shared_minhash_buckets(spark, sf_dir),
     )
     cc = connected_components(pairs, "doc_a", "doc_b")
     labeled = (

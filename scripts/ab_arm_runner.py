@@ -100,6 +100,18 @@ def main() -> None:
                 release_shared(spark)
         except Exception:  # noqa: BLE001 — teardown
             pass
+        # Same for the dedup-LSH family's shared bucket checkpoint
+        # (r16). Guarded getattr: pre-r16 checkouts lack the function.
+        try:
+            lq = __import__(
+                "oarphpy_spark.queries.llm_queries",
+                fromlist=["release_shared_buckets"],
+            )
+            release_b = getattr(lq, "release_shared_buckets", None)
+            if release_b is not None:
+                release_b(spark)
+        except Exception:  # noqa: BLE001 — teardown
+            pass
     out["cpu_calib_sec"] = round(min(calib_before, cpu_calib_sec()), 4)
     print("ABARM " + json.dumps(out))
 
