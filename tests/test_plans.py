@@ -117,15 +117,38 @@ def _dup_python_evals(formatted_plan: str) -> list[str]:
     section lists every physical operator exactly once."""
     import re
 
-    calls = [
-        re.sub(r"#\d+$", "", m.group(1).split("], [")[0])
-        for m in re.finditer(
-            r"^\(\d+\) (?:Arrow|Batch)EvalPython\n(?:.*\n)*?"
-            r"Arguments: \[(.*?)\]",
-            formatted_plan,
-            re.M,
-        )
-    ]
+    def _split_top_level(arglist: str) -> list[str]:
+        """Split a formatted Arguments list on top-level commas only —
+        UDF calls contain commas inside their own parens, so a plain
+        split would shear multi-arg calls apart (ADVICE r15)."""
+        parts, depth, cur = [], 0, []
+        for ch in arglist:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur).strip())
+        return [p for p in parts if p]
+
+    calls: list[str] = []
+    for m in re.finditer(
+        r"^\(\d+\) (?:Arrow|Batch)EvalPython\n(?:.*\n)*?"
+        r"Arguments: \[(.*?)\]",
+        formatted_plan,
+        re.M,
+    ):
+        # First bracket group = the UDF call list (the second is the
+        # node's output attributes). Parse EVERY call in the node, not
+        # just the first, and strip the result-id per call so
+        # re-evaluations of the same call match.
+        for call in _split_top_level(m.group(1).split("], [")[0]):
+            calls.append(re.sub(r"#\d+$", "", call))
     return sorted({c for c in calls if calls.count(c) > 1})
 
 
@@ -150,7 +173,7 @@ def test_sim_family_single_udf_evaluation(spark):
 # every round, and per-query plan gates above stay in the default tier.
 @pytest.mark.slow
 def test_no_accidental_cartesian_products(spark):
-    """One walk over EVERY registered query's physical plan, two
+    """One walk over EVERY registered query's physical plan, three
     standing hygiene gates:
 
     1. No CartesianProduct anywhere. (Broadcast nested-loop joins
@@ -163,7 +186,38 @@ def test_no_accidental_cartesian_products(spark):
        structurally consume a bounded subtree — an aggregate or a
        limit sits between it and the scans. A new query that ranks an
        entity-cardinality relation in a single task fails here before
-       any judge sees it."""
+       any judge sees it.
+    3. No duplicated Python-UDF evaluation (guide 4.4)."""
+    _run_hygiene_sweep(spark, sorted(registry.queries()))
+
+
+def test_hygiene_gates_sampled(spark):
+    """Fast-tier slice of the registry-wide hygiene sweep (VERDICT r15
+    item 8): the full 298-query walk lives in the slow tier (the close
+    gate runs it), but the driver's default pytest run must exercise
+    the same three gates. Deterministic sample: every bench query
+    (headline + extras — the paths the driver times) plus a stable
+    md5-keyed sample of the rest, ~45 queries total, so a hygiene
+    regression on any timed path fails the default suite and every
+    other query keeps rotating coverage via the stable hash (same
+    sample every run — failures are reproducible)."""
+    import hashlib
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import bench
+
+    names = sorted(registry.queries())
+    timed = [n for n in bench.HEADLINE + bench.EXTRAS if n in names]
+    rest = [n for n in names if n not in timed]
+    sampled = sorted(
+        rest,
+        key=lambda n: hashlib.md5(n.encode()).hexdigest(),
+    )[:20]
+    _run_hygiene_sweep(spark, sorted(set(timed + sampled)))
+
+
+def _run_hygiene_sweep(spark, names) -> None:
     from oarphpy_spark import registry
 
     from .test_prefix import _input_subtree, _unpartitioned_window_indices
@@ -172,7 +226,8 @@ def test_no_accidental_cartesian_products(spark):
     undocumented: list[str] = []
     unbounded: list[str] = []
     dup_udf: list[str] = []
-    for name, fn in sorted(registry.queries().items()):
+    qs = registry.queries()
+    for name, fn in ((n, qs[n]) for n in names):
         try:
             df = fn(spark, SF_SMALL)
             plan = df._jdf.queryExecution().executedPlan().toString()
