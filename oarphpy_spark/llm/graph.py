@@ -39,6 +39,33 @@ from pyspark.sql import functions as F
 from oarphpy_spark.util.checkpoints import truncate_lineage
 
 
+def _check_canonical(e: DataFrame, who: str) -> DataFrame:
+    """Debug-tier guard for ``input_canonical=True`` (ADVICE r15): the
+    contract (src < dst on every row, distinct) is normally enforced
+    only by the call-site comments — a caller passing a non-canonical
+    relation gets silently WRONG triangle/k-core/k-truss counts
+    (duplicate or reversed edges inflate wedge closure). Setting
+    ``OARPHPY_SPARK_VALIDATE_CANONICAL=1`` turns misuse into a loud
+    ValueError at the cost of one extra pass over the edges — debug /
+    test tier only, never in the measured path."""
+    import os
+
+    if os.environ.get("OARPHPY_SPARK_VALIDATE_CANONICAL") != "1":
+        return e
+    row = e.select(
+        F.sum((F.col("lo") >= F.col("hi")).cast("long")).alias("bad"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n_distinct = e.distinct().count()
+    if (row["bad"] or 0) > 0 or n_distinct != row["n"]:
+        raise ValueError(
+            f"{who}(input_canonical=True) requires src < dst on every "
+            f"row and no duplicates; got {row['bad'] or 0} non-ordered "
+            f"row(s) and {row['n'] - n_distinct} duplicate(s)"
+        )
+    return e
+
+
 def _unpersist_checkpoint(df: DataFrame) -> None:
     """Best-effort release of the executor blocks behind an eager
     ``localCheckpoint`` (same mechanism as
@@ -422,7 +449,10 @@ def triangle_count(
     the 2|E|-row union+aggregate).
     """
     if input_canonical:
-        und = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+        und = _check_canonical(
+            edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi")),
+            "triangle_count",
+        )
         persisted: list[DataFrame] = []
     else:
         und = (
@@ -528,7 +558,10 @@ def kcore(
     distinct shuffle — see ``triangle_count``.
     """
     if input_canonical:
-        e = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+        e = _check_canonical(
+            edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi")),
+            "kcore",
+        )
     else:
         e = (
             edges.select(
@@ -640,7 +673,10 @@ def ktruss(
     (lo, hi, support), support >= k-2.
     """
     if input_canonical:
-        e = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+        e = _check_canonical(
+            edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi")),
+            "ktruss",
+        )
     else:
         e = (
             edges.select(

@@ -279,6 +279,28 @@ def test_ktruss_known_graphs(spark):
     assert run(tri, 4) == set()
 
 
+def test_input_canonical_validation_guard(spark, monkeypatch):
+    """OARPHPY_SPARK_VALIDATE_CANONICAL=1 turns input_canonical misuse
+    (reversed or duplicate edges) into a loud ValueError instead of
+    silently wrong counts (ADVICE r15); canonical inputs pass."""
+    from oarphpy_spark.llm.graph import triangle_count
+
+    monkeypatch.setenv("OARPHPY_SPARK_VALIDATE_CANONICAL", "1")
+    bad = spark.createDataFrame([(2, 1), (1, 3)], "src long, dst long")
+    with pytest.raises(ValueError, match="non-ordered"):
+        triangle_count(bad, input_canonical=True).collect()
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        triangle_count(dup, input_canonical=True).collect()
+    ok = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    row = triangle_count(ok, input_canonical=True).collect()[0]
+    assert (row.n_triangles, row.n_edges) == (1, 3)
+
+
 def test_ktruss_incremental_path_fires_and_matches(spark):
     """Exercise the r16 incremental support-decrement branch (it never
     fires at bench scale — the sf0.1 peel deletes 97.6% of edges in
