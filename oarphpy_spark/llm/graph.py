@@ -608,6 +608,82 @@ def kcore(
 _KTRUSS_INTERSECT_MAX_DEGREE = 65536
 
 
+def _ktruss_wedge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support by full wedge enumeration (one
+    wedge self-join + one closure join + a 3-role re-key);
+    domain = edges in >=1 triangle. Never materializes an
+    adjacency list, so per-task memory is O(1) in the max degree —
+    the unbounded-skew fallback."""
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.lo") == F.col("e2.lo"))
+            & (F.col("e1.hi") < F.col("e2.hi")),
+        )
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.hi"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
+        )
+    )
+    roles = (
+        tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+        .unionByName(
+            tri.select(F.col("a").alias("lo"), F.col("c").alias("hi"))
+        )
+        .unionByName(
+            tri.select(F.col("b").alias("lo"), F.col("c").alias("hi"))
+        )
+    )
+    return roles.groupBy("lo", "hi").agg(F.count("*").alias("support"))
+
+def _ktruss_intersect_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support as |N(lo) ∩ N(hi)| over adjacency
+    arrays (the set-intersection family of Latapy, TCS 2008 —
+    'compact-forward'): support(lo,hi) counts the common neighbors
+    of the edge's endpoints, which is exactly the number of
+    triangles through the edge. One adjacency aggregation + two
+    equi-joins; the intersection runs as the JVM array_intersect
+    intrinsic at ~ns per element, where the wedge self-join paid a
+    full codegen join-row production per wedge (~µs) — measured
+    r16 at sf0.1: the round-0 support stage dropped from 265-395 s
+    task time to single-digit seconds on identical 49M-element
+    comparison volume. Domain = ALL current edges (support 0 rows
+    included; the caller's `support > 0` filter normalizes the
+    difference vs the enumeration form). Requires bounded degree:
+    one row holds one adjacency array."""
+    sym = e.select(
+        F.col("lo").alias("n"), F.col("hi").alias("w")
+    ).unionByName(
+        e.select(F.col("hi").alias("n"), F.col("lo").alias("w"))
+    )
+    adj = sym.groupBy("n").agg(F.collect_list("w").alias("nb"))
+    return (
+        e.join(
+            adj.select(F.col("n").alias("lo"), F.col("nb").alias("nlo")),
+            "lo",
+        )
+        .join(
+            adj.select(F.col("n").alias("hi"), F.col("nb").alias("nhi")),
+            "hi",
+        )
+        .select(
+            "lo",
+            "hi",
+            F.size(F.array_intersect("nlo", "nhi"))
+            .cast("long")
+            .alias("support"),
+        )
+    )
+
+
+
 def ktruss(
     edges: DataFrame,
     k: int,
@@ -688,80 +764,6 @@ def ktruss(
         )
         e = truncate_lineage(e, reliable=reliable)
 
-    def wedge_support(e: DataFrame) -> DataFrame:
-        """Per-edge triangle support by full wedge enumeration (one
-        wedge self-join + one closure join + a 3-role re-key);
-        domain = edges in >=1 triangle. Never materializes an
-        adjacency list, so per-task memory is O(1) in the max degree —
-        the unbounded-skew fallback."""
-        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-        tri = (
-            e1.join(
-                e2,
-                (F.col("e1.lo") == F.col("e2.lo"))
-                & (F.col("e1.hi") < F.col("e2.hi")),
-            )
-            .join(
-                e3,
-                (F.col("e3.lo") == F.col("e1.hi"))
-                & (F.col("e3.hi") == F.col("e2.hi")),
-            )
-            .select(
-                F.col("e1.lo").alias("a"),
-                F.col("e1.hi").alias("b"),
-                F.col("e2.hi").alias("c"),
-            )
-        )
-        roles = (
-            tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
-            .unionByName(
-                tri.select(F.col("a").alias("lo"), F.col("c").alias("hi"))
-            )
-            .unionByName(
-                tri.select(F.col("b").alias("lo"), F.col("c").alias("hi"))
-            )
-        )
-        return roles.groupBy("lo", "hi").agg(F.count("*").alias("support"))
-
-    def intersect_support(e: DataFrame) -> DataFrame:
-        """Per-edge triangle support as |N(lo) ∩ N(hi)| over adjacency
-        arrays (the set-intersection family of Latapy, TCS 2008 —
-        'compact-forward'): support(lo,hi) counts the common neighbors
-        of the edge's endpoints, which is exactly the number of
-        triangles through the edge. One adjacency aggregation + two
-        equi-joins; the intersection runs as the JVM array_intersect
-        intrinsic at ~ns per element, where the wedge self-join paid a
-        full codegen join-row production per wedge (~µs) — measured
-        r16 at sf0.1: the round-0 support stage dropped from 265-395 s
-        task time to single-digit seconds on identical 49M-element
-        comparison volume. Domain = ALL current edges (support 0 rows
-        included; the caller's `support > 0` filter normalizes the
-        difference vs the enumeration form). Requires bounded degree:
-        one row holds one adjacency array."""
-        sym = e.select(
-            F.col("lo").alias("n"), F.col("hi").alias("w")
-        ).unionByName(
-            e.select(F.col("hi").alias("n"), F.col("lo").alias("w"))
-        )
-        adj = sym.groupBy("n").agg(F.collect_list("w").alias("nb"))
-        return (
-            e.join(
-                adj.select(F.col("n").alias("lo"), F.col("nb").alias("nlo")),
-                "lo",
-            )
-            .join(
-                adj.select(F.col("n").alias("hi"), F.col("nb").alias("nhi")),
-                "hi",
-            )
-            .select(
-                "lo",
-                "hi",
-                F.size(F.array_intersect("nlo", "nhi"))
-                .cast("long")
-                .alias("support"),
-            )
-        )
-
     # Scale-adaptive support-operator selection (one cheap degree
     # aggregation on the INPUT graph — an upper bound for every peel
     # round, since edges only shrink): adjacency-intersection support
@@ -778,9 +780,9 @@ def ktruss(
         or 0
     )
     full_support = (
-        intersect_support
+        _ktruss_intersect_support
         if max_deg <= _KTRUSS_INTERSECT_MAX_DEGREE
-        else wedge_support
+        else _ktruss_wedge_support
     )
 
     def decremented_support(
